@@ -1,0 +1,6 @@
+from lsp_dsp_units_tpu.models.filters.design import (  # noqa: F401
+    FilterParams, FilterType, FilterDesign, design_filter, freq_chart,
+    digital_freq_response)
+from lsp_dsp_units_tpu.models.filters.filter import Filter  # noqa: F401
+from lsp_dsp_units_tpu.models.filters.filter_bank import (  # noqa: F401
+    FilterBank, process_cascade)
