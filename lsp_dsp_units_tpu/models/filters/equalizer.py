@@ -1,0 +1,238 @@
+"""Equalizer — N parametric filters with IIR / linear-phase FIR / FFT /
+SPM processing modes (reference: src/main/filters/Equalizer.cpp,
+include/.../filters/Equalizer.h:35-42).
+
+Mode semantics (matching the reference):
+
+* ``IIR``  — all filters' biquads run as one serial cascade; latency 0
+  (Equalizer.cpp:262-267, 466-470).
+* ``FIR``  — linear phase: take the bank impulse response (length N),
+  window with the tail half of a 2N Blackman-Nuttall, FFT magnitude,
+  zero-phase resynthesis (fftshift + Blackman-Nuttall window), then block
+  convolution with frame N / FFT 2N; latency N + N/2
+  (Equalizer.cpp:281-347).
+* ``FFT``  — same resynthesis but the magnitude is sampled from the
+  analytic frequency charts instead of the IR (Equalizer.cpp:290-324).
+* ``SPM``  — direct zero-phase spectrum multiply per frame with
+  rectangular analysis and squared-cosine synthesis at 50% overlap;
+  latency N (Equalizer.cpp:350-357, 523-562).
+
+TPU design notes: frames inside one ``process`` call are FFT'd as one
+batch and overlap-add is closed-form across frames (no scan) because the
+hop equals (FIR) or halves (SPM) the frame; coefficient crossfade on
+reconfigure is the explicit :meth:`Equalizer.process_xfade` step — the
+host knows when params changed, replacing the reference's EF_XFADE flag
+(Equalizer.cpp:486-501).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsp_dsp_units_tpu.ops import biquad as biquad_ops
+from lsp_dsp_units_tpu.models.filters.design import (
+    FilterParams, design_filter, freq_chart)
+from lsp_dsp_units_tpu.models.misc import windows as win
+
+Array = jax.Array
+
+
+class EqMode(enum.Enum):
+    BYPASS = "bypass"
+    IIR = "iir"
+    FIR = "fir"
+    FFT = "fft"
+    SPM = "spm"
+
+
+class EqParams(NamedTuple):
+    """Traced equalizer parameters."""
+    coeffs: Array         # [K, 5] cascade biquads (IIR mode; else [0, 5])
+    conv_spec: Array      # FIR/FFT: rfft of the 2N-padded FIR [N+1] complex
+    spm_gain: Array       # SPM: real zero-phase bin gains [N/2+1]
+
+
+class EqState(NamedTuple):
+    iir: Array            # [..., K, 2]
+    fir_tail: Array       # [..., N] overlap-add tail (FIR/FFT)
+    spm_hist: Array       # [..., N/2] input history (SPM)
+    spm_tail: Array       # [..., N/2] synthesis overlap tail (SPM)
+
+
+class Equalizer:
+    """Static config: mode, FIR rank, sample rate, filter slots."""
+
+    def __init__(self, sample_rate: int = 48000, filters: int = 8,
+                 mode: EqMode = EqMode.IIR, fir_rank: int = 12):
+        self.sample_rate = int(sample_rate)
+        self.mode = mode
+        self.fir_rank = int(fir_rank)
+        self.fir_size = 1 << self.fir_rank
+        self.filters: List[Optional[FilterParams]] = [None] * filters
+
+    # -- configuration ------------------------------------------------------
+    def set_params(self, idx: int, params: Optional[FilterParams]) -> None:
+        self.filters[idx] = params
+
+    def latency(self) -> int:
+        """Reference latency contract (Equalizer.cpp:347,355,467)."""
+        if self.mode in (EqMode.FIR, EqMode.FFT):
+            return self.fir_size + self.fir_size // 2
+        if self.mode == EqMode.SPM:
+            return self.fir_size
+        return 0
+
+    @property
+    def block(self) -> int:
+        """Internal processing granularity for process()."""
+        if self.mode in (EqMode.FIR, EqMode.FFT):
+            return self.fir_size
+        if self.mode == EqMode.SPM:
+            return self.fir_size // 2
+        return 1
+
+    def _active_designs(self):
+        return [design_filter(p, self.sample_rate)
+                for p in self.filters
+                if p is not None and p.ftype.value != "none"]
+
+    def build(self) -> EqParams:
+        """Design all filters and build mode-specific parameters
+        (the analog of reconfigure(), Equalizer.cpp:243-358)."""
+        designs = self._active_designs()
+        n = self.fir_size
+        coeffs = np.zeros((0, 5), np.float64)
+        conv_spec = np.zeros(n + 1, np.complex64)
+        spm_gain = np.zeros(n // 2 + 1, np.float32)
+
+        if self.mode in (EqMode.IIR, EqMode.BYPASS):
+            if designs:
+                coeffs = np.concatenate([d.biquads for d in designs], 0)
+        else:
+            # magnitude over the full FFT circle [n]
+            if self.mode == EqMode.FIR:
+                if designs:
+                    coeffs_all = np.concatenate(
+                        [d.biquads for d in designs], 0)
+                    ir = np.asarray(biquad_ops.impulse_response(
+                        jnp.asarray(coeffs_all, jnp.float32), n))
+                else:
+                    ir = np.zeros(n, np.float32)
+                    ir[0] = 1.0
+                w2 = win.blackman_nuttall(2 * n)
+                mag = np.abs(np.fft.fft(ir * w2[n:]))
+            else:  # FFT / SPM: product of analytic charts
+                freqs = np.linspace(0.0, 0.5 * self.sample_rate,
+                                    n // 2 + 1)
+                h = np.ones(n // 2 + 1, np.complex128)
+                for d in designs:
+                    h *= freq_chart(d, freqs)
+                half = np.abs(h)
+                mag = np.concatenate([half, half[1:-1][::-1]])
+
+            if self.mode == EqMode.SPM:
+                spm_gain = mag[: n // 2 + 1].astype(np.float32)
+            else:
+                # zero-phase resynthesis (Equalizer.cpp:331-336):
+                # ifft of the real magnitude, fftshift, window
+                fir = np.real(np.fft.ifft(mag))
+                fir = np.concatenate([fir[n // 2:], fir[: n // 2]])
+                fir *= win.blackman_nuttall(n)
+                conv_spec = np.fft.rfft(fir, 2 * n).astype(np.complex64)
+
+        return EqParams(
+            coeffs=jnp.asarray(coeffs, jnp.float32),
+            conv_spec=jnp.asarray(conv_spec),
+            spm_gain=jnp.asarray(spm_gain))
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, params: EqParams,
+                   batch_shape: Tuple[int, ...] = ()) -> EqState:
+        n = self.fir_size
+        return EqState(
+            iir=biquad_ops.init_state(params.coeffs.shape[0], batch_shape),
+            fir_tail=jnp.zeros(batch_shape + (n,), jnp.float32),
+            spm_hist=jnp.zeros(batch_shape + (n // 2,), jnp.float32),
+            spm_tail=jnp.zeros(batch_shape + (n // 2,), jnp.float32))
+
+    # -- processing ------------------------------------------------------------
+    def process(self, params: EqParams, state: EqState, x: Array,
+                ) -> Tuple[EqState, Array]:
+        if self.mode == EqMode.BYPASS:
+            return state, x
+        if self.mode == EqMode.IIR:
+            if params.coeffs.shape[0] == 0:
+                return state, x
+            y, iir = biquad_ops.biquad_cascade(params.coeffs, state.iir, x)
+            return state._replace(iir=iir), y
+        if self.mode in (EqMode.FIR, EqMode.FFT):
+            return self._process_fir(params.conv_spec, state, x)
+        return self._process_spm(params, state, x)
+
+    def _process_fir(self, conv_spec: Array, state: EqState, x: Array,
+                     ) -> Tuple[EqState, Array]:
+        """Frame-N block convolution with 2N FFT, overlap-add across
+        frames in closed form (Equalizer.cpp:477-518)."""
+        n = self.fir_size
+        t = x.shape[-1]
+        assert t % n == 0, f"FIR mode needs multiples of {n}, got {t}"
+        m = t // n
+        frames = x.reshape(x.shape[:-1] + (m, n))
+        spec = jnp.fft.rfft(frames, 2 * n, axis=-1) * conv_spec
+        y2 = jnp.fft.irfft(spec, 2 * n, axis=-1)     # [..., M, 2N]
+        heads = y2[..., :n]
+        tails = y2[..., n:]
+        prev = jnp.concatenate(
+            [state.fir_tail[..., None, :], tails[..., :-1, :]], axis=-2)
+        out = (heads + prev).reshape(x.shape).astype(x.dtype)
+        return state._replace(fir_tail=tails[..., -1, :]), out
+
+    def process_xfade(self, old: EqParams, new: EqParams, state: EqState,
+                      x: Array) -> Tuple[EqState, Array]:
+        """First FIR/FFT frame after a coefficient change: run both
+        convolutions and linear-ramp mix from old to new across
+        [N/2, 3N/2) of the frame (Equalizer.cpp:486-501)."""
+        n = self.fir_size
+        assert x.shape[-1] == n, "xfade step processes exactly one frame"
+        st_old, y_old = self._process_fir(old.conv_spec, state, x)
+        st_new, y_new = self._process_fir(new.conv_spec, state, x)
+        half = n // 2
+        i = jnp.arange(n, dtype=x.dtype)
+        ramp = jnp.clip((i - half) / jnp.asarray(n, x.dtype), 0.0, 1.0)
+        y = y_old * (1.0 - ramp) + y_new * ramp
+        # the tail continues with the new convolution, mixed like the
+        # in-frame ramp's continuation
+        ramp_t = jnp.clip((i + n - half) / jnp.asarray(n, x.dtype), 0.0, 1.0)
+        tail = (st_old.fir_tail * (1.0 - ramp_t)
+                + st_new.fir_tail * ramp_t)
+        return st_new._replace(fir_tail=tail), y.astype(x.dtype)
+
+    def _process_spm(self, params: EqParams, state: EqState, x: Array,
+                     ) -> Tuple[EqState, Array]:
+        """50%-overlap zero-phase spectral multiply with squared-cosine
+        synthesis window (Equalizer.cpp:523-562)."""
+        n = self.fir_size
+        half = n // 2
+        t = x.shape[-1]
+        assert t % half == 0, f"SPM mode needs multiples of {half}, got {t}"
+        m = t // half
+        hops = x.reshape(x.shape[:-1] + (m, half))
+        prev = jnp.concatenate(
+            [state.spm_hist[..., None, :], hops[..., :-1, :]], axis=-2)
+        frames = jnp.concatenate([prev, hops], axis=-1)     # [..., M, N]
+        spec = jnp.fft.rfft(frames, axis=-1) * params.spm_gain
+        y = jnp.fft.irfft(spec, n, axis=-1)
+        w = jnp.asarray(win.sqr_cosine(n), x.dtype)
+        y = y * w
+        heads = y[..., :half]
+        tails = y[..., half:]
+        prev_t = jnp.concatenate(
+            [state.spm_tail[..., None, :], tails[..., :-1, :]], axis=-2)
+        out = (heads + prev_t).reshape(x.shape).astype(x.dtype)
+        return state._replace(spm_hist=hops[..., -1, :],
+                              spm_tail=tails[..., -1, :]), out

@@ -57,22 +57,27 @@ def _affine_combine(elem1, elem2):
     return (a00, a01, a10, a11), (v0, v1)
 
 
-def _stage_assoc(x: Array, b0, b1, b2, a1, a2, s_in: Array,
-                 ) -> Tuple[Array, Array]:
-    """One biquad stage over the last (time) axis via associative scan.
+def stage_prefix(x: Array, b0, b1, b2, a1, a2):
+    """Prefix affine maps of one biquad stage over the last (time) axis.
 
-    ``x``: [..., T]; coefficients broadcastable against ``x`` (scalars,
-    [..., 1] per-batch, or [..., T] per-sample-varying); ``s_in``:
-    [..., 2] carried DF2T state.  Returns (y [..., T], s_out [..., 2]).
+    Returns ``(A_scan, v_scan)`` where ``A_scan`` is a 4-tuple of [..., T]
+    arrays (the 2x2 prefix matrix products) and ``v_scan`` a 2-tuple (the
+    zero-state responses), such that the DF2T state after sample n is
+    ``s[n] = A_scan[n] @ s_in + v_scan[n]`` for ANY incoming state.  This
+    split is what makes the kernel shardable along time: devices exchange
+    only their last (A, v) summary (see parallel.time_iir).
     """
     u0 = b1 + a1 * b0
     u1 = b2 + a2 * b0
     ones = jnp.ones_like(x)
     A = (a1 * ones, ones, a2 * ones, jnp.zeros_like(x))
     v = (u0 * x, u1 * x)
-    A_scan, v_scan = jax.lax.associative_scan(
-        _affine_combine, (A, v), axis=-1)
-    # s[n] = A_scan[n] @ s_in + v_scan[n]  (prefix product through element n)
+    return jax.lax.associative_scan(_affine_combine, (A, v), axis=-1)
+
+
+def stage_apply(x: Array, b0, A_scan, v_scan, s_in: Array,
+                ) -> Tuple[Array, Array]:
+    """Complete one stage given its prefix maps and the incoming state."""
     s1_in = s_in[..., 0:1]  # [..., 1] — broadcasts over time
     s2_in = s_in[..., 1:2]
     s1 = A_scan[0] * s1_in + A_scan[1] * s2_in + v_scan[0]
@@ -82,6 +87,18 @@ def _stage_assoc(x: Array, b0, b1, b2, a1, a2, s_in: Array,
     y = b0 * x + s1_prev
     s_out = jnp.stack([s1[..., -1], s2[..., -1]], axis=-1)
     return y, s_out
+
+
+def _stage_assoc(x: Array, b0, b1, b2, a1, a2, s_in: Array,
+                 ) -> Tuple[Array, Array]:
+    """One biquad stage over the last (time) axis via associative scan.
+
+    ``x``: [..., T]; coefficients broadcastable against ``x`` (scalars,
+    [..., 1] per-batch, or [..., T] per-sample-varying); ``s_in``:
+    [..., 2] carried DF2T state.  Returns (y [..., T], s_out [..., 2]).
+    """
+    A_scan, v_scan = stage_prefix(x, b0, b1, b2, a1, a2)
+    return stage_apply(x, b0, A_scan, v_scan, s_in)
 
 
 def _split_coeffs(c: Array):

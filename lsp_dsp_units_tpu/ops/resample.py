@@ -1,0 +1,155 @@
+"""Lanczos polyphase resampling — the TPU replacement for the reference's
+30 ``dsp::lanczos_resample_{2,3,4,6,8}x{2,3,4,12bit,16bit,24bit}`` kernels
+and ``dsp::downsample_{2,3,4,6,8}x`` (used by Oversampler.cpp:527-570 and
+TruePeakMeter.cpp:160-186).
+
+The per-(ratio, quality) hand-written SIMD kernels collapse into ONE
+parameterized generator: a windowed-sinc (Lanczos) kernel evaluated
+per polyphase branch, executed as an im2col + matmul — i.e. on the MXU —
+instead of scalar FIR loops.  Quality tiers map to kernel half-lengths
+(= latency in input samples) exactly as the reference's latency table
+(Oversampler.cpp:955-1010): 2x->2, 3x->3, 4x->4, 12bit->4, 16bit->10,
+24bit->62 samples.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+#: quality tier -> Lanczos lobe count / latency in input samples
+#: (matches reference Oversampler::latency(), Oversampler.cpp:955-1010)
+QUALITY_LOBES = {"x2": 2, "x3": 3, "x4": 4,
+                 "12bit": 4, "16bit": 10, "24bit": 62}
+
+
+@lru_cache(maxsize=None)
+def lanczos_kernel(ratio: int, lobes: int) -> np.ndarray:
+    """Lanczos upsampling kernel, length 2*lobes*ratio + 1, float64.
+
+    ``k[j] = sinc(t) * sinc(t / lobes)`` with ``t = (j - c)/ratio``;
+    phase-0 taps hit integers so original samples pass through unchanged.
+    """
+    c = lobes * ratio
+    t = (np.arange(2 * c + 1, dtype=np.float64) - c) / ratio
+    x = np.pi * t
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = np.where(t == 0.0, 1.0, np.sin(x) / x)
+        w = np.where(np.abs(t) >= lobes, 0.0,
+                     np.where(t == 0.0, 1.0,
+                              np.sin(x / lobes) / (x / lobes)))
+    return s * w
+
+
+@lru_cache(maxsize=None)
+def _phase_matrix(ratio: int, lobes: int) -> np.ndarray:
+    """Polyphase matrix [2*lobes+1, ratio]: column p holds the taps that
+    produce output phase p from an input window of 2*lobes+1 samples.
+
+    Output sample y[i*ratio + p] = sum_j win[i, j] * M[j, p] where
+    win[i] = x[i-2a .. i] (with 'a' = lobes of history).
+    """
+    k = lanczos_kernel(ratio, lobes)
+    a = lobes
+    m = np.zeros((2 * a + 1, ratio), np.float64)
+    c = a * ratio
+    # y[n] (output grid) = sum_i x[i] k[n - i*ratio + c]
+    # with n = (i0 + a)*ratio + p and window index j = i - i0:
+    # tap = k[(a - j)*ratio + p + c - ? ] — derive directly:
+    # y[(i0+a)*r + p] = sum_j x[i0+j] * k[(i0+a)*r + p - (i0+j)*r + c]
+    #                 = sum_j win[j]  * k[(a-j)*r + p + c]
+    for j in range(2 * a + 1):
+        idx = (a - j) * ratio + c
+        for p in range(ratio):
+            q = idx + p
+            if 0 <= q < k.size:
+                m[j, p] = k[q]
+    return m
+
+
+def upsample_history(lobes: int, batch_shape: Tuple[int, ...] = (),
+                     dtype=jnp.float32) -> Array:
+    """Zero input-history state: [..., 2*lobes] samples."""
+    return jnp.zeros(batch_shape + (2 * lobes,), dtype)
+
+
+def upsample(history: Array, x: Array, ratio: int, lobes: int,
+             ) -> Tuple[Array, Array]:
+    """Streaming Lanczos upsample by ``ratio``.
+
+    Args:
+      history: [..., 2*lobes] carried input samples.
+      x: [..., T] input block.
+      Returns (history', y [..., T*ratio]).  Latency: ``lobes`` input
+      samples (= ratio*lobes output samples).
+    """
+    a = lobes
+    m = jnp.asarray(_phase_matrix(ratio, lobes), x.dtype)
+    frame = jnp.concatenate([history, x], axis=-1)        # [..., T+2a]
+    t = x.shape[-1]
+    idx = jnp.arange(t)[:, None] + jnp.arange(2 * a + 1)[None, :]
+    wins = frame[..., idx]                                 # [..., T, 2a+1]
+    phases = jnp.einsum("...tj,jp->...tp", wins, m)        # [..., T, R]
+    y = phases.reshape(x.shape[:-1] + (t * ratio,))
+    return frame[..., -2 * a:], y.astype(x.dtype)
+
+
+def downsample(x: Array, ratio: int) -> Array:
+    """Plain decimation (reference ``dsp::downsample_Nx``); anti-alias
+    filtering is the caller's responsibility, as in Oversampler.cpp:558-560
+    where an optional 30-pole BWC low-pass runs before this."""
+    return x[..., ::ratio]
+
+
+def oversample_rates() -> Tuple[int, ...]:
+    """Supported integer ratios (reference over_mode_t: 2,3,4,6,8)."""
+    return (2, 3, 4, 6, 8)
+
+
+def resample_fractional(x: np.ndarray, sr_from: int, sr_to: int,
+                        periods: int = 32) -> np.ndarray:
+    """Arbitrary-rate Lanczos resampling of a whole buffer (host, f64) —
+    the analog of Sample::resample (reference Sample.cpp:1021-1207), used
+    for offline sample-rate conversion.
+
+    Upsampling path mirrors complex_upsample: for each of ``src_step``
+    sub-phases a fractionally-shifted Lanczos kernel interpolates onto the
+    destination grid.
+    """
+    if sr_from == sr_to:
+        return np.asarray(x, np.float64).copy()
+    x = np.asarray(x, np.float64)
+    g = np.gcd(int(sr_from), int(sr_to))
+    up = sr_to // g
+    dn = sr_from // g
+    # generic rational resample: upsample by `up` (zero-stuff + lanczos
+    # low-pass at min(pi/up, pi*dn/up... cutoff = pi/max(up,dn) on the
+    # high-rate grid), then decimate by `dn`
+    hi_rate_len = x.shape[-1] * up
+    a = periods
+    cutoff = 1.0 / max(up, dn)
+    c = int(np.ceil(a / cutoff))
+    t = (np.arange(2 * c * up + 1, dtype=np.float64) - c * up) / up
+    xt = np.pi * t * cutoff
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = np.where(t == 0.0, cutoff, np.sin(xt) / (np.pi * t))
+        arg = xt / a
+        w = np.where(np.abs(arg) >= np.pi, 0.0,
+                     np.where(t == 0.0, 1.0, np.sin(arg) / arg))
+    k = s * w * up
+    y_hi = np.zeros(x.shape[:-1] + (hi_rate_len + k.size,), np.float64)
+    # polyphase accumulation (vectorized over input samples)
+    for ph in range(up):
+        taps = k[ph::up]
+        contrib = np.apply_along_axis(
+            lambda row: np.convolve(row, taps), -1, x)
+        y_hi[..., ph:ph + contrib.shape[-1] * up:up] += contrib
+    delay = c * up
+    y_hi = y_hi[..., delay:delay + hi_rate_len]
+    return y_hi[..., ::dn]

@@ -1,0 +1,78 @@
+"""Host-side block streaming: drive fixed-block jitted processors with
+arbitrary caller chunk sizes.
+
+The reference rebuffers internally everywhere (e.g. Equalizer.cpp:477-518
+accumulates a frame, emits the previous one); under jit the block shape
+must be static, so the rebuffering lives here on the host.  Units that are
+stateless across samples (pure elementwise) don't need this.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import numpy as np
+
+
+class BlockStream:
+    """Wraps ``process(state, x_block) -> (state, y_block)`` (jitted, fixed
+    block length B on the last axis) into a push API accepting any chunk
+    size.  Output is delayed by exactly B samples (one block of latency),
+    mirroring the reference's frame-accumulation pattern."""
+
+    def __init__(self, process: Callable[[Any, np.ndarray], Tuple[Any, Any]],
+                 state: Any, block: int, batch_shape: Tuple[int, ...] = (),
+                 dtype=np.float32):
+        self.process = process
+        self.state = state
+        self.block = int(block)
+        self.batch_shape = tuple(batch_shape)
+        self._in = np.zeros(self.batch_shape + (self.block,), dtype)
+        self._out = np.zeros(self.batch_shape + (self.block,), dtype)
+        self._fill = 0
+
+    @property
+    def latency(self) -> int:
+        return self.block
+
+    def push(self, x: np.ndarray) -> np.ndarray:
+        """Feed ``x`` ([..., n]); returns n output samples (delayed)."""
+        x = np.asarray(x)
+        n = x.shape[-1]
+        out = np.empty_like(x)
+        done = 0
+        while done < n:
+            take = min(self.block - self._fill, n - done)
+            self._in[..., self._fill:self._fill + take] = \
+                x[..., done:done + take]
+            out[..., done:done + take] = \
+                self._out[..., self._fill:self._fill + take]
+            self._fill += take
+            done += take
+            if self._fill == self.block:
+                self.state, y = self.process(self.state, self._in)
+                self._out = np.asarray(y)
+                self._fill = 0
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Process the partial block (zero-padded) and return remaining
+        buffered output — for offline tails."""
+        if self._fill:
+            self._in[..., self._fill:] = 0.0
+            self.state, y = self.process(self.state, self._in)
+            self._out = np.asarray(y)
+            rem = self._out[..., : self._fill].copy()
+            self._fill = 0
+            return rem
+        return np.zeros(self.batch_shape + (0,), self._out.dtype)
+
+
+def pad_to_multiple(x: np.ndarray, block: int) -> Tuple[np.ndarray, int]:
+    """Zero-pad the last axis up to a multiple of ``block``."""
+    t = x.shape[-1]
+    pad = (-t) % block
+    if pad:
+        x = np.concatenate(
+            [x, np.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+    return x, pad

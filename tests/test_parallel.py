@@ -1,0 +1,131 @@
+"""Multi-device semantics on a virtual 8-device CPU mesh — the
+'multi-process-without-a-cluster' oracle pattern (SURVEY.md §4 item 4):
+sharded execution must equal the single-device result exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from lsp_dsp_units_tpu.ops import biquad, fftconv
+from lsp_dsp_units_tpu.parallel import mesh as pmesh
+from lsp_dsp_units_tpu.parallel.halo import fir_conv_time_sharded, left_halo
+from lsp_dsp_units_tpu.parallel.time_iir import biquad_cascade_time_sharded
+from lsp_dsp_units_tpu.utils.units import snr_db
+
+
+def _stable_biquads(rng, k):
+    out = np.zeros((k, 5))
+    for i in range(k):
+        r = rng.uniform(0.3, 0.97)
+        th = rng.uniform(0.1, np.pi - 0.1)
+        out[i] = [rng.normal() * 0.5, rng.normal() * 0.5, rng.normal() * 0.5,
+                  2 * r * np.cos(th), -r * r]
+    return out
+
+
+def test_left_halo():
+    m = pmesh.make_mesh(chan=1, time=8)
+
+    def f(x):
+        return left_halo(x, 4, pmesh.TIME_AXIS)
+
+    x = jnp.arange(8 * 16, dtype=jnp.float32).reshape(1, -1)
+    g = shard_map(f, mesh=m, in_specs=P(pmesh.CHAN_AXIS, pmesh.TIME_AXIS),
+                  out_specs=P(pmesh.CHAN_AXIS, pmesh.TIME_AXIS))
+    y = np.asarray(jax.jit(g)(x)).reshape(8, 4)
+    # device 0 gets zeros; device i gets last 4 of shard i-1
+    np.testing.assert_array_equal(y[0], 0.0)
+    for i in range(1, 8):
+        np.testing.assert_array_equal(y[i], np.arange(i * 16 - 4, i * 16))
+
+
+def test_time_sharded_iir_exact():
+    rng = np.random.default_rng(0)
+    coeffs = _stable_biquads(rng, 3)
+    x = rng.normal(size=(2, 8 * 256)).astype(np.float32)
+    c = jnp.asarray(coeffs, jnp.float32)
+
+    y_ref, s_ref = biquad.biquad_cascade(
+        c, biquad.init_state(3, (2,)), jnp.asarray(x))
+
+    m = pmesh.make_mesh(chan=1, time=8)
+
+    def f(x_sh):
+        st = biquad.init_state(3, (x_sh.shape[0],))
+        y, s = biquad_cascade_time_sharded(c, st, x_sh, pmesh.TIME_AXIS)
+        return y, s
+
+    g = jax.jit(shard_map(
+        f, mesh=m,
+        in_specs=P(None, pmesh.TIME_AXIS),
+        out_specs=(P(None, pmesh.TIME_AXIS), P(None))))
+    y, s = g(jnp.asarray(x))
+    assert snr_db(np.asarray(y), np.asarray(y_ref)) > 100.0
+    # final state must match the unsharded stream state
+    s = np.asarray(s)
+    np.testing.assert_allclose(s, np.asarray(s_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_time_sharded_fir_exact():
+    rng = np.random.default_rng(1)
+    ir = rng.normal(size=700).astype(np.float32)
+    block = 128
+    h = fftconv.parse_ir(jnp.asarray(ir), block)
+    x = rng.normal(size=(2, 8 * 512)).astype(np.float32)
+
+    golden = np.stack([fftconv.np_convolve_golden(x[c], ir)
+                       for c in range(2)])
+
+    m = pmesh.make_mesh(chan=1, time=8)
+
+    def f(x_sh):
+        return fir_conv_time_sharded(h, block, x_sh, pmesh.TIME_AXIS)
+
+    g = jax.jit(shard_map(
+        f, mesh=m, in_specs=P(None, pmesh.TIME_AXIS),
+        out_specs=P(None, pmesh.TIME_AXIS)))
+    y = np.asarray(g(jnp.asarray(x)))
+    assert snr_db(y, golden) > 90.0
+
+
+def test_time_sharded_fir_long_ir_chained_halo():
+    """IR longer than a local shard forces chained ppermute halos."""
+    rng = np.random.default_rng(2)
+    ir = rng.normal(size=1500).astype(np.float32)
+    block = 128
+    h = fftconv.parse_ir(jnp.asarray(ir), block)
+    x = rng.normal(size=(1, 8 * 512)).astype(np.float32)
+    golden = fftconv.np_convolve_golden(x[0], ir)[None]
+
+    m = pmesh.make_mesh(chan=1, time=8)
+    g = jax.jit(shard_map(
+        lambda x_sh: fir_conv_time_sharded(h, block, x_sh, pmesh.TIME_AXIS),
+        mesh=m, in_specs=P(None, pmesh.TIME_AXIS),
+        out_specs=P(None, pmesh.TIME_AXIS)))
+    y = np.asarray(g(jnp.asarray(x)))
+    assert snr_db(y, golden) > 90.0
+
+
+def test_chan_sharded_chain():
+    """Channel-parallel filter chain: sharded == per-channel serial."""
+    rng = np.random.default_rng(3)
+    coeffs = _stable_biquads(rng, 2)
+    c = jnp.asarray(coeffs, jnp.float32)
+    x = rng.normal(size=(8, 1024)).astype(np.float32)
+
+    m = pmesh.make_mesh(chan=8, time=1)
+    xs = jax.device_put(jnp.asarray(x), pmesh.chan_sharding(m))
+
+    @jax.jit
+    def step(x):
+        st = biquad.init_state(2, (x.shape[0],))
+        y, _ = biquad.biquad_cascade(c, st, x)
+        return y
+
+    y = np.asarray(step(xs))
+    y_ref, _ = biquad.biquad_cascade(c, biquad.init_state(2, (8,)),
+                                     jnp.asarray(x))
+    assert snr_db(y, np.asarray(y_ref)) > 120.0
