@@ -60,8 +60,10 @@ class EqParams(NamedTuple):
 class EqState(NamedTuple):
     iir: Array            # [..., K, 2]
     fir_tail: Array       # [..., N] overlap-add tail (FIR/FFT)
+    fir_pending: Array    # [..., N] computed-but-not-yet-emitted frame
     spm_hist: Array       # [..., N/2] input history (SPM)
     spm_tail: Array       # [..., N/2] synthesis overlap tail (SPM)
+    spm_pending: Array    # [..., N/2] pending output hop (SPM)
 
 
 class Equalizer:
@@ -157,8 +159,10 @@ class Equalizer:
         return EqState(
             iir=biquad_ops.init_state(params.coeffs.shape[0], batch_shape),
             fir_tail=jnp.zeros(batch_shape + (n,), jnp.float32),
+            fir_pending=jnp.zeros(batch_shape + (n,), jnp.float32),
             spm_hist=jnp.zeros(batch_shape + (n // 2,), jnp.float32),
-            spm_tail=jnp.zeros(batch_shape + (n // 2,), jnp.float32))
+            spm_tail=jnp.zeros(batch_shape + (n // 2,), jnp.float32),
+            spm_pending=jnp.zeros(batch_shape + (n // 2,), jnp.float32))
 
     # -- processing ------------------------------------------------------------
     def process(self, params: EqParams, state: EqState, x: Array,
@@ -189,8 +193,16 @@ class Equalizer:
         tails = y2[..., n:]
         prev = jnp.concatenate(
             [state.fir_tail[..., None, :], tails[..., :-1, :]], axis=-2)
-        out = (heads + prev).reshape(x.shape).astype(x.dtype)
-        return state._replace(fir_tail=tails[..., -1, :]), out
+        computed = heads + prev                        # [..., M, N]
+        # one frame of output buffering: the reference emits the previous
+        # frame while accumulating the current one (Equalizer.cpp:477-518)
+        # -> total latency N (buffer) + N/2 (linear-phase center)
+        emitted = jnp.concatenate(
+            [state.fir_pending[..., None, :], computed[..., :-1, :]],
+            axis=-2)
+        out = emitted.reshape(x.shape).astype(x.dtype)
+        return state._replace(fir_tail=tails[..., -1, :],
+                              fir_pending=computed[..., -1, :]), out
 
     def process_xfade(self, old: EqParams, new: EqParams, state: EqState,
                       x: Array) -> Tuple[EqState, Array]:
@@ -233,6 +245,13 @@ class Equalizer:
         tails = y[..., half:]
         prev_t = jnp.concatenate(
             [state.spm_tail[..., None, :], tails[..., :-1, :]], axis=-2)
-        out = (heads + prev_t).reshape(x.shape).astype(x.dtype)
+        computed = heads + prev_t                      # [..., M, half]
+        # one hop of output buffering (reference Equalizer.cpp:523-562)
+        # -> total latency N (half buffering + half frame overlap)
+        emitted = jnp.concatenate(
+            [state.spm_pending[..., None, :], computed[..., :-1, :]],
+            axis=-2)
+        out = emitted.reshape(x.shape).astype(x.dtype)
         return state._replace(spm_hist=hops[..., -1, :],
-                              spm_tail=tails[..., -1, :]), out
+                              spm_tail=tails[..., -1, :],
+                              spm_pending=computed[..., -1, :]), out

@@ -1,0 +1,163 @@
+"""SpectralTilt — arbitrary-slope spectral tilt filter
+(reference: src/main/filters/SpectralTilt.cpp).
+
+A cascade of exponentially spaced one-pole/one-zero bilinear sections
+between a lower and upper frequency approximates a ``w^a`` magnitude
+slope; pairs of sections combine into biquads, digitized with the general
+bilinear transform and normalized at a selectable frequency.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsp_dsp_units_tpu.ops import biquad as biquad_ops
+
+DB_PER_OCTAVE_FALLOFF = 0.16609640419483184814453125  # ln10/(20 ln2)
+DB_PER_DECADE_FALLOFF = 0.05
+DFL_LOWER_FREQUENCY = 0.1
+DFL_UPPER_FREQUENCY = 20000.0
+MAX_ORDER = 128
+
+
+class SlopeUnit(enum.Enum):
+    NONE = "none"
+    NEPER_PER_NEPER = "neper_per_neper"
+    DB_PER_OCTAVE = "db_per_octave"
+    DB_PER_DECADE = "db_per_decade"
+
+
+class TiltNorm(enum.Enum):
+    NONE = "none"
+    AT_DC = "at_dc"
+    AT_20_HZ = "at_20_hz"
+    AT_1_KHZ = "at_1_khz"
+    AT_20_KHZ = "at_20_khz"
+    AT_NYQUIST = "at_nyquist"
+    AUTO = "auto"
+
+
+def _digital_gain(bq: np.ndarray, freq: float, sr: int) -> float:
+    """|H| of one biquad at freq (reference digital_biquad_gain)."""
+    w = 2.0 * np.pi * freq / sr
+    z = np.exp(-1j * w)
+    num = bq[0] + bq[1] * z + bq[2] * z * z
+    den = 1.0 - bq[3] * z - bq[4] * z * z
+    return float(np.abs(num / den))
+
+
+class SpectralTilt:
+    def __init__(self, sample_rate: int = 48000, order: int = 16,
+                 slope: float = -0.5,
+                 slope_unit: SlopeUnit = SlopeUnit.NEPER_PER_NEPER,
+                 lower_freq: float = DFL_LOWER_FREQUENCY,
+                 upper_freq: float = DFL_UPPER_FREQUENCY,
+                 norm: TiltNorm = TiltNorm.AUTO):
+        self.sample_rate = int(sample_rate)
+        self.order = int(order)
+        self.slope = float(slope)
+        self.slope_unit = slope_unit
+        self.lower_freq = float(lower_freq)
+        self.upper_freq = float(upper_freq)
+        self.norm = norm
+        self._coeffs = None
+
+    # -- design (reference SpectralTilt::update_settings) ------------------
+    def build(self) -> np.ndarray:
+        order = self.order + (self.order % 2)
+        order = min(order, MAX_ORDER)
+        sr = self.sample_rate
+
+        if self.slope_unit == SlopeUnit.DB_PER_OCTAVE:
+            slope_nn = self.slope * DB_PER_OCTAVE_FALLOFF
+        elif self.slope_unit == SlopeUnit.DB_PER_DECADE:
+            slope_nn = self.slope * DB_PER_DECADE_FALLOFF
+        else:
+            slope_nn = self.slope
+        self.slope_nepnep = slope_nn
+
+        lo, hi = self.lower_freq, self.upper_freq
+        if lo >= 0.5 * sr:
+            lo = DFL_LOWER_FREQUENCY
+        if hi >= 0.5 * sr:
+            hi = DFL_UPPER_FREQUENCY
+        if lo >= hi:
+            lo, hi = DFL_LOWER_FREQUENCY, DFL_UPPER_FREQUENCY
+
+        if self.slope_unit == SlopeUnit.NONE or slope_nn == 0.0:
+            self._coeffs = np.zeros((0, 5))
+            return self._coeffs
+
+        l_angf = 2.0 * np.pi * lo
+        u_angf = 2.0 * np.pi * hi
+        r = (u_angf / l_angf) ** (1.0 / (order - 1))
+        c = 1.0 / np.tan(0.5 / sr)   # bilinear_coefficient(1, sr)
+        neg_zero = l_angf * r ** (-slope_nn)
+        neg_pole = l_angf
+
+        out = []
+        for n in range(0, order, 2):
+            z0, p0 = neg_zero, neg_pole
+            neg_zero *= r
+            neg_pole *= r
+            z1, p1 = neg_zero, neg_pole
+            neg_zero *= r
+            neg_pole *= r
+            # combine two (s + z)/(s + p) bilinears into one biquad
+            t = np.array([z0 * z1, z0 + z1, 1.0])
+            b = np.array([p0 * p1, p0 + p1, 1.0])
+            # general bilinear transform with coefficient c
+            T = np.array([t[0] + t[1] * c + t[2] * c * c,
+                          2.0 * t[0] - 2.0 * t[2] * c * c,
+                          t[0] - t[1] * c + t[2] * c * c])
+            B = np.array([b[0] + b[1] * c + b[2] * c * c,
+                          2.0 * b[0] - 2.0 * b[2] * c * c,
+                          b[0] - b[1] * c + b[2] * c * c])
+            bq = np.array([T[0] / B[0], T[1] / B[0], T[2] / B[0],
+                           -B[1] / B[0], -B[2] / B[0]])
+            bq = self._normalize(bq)
+            out.append(bq)
+        self._coeffs = np.stack(out)
+        return self._coeffs
+
+    def _normalize(self, bq: np.ndarray) -> np.ndarray:
+        sr = self.sample_rate
+        norm = self.norm
+        if norm == TiltNorm.NONE:
+            return bq
+        if norm == TiltNorm.AUTO:
+            if self.slope_nepnep <= 0:
+                f = 20.0 if 0.5 * sr > 20.0 else 0.0
+            else:
+                f = 20000.0 if 0.5 * sr > 20000.0 else 0.5 * sr
+        else:
+            f = {TiltNorm.AT_DC: 0.0, TiltNorm.AT_20_HZ: 20.0,
+                 TiltNorm.AT_1_KHZ: 1000.0, TiltNorm.AT_20_KHZ: 20000.0,
+                 TiltNorm.AT_NYQUIST: 0.5 * sr}[norm]
+        g = 1.0 / _digital_gain(bq, f, sr)
+        out = bq.copy()
+        out[0:3] *= g
+        return out
+
+    # -- execution ----------------------------------------------------------
+    def coefficients(self) -> jax.Array:
+        if self._coeffs is None:
+            self.build()
+        return jnp.asarray(self._coeffs, jnp.float32)
+
+    def init_state(self, batch_shape: Tuple[int, ...] = ()) -> jax.Array:
+        if self._coeffs is None:
+            self.build()
+        return biquad_ops.init_state(self._coeffs.shape[0], batch_shape)
+
+    def process(self, state, x):
+        c = self.coefficients()
+        if c.shape[0] == 0:
+            return state, x
+        y, state = biquad_ops.biquad_cascade(c, state, x)
+        return state, y

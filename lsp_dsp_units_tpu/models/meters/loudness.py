@@ -1,0 +1,236 @@
+"""Loudness meters — BS.1770 weighting + sliding/momentary loudness and
+integrated (gated) loudness.
+
+* :class:`LoudnessMeter` — momentary/short-term loudness (reference:
+  src/main/meters/LoudnessMeter.cpp): per channel weighting filter ->
+  squared sliding mean over the period -> weighted channel mix ->
+  ssqrt.  The reference's running-sum-with-drift-refresh
+  (LoudnessMeter.cpp:440-451) becomes a per-call cumsum difference.
+* :class:`ILUFSMeter` — BS.1770-5 Integrated loudness (reference:
+  src/main/meters/ILUFSMeter.cpp): 400 ms gating blocks at 75% overlap,
+  two-stage gating (absolute -70 LKFS, then relative -10 LU); the
+  reference's relative stage re-gates at the absolute threshold
+  (ILUFSMeter.cpp:327-341 ignores its threshold argument); we implement
+  the standard-correct relative threshold and note the deviation.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsp_dsp_units_tpu.ops import biquad as biquad_ops
+from lsp_dsp_units_tpu.models.filters.design import (
+    FilterParams, FilterType, design_filter)
+from lsp_dsp_units_tpu.models.misc import broadcast as bs
+
+Array = jax.Array
+
+# reference ILUFSMeter.cpp:39-55
+GATING_ABS_THRESH = 1.17246530458e-07   # -70 LKFS in power-gain domain
+GATING_REL_THRESH = 0.1                 # -10 LU
+MIN_GATING_BLOCKS = 64
+
+
+class Weighting(enum.Enum):
+    NONE = "none"
+    A = "a"
+    B = "b"
+    C = "c"
+    D = "d"
+    K = "k"
+
+
+_W_TYPES = {
+    Weighting.A: FilterType.A_WEIGHTED,
+    Weighting.B: FilterType.B_WEIGHTED,
+    Weighting.C: FilterType.C_WEIGHTED,
+    Weighting.D: FilterType.D_WEIGHTED,
+    Weighting.K: FilterType.K_WEIGHTED,
+}
+
+
+def weighting_coeffs(weighting: Weighting, sample_rate: int) -> np.ndarray:
+    if weighting == Weighting.NONE:
+        return np.zeros((0, 5))
+    return design_filter(
+        FilterParams(ftype=_W_TYPES[weighting]), sample_rate).biquads
+
+
+def _sliding_sum(frame: Array, n: int, t: int) -> Array:
+    cz = jnp.concatenate(
+        [jnp.zeros_like(frame[..., :1]), jnp.cumsum(frame, axis=-1)],
+        axis=-1)
+    return cz[..., n + 1: n + 1 + t] - cz[..., 1: 1 + t]
+
+
+class LoudnessMeterState(NamedTuple):
+    flt: Array       # [C, K, 2] weighting filter states
+    window: Array    # [C, N] squared-sample history
+
+
+class LoudnessMeter:
+    """Sliding-window loudness over ``period_ms`` (default 400 ms
+    momentary; use 3000 for short-term — reference broadcast.h)."""
+
+    def __init__(self, sample_rate: int = 48000, channels: int = 1,
+                 period_ms: float = bs.LUFS_MOMENTARY_PERIOD,
+                 weighting: Weighting = Weighting.K,
+                 designations: Optional[Sequence[bs.Channel]] = None):
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.period = max(1, int(sample_rate * period_ms / 1000.0))
+        self.weighting = weighting
+        self._coeffs = jnp.asarray(
+            weighting_coeffs(weighting, sample_rate), jnp.float32)
+        if designations is None:
+            designations = [bs.Channel.CENTER] * channels
+        self.weights = jnp.asarray(
+            [bs.channel_weighting(d) for d in designations], jnp.float32)
+
+    def init_state(self) -> LoudnessMeterState:
+        return LoudnessMeterState(
+            flt=biquad_ops.init_state(self._coeffs.shape[0],
+                                      (self.channels,)),
+            window=jnp.zeros((self.channels, self.period), jnp.float32))
+
+    def process(self, state: LoudnessMeterState, x: Array,
+                ) -> Tuple[LoudnessMeterState, Array]:
+        """x: [C, T] -> per-sample loudness [T] in amplitude-gain domain
+        (multiply by bs.DBFS_TO_LUFS_SHIFT_GAIN for LUFS display,
+        reference LoudnessMeter.cpp:478-486)."""
+        t = x.shape[-1]
+        if self._coeffs.shape[0]:
+            y, flt = biquad_ops.biquad_cascade(self._coeffs, state.flt, x)
+        else:
+            y, flt = x, state.flt
+        sq = y * y
+        frame = jnp.concatenate([state.window, sq], axis=-1)
+        ms = _sliding_sum(frame, self.period, t) / self.period   # [C, T]
+        # channel weights apply to the MEAN SQUARE directly (the reference
+        # treats 1.41 as the power-domain +1.5 dB weight —
+        # LoudnessMeter.cpp:454-458, ILUFSMeter.cpp:404-408)
+        mix = jnp.sum(self.weights[:, None] * ms, axis=0)
+        loud = jnp.sqrt(jnp.maximum(mix, 0.0))
+        return LoudnessMeterState(flt=flt,
+                                  window=frame[..., -self.period:]), loud
+
+
+class ILUFSState(NamedTuple):
+    flt: Array          # [C, K, 2]
+    part_sums: Array    # [C, 4] quarter-block square sums
+    part_idx: Array     # [] int32 current quarter 0..3
+    part_fill: Array    # [] int32 samples into current quarter
+    blk_full: Array     # [] bool — has a full 400 ms block been seen
+    ring: Array         # [R] block loudness ring
+    ring_pos: Array     # [] int32 write head
+    ring_cnt: Array     # [] int32 valid entries
+    loudness: Array     # [] current integrated loudness (power domain)
+
+
+class ILUFSMeter:
+    """Integrated loudness (reference ILUFSMeter.cpp:356-468)."""
+
+    def __init__(self, sample_rate: int = 48000, channels: int = 1,
+                 weighting: Weighting = Weighting.K,
+                 designations: Optional[Sequence[bs.Channel]] = None,
+                 block_period_ms: float = bs.LUFS_MEASURE_PERIOD_MS,
+                 max_int_time_s: float = 60.0):
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.weighting = weighting
+        self._coeffs = jnp.asarray(
+            weighting_coeffs(weighting, sample_rate), jnp.float32)
+        if designations is None:
+            designations = [bs.Channel.CENTER] * channels
+        self.weights = jnp.asarray(
+            [bs.channel_weighting(d) for d in designations], jnp.float32)
+        # 75% overlap: quarter blocks (reference ILUFSMeter.cpp:296)
+        self.blk_size = max(1, int(
+            sample_rate * block_period_ms * 0.25 / 1000.0))
+        self.avg_coeff = 0.25 / self.blk_size
+        self.ring_size = max(MIN_GATING_BLOCKS, int(
+            np.ceil(max_int_time_s * sample_rate / self.blk_size)))
+
+    def init_state(self) -> ILUFSState:
+        return ILUFSState(
+            flt=biquad_ops.init_state(self._coeffs.shape[0],
+                                      (self.channels,)),
+            part_sums=jnp.zeros((self.channels, 4), jnp.float32),
+            part_idx=jnp.int32(0), part_fill=jnp.int32(0),
+            blk_full=jnp.array(False),
+            ring=jnp.zeros(self.ring_size, jnp.float32),
+            ring_pos=jnp.int32(0), ring_cnt=jnp.int32(0),
+            loudness=jnp.float32(0.0))
+
+    @property
+    def block(self) -> int:
+        """Quarter-block granularity for aligned processing."""
+        return self.blk_size
+
+    def _gated(self, ring: Array, cnt: Array) -> Array:
+        """Two-stage gated mean over the valid ring entries."""
+        valid = jnp.arange(self.ring_size) < cnt
+        above_abs = jnp.logical_and(valid, ring > GATING_ABS_THRESH)
+        n1 = jnp.sum(above_abs)
+        l1 = jnp.where(n1 > 0, jnp.sum(jnp.where(above_abs, ring, 0.0))
+                       / jnp.maximum(n1, 1), 0.0)
+        thresh = l1 * GATING_REL_THRESH
+        use_rel = thresh > GATING_ABS_THRESH
+        gate = jnp.where(use_rel, thresh, GATING_ABS_THRESH)
+        above = jnp.logical_and(valid, ring > gate)
+        n2 = jnp.sum(above)
+        return jnp.where(n2 > 0, jnp.sum(jnp.where(above, ring, 0.0))
+                         / jnp.maximum(n2, 1), 0.0)
+
+    def process(self, state: ILUFSState, x: Array,
+                ) -> Tuple[ILUFSState, Array]:
+        """x: [C, T], T a multiple of blk_size.  Returns per-sample
+        integrated loudness (amplitude domain, updated at each completed
+        400 ms block)."""
+        t = x.shape[-1]
+        assert t % self.blk_size == 0, (t, self.blk_size)
+        m = t // self.blk_size
+        if self._coeffs.shape[0]:
+            y, flt = biquad_ops.biquad_cascade(self._coeffs, state.flt, x)
+        else:
+            y, flt = x, state.flt
+        sq = (y * y).reshape(self.channels, m, self.blk_size)
+        qsums = jnp.sum(sq, axis=-1)                     # [C, M]
+
+        def step(s: ILUFSState, q):
+            # place quarter sum, advance
+            ps = s.part_sums.at[:, s.part_idx].add(q)
+            nidx = (s.part_idx + 1) % 4
+            full = jnp.logical_or(s.blk_full, nidx == 0)
+            blk_loud = jnp.sum(self.weights * jnp.sum(ps, axis=-1)
+                               * self.avg_coeff)
+
+            def commit(s2):
+                ring = s2.ring.at[s2.ring_pos].set(blk_loud)
+                cnt = jnp.minimum(s2.ring_cnt + 1, self.ring_size)
+                loud = self._gated(ring, cnt)
+                return s2._replace(
+                    ring=ring, ring_pos=(s2.ring_pos + 1) % self.ring_size,
+                    ring_cnt=cnt, loudness=loud)
+
+            s = s._replace(part_sums=ps, part_idx=nidx, blk_full=full)
+            s = jax.lax.cond(full, commit, lambda v: v, s)
+            # clear the quarter that will be overwritten next
+            s = s._replace(part_sums=s.part_sums.at[:, s.part_idx].set(0.0))
+            return s, jnp.sqrt(jnp.maximum(s.loudness, 0.0))
+
+        state2, louds = jax.lax.scan(step, state._replace(flt=flt),
+                                     jnp.moveaxis(qsums, -1, 0))
+        out = jnp.repeat(louds, self.blk_size)
+        return state2, out
+
+    def loudness_lufs_gain(self, state: ILUFSState) -> Array:
+        """Integrated loudness in the amplitude-gain domain, with the
+        -0.691 dB shift applied (reference ILUFSMeter.cpp:384,457)."""
+        return jnp.sqrt(jnp.maximum(state.loudness, 0.0)) \
+            * bs.DBFS_TO_LUFS_SHIFT_GAIN

@@ -124,6 +124,8 @@ def biquad_cascade(coeffs: Array, state: Array, x: Array,
     stage k+1 (LTI, so identical to per-sample ordering).
     """
     k = coeffs.shape[-2]
+    if x.shape[-1] == 0:  # empty block: no-op
+        return x, state
     y = x
     new_states = []
     for i in range(k):

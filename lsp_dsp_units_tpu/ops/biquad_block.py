@@ -1,0 +1,144 @@
+"""Block-FFT biquad cascade execution — the high-precision, high-throughput
+TPU path for IIR cascades.
+
+Exact per-block decomposition of one biquad stage (DF2T state s = (s1,s2),
+``s[n] = A s[n-1] + u x[n]``, ``y[n] = b0 x[n] + s1[n-1]``):
+
+    y_block = conv(x_block, h)[0:B]  +  P1 @ s_in        (zero-state + zero-input)
+    s_out   = A^B @ s_in             +  U @ x_block       (exact carry)
+
+where ``h`` (stage impulse response over the block), ``P1[n] = (A^(n-1))``
+row 0, ``U[:, n] = A^(B-1-n) u`` and ``A^B`` are all precomputed in
+float64 on the host and rounded ONCE to float32 — so unlike a float32
+associative scan (whose compounded prefix products cost ~36 dB of SNR for
+low-frequency poles; see tests), the only runtime rounding is one FFT
+convolution and two small matmuls.  Measured: >= 100 dB SNR vs the
+float64 sequential golden on a 40 Hz slope-2 Butterworth high-pass, while
+being pure batched FFT + MXU work with no per-sample recurrence.
+
+This replaces the reference's per-sample SIMD biquad recurrence
+(dsp::biquad_process_x*, reference src/main/filters/FilterBank.cpp:256-291)
+with the TPU-shaped equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class BlockBiquadParams(NamedTuple):
+    """Precomputed per-stage block kernels (leading axis = stage K)."""
+    h_spec: Array    # [K, B+1] complex64 — rfft(h, 2B) of stage IRs
+    p1: Array        # [K, B, 2] float32 — zero-input output response
+    u_ker: Array     # [K, 2, B] float32 — state response to block input
+    a_pow: Array     # [K, 2, 2] float32 — A^B
+
+
+def precompute(coeffs: np.ndarray, block: int) -> BlockBiquadParams:
+    """Precompute block kernels from ``[K, 5]`` biquads (float64 host math).
+
+    Coefficient convention as :mod:`.biquad` (a-signs negated).
+    """
+    coeffs = np.asarray(coeffs, np.float64)
+    k = coeffs.shape[0]
+    b = int(block)
+    h_spec = np.zeros((k, b + 1), np.complex64)
+    p1 = np.zeros((k, b, 2), np.float32)
+    u_ker = np.zeros((k, 2, b), np.float32)
+    a_pow = np.zeros((k, 2, 2), np.float32)
+    for i, (b0, b1, b2, a1, a2) in enumerate(coeffs):
+        A = np.array([[a1, 1.0], [a2, 0.0]])
+        u = np.array([b1 + a1 * b0, b2 + a2 * b0])
+        # stage impulse response over the block (sequential f64 — cheap)
+        h = np.zeros(b)
+        s1 = s2 = 0.0
+        x = 1.0
+        for n in range(b):
+            y = b0 * x + s1
+            s1 = b1 * x + a1 * y + s2
+            s2 = b2 * x + a2 * y
+            h[n] = y
+            x = 0.0
+        h_spec[i] = np.fft.rfft(h, 2 * b).astype(np.complex64)
+        # A^n power table: P[n] = A^n, n = 0..B
+        powers = np.zeros((b + 1, 2, 2))
+        powers[0] = np.eye(2)
+        for n in range(1, b + 1):
+            powers[n] = A @ powers[n - 1]
+        # y_zi[n] = s1[n-1] = (A^(n-1) s_in)[0]  ->  row 0 of A^(n-1)
+        p1[i] = powers[:b, 0, :].astype(np.float32)
+        # s_out = sum_n A^(B-1-n) u x[n] + A^B s_in
+        u_resp = np.einsum("nij,j->ni", powers[b - 1::-1], u)  # [B, 2]
+        u_ker[i] = u_resp.T.astype(np.float32)
+        a_pow[i] = powers[b].astype(np.float32)
+    return BlockBiquadParams(
+        h_spec=jnp.asarray(h_spec), p1=jnp.asarray(p1),
+        u_ker=jnp.asarray(u_ker), a_pow=jnp.asarray(a_pow))
+
+
+def init_state(num_stages: int, batch_shape: Tuple[int, ...] = (),
+               dtype=jnp.float32) -> Array:
+    return jnp.zeros(batch_shape + (num_stages, 2), dtype)
+
+
+def block_size(params: BlockBiquadParams) -> int:
+    """Static block size B (h_spec last dim is B+1)."""
+    return params.h_spec.shape[-1] - 1
+
+
+def _stage_block(params: BlockBiquadParams, i: int, s_in: Array,
+                 x: Array) -> Tuple[Array, Array]:
+    """One stage over one block: x [..., B], s_in [..., 2]."""
+    b = block_size(params)
+    spec = jnp.fft.rfft(x, 2 * b, axis=-1) * params.h_spec[i]
+    y_zs = jnp.fft.irfft(spec, 2 * b, axis=-1)[..., :b]
+    y_zi = jnp.einsum("nj,...j->...n", params.p1[i], s_in)
+    y = (y_zs + y_zi).astype(x.dtype)
+    s_out = (jnp.einsum("jn,...n->...j", params.u_ker[i], x)
+             + jnp.einsum("ij,...j->...i", params.a_pow[i], s_in))
+    return y, s_out
+
+
+def cascade_block(params: BlockBiquadParams, state: Array, x: Array,
+                  ) -> Tuple[Array, Array]:
+    """Serial cascade over blocks: x [..., T], T a multiple of B.
+
+    Multi-block inputs are processed block-sequentially per stage (the
+    state recurrence across blocks is tiny 2x2 math); each block's FFT
+    work is batched over channels.
+    """
+    b = block_size(params)
+    t = x.shape[-1]
+    assert t % b == 0, (t, b)
+    m = t // b
+    k = params.h_spec.shape[0]
+    y = x
+    new_states = []
+    for i in range(k):
+        if m == 1:
+            y, s = _stage_block(params, i, state[..., i, :], y)
+        else:
+            blocks = jnp.moveaxis(
+                y.reshape(y.shape[:-1] + (m, b)), -2, 0)  # [M, ..., B]
+            # zero-state conv for all blocks at once
+            spec = jnp.fft.rfft(blocks, 2 * b, axis=-1) * params.h_spec[i]
+            y_zs = jnp.fft.irfft(spec, 2 * b, axis=-1)[..., :b]
+            du = jnp.einsum("jn,m...n->m...j", params.u_ker[i], blocks)
+
+            def step(s, inp):
+                zs, dui = inp
+                y_blk = zs + jnp.einsum("nj,...j->...n", params.p1[i], s)
+                s_next = dui + jnp.einsum("ij,...j->...i", params.a_pow[i],
+                                          s)
+                return s_next, y_blk
+
+            s, y_out = jax.lax.scan(step, state[..., i, :], (y_zs, du))
+            y = jnp.moveaxis(y_out, 0, -2).reshape(x.shape).astype(x.dtype)
+        new_states.append(s)
+    return y, jnp.stack(new_states, axis=-2)

@@ -113,43 +113,37 @@ def oversample_rates() -> Tuple[int, ...]:
 
 
 def resample_fractional(x: np.ndarray, sr_from: int, sr_to: int,
-                        periods: int = 32) -> np.ndarray:
+                        lobes: int = 16) -> np.ndarray:
     """Arbitrary-rate Lanczos resampling of a whole buffer (host, f64) —
     the analog of Sample::resample (reference Sample.cpp:1021-1207), used
     for offline sample-rate conversion.
 
-    Upsampling path mirrors complex_upsample: for each of ``src_step``
-    sub-phases a fractionally-shifted Lanczos kernel interpolates onto the
-    destination grid.
+    Direct windowed-sinc interpolation: output sample m sits at input
+    position ``t = m * sr_from / sr_to``; a Lanczos kernel with cutoff
+    ``c = min(1, sr_to/sr_from)`` (relative to the input Nyquist) and
+    ``lobes`` lobes is evaluated at the fractional offsets and gathered —
+    vectorized [M, W] numpy, no polyphase bookkeeping.
     """
-    if sr_from == sr_to:
-        return np.asarray(x, np.float64).copy()
     x = np.asarray(x, np.float64)
-    g = np.gcd(int(sr_from), int(sr_to))
-    up = sr_to // g
-    dn = sr_from // g
-    # generic rational resample: upsample by `up` (zero-stuff + lanczos
-    # low-pass at min(pi/up, pi*dn/up... cutoff = pi/max(up,dn) on the
-    # high-rate grid), then decimate by `dn`
-    hi_rate_len = x.shape[-1] * up
-    a = periods
-    cutoff = 1.0 / max(up, dn)
-    c = int(np.ceil(a / cutoff))
-    t = (np.arange(2 * c * up + 1, dtype=np.float64) - c * up) / up
-    xt = np.pi * t * cutoff
+    if sr_from == sr_to:
+        return x.copy()
+    n = x.shape[-1]
+    m = int(round(n * sr_to / sr_from))
+    c = min(1.0, sr_to / sr_from)
+    half = int(np.ceil(lobes / c))
+    t = np.arange(m, dtype=np.float64) * (sr_from / sr_to)   # [M]
+    base = np.floor(t).astype(np.int64)
+    offs = np.arange(-half + 1, half + 1)                     # [W]
+    idx = base[:, None] + offs[None, :]                       # [M, W]
+    tau = t[:, None] - idx                                    # [M, W]
+    arg = np.pi * c * tau
     with np.errstate(invalid="ignore", divide="ignore"):
-        s = np.where(t == 0.0, cutoff, np.sin(xt) / (np.pi * t))
-        arg = xt / a
-        w = np.where(np.abs(arg) >= np.pi, 0.0,
-                     np.where(t == 0.0, 1.0, np.sin(arg) / arg))
-    k = s * w * up
-    y_hi = np.zeros(x.shape[:-1] + (hi_rate_len + k.size,), np.float64)
-    # polyphase accumulation (vectorized over input samples)
-    for ph in range(up):
-        taps = k[ph::up]
-        contrib = np.apply_along_axis(
-            lambda row: np.convolve(row, taps), -1, x)
-        y_hi[..., ph:ph + contrib.shape[-1] * up:up] += contrib
-    delay = c * up
-    y_hi = y_hi[..., delay:delay + hi_rate_len]
-    return y_hi[..., ::dn]
+        s = np.where(tau == 0.0, c, np.sin(arg) / (np.pi * tau))
+        warg = arg / lobes
+        w = np.where(np.abs(c * tau) >= lobes, 0.0,
+                     np.where(tau == 0.0, 1.0, np.sin(warg) / warg))
+    ker = s * w
+    idx_c = np.clip(idx, 0, n - 1)
+    valid = (idx >= 0) & (idx < n)
+    gathered = x[..., idx_c] * np.where(valid, ker, 0.0)
+    return gathered.sum(-1)

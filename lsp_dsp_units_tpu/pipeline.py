@@ -1,0 +1,182 @@
+"""Flagship processing chain — the BASELINE measurement graph.
+
+``FilterConvChain`` is the driver metric chain (BASELINE.json: "samples/s
+per chip on 64-ch filter+convolver chain"): an 8-filter IIR equalizer
+cascade feeding a 1 s partitioned-FFT convolver, extended with a sidechain
+compressor stage (BASELINE config 4) — all as one jitted step over
+``[channels, time]`` blocks with explicit state.
+
+Sharded execution (``sharded_step``) runs the same math inside a
+``shard_map`` over a ('chan','time') mesh: channels data-parallel, the
+IIR cascade exact across time shards via affine-summary exchange
+(parallel.time_iir), the convolver via ppermute halo FIR (parallel.halo),
+and the envelope stage over a time-gathered detector (envelope recurrences
+are genuinely sequential in time; channel parallelism carries them —
+SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from lsp_dsp_units_tpu.ops import biquad as biquad_ops
+from lsp_dsp_units_tpu.ops import biquad_block
+from lsp_dsp_units_tpu.ops import fftconv
+from lsp_dsp_units_tpu.ops import dynamics as dyn
+from lsp_dsp_units_tpu.models.filters.design import (
+    FilterParams, FilterType, design_filter)
+from lsp_dsp_units_tpu.models.dynamics.compressor import (
+    Compressor, CompressorParams)
+from lsp_dsp_units_tpu.models.util.sidechain import (
+    Sidechain, SidechainMode, SidechainState)
+from lsp_dsp_units_tpu.parallel import mesh as pmesh
+from lsp_dsp_units_tpu.parallel.halo import fir_conv_time_sharded
+from lsp_dsp_units_tpu.parallel.time_iir import biquad_cascade_time_sharded
+
+Array = jax.Array
+
+
+def default_eq_params(sample_rate: int):
+    """8-band cut/boost curve built from the reference filter families
+    (BASELINE config 2 shape: biquad cascade equalizer)."""
+    bands = [
+        (FilterType.BT_BWC_HIPASS, 40.0, 1.0, 2),
+        (FilterType.BT_RLC_LOSHELF, 120.0, 1.25, 1),
+        (FilterType.BT_RLC_BELL, 250.0, 0.7, 1),
+        (FilterType.BT_RLC_BELL, 800.0, 1.5, 1),
+        (FilterType.BT_RLC_BELL, 2000.0, 0.8, 1),
+        (FilterType.BT_RLC_BELL, 5000.0, 1.3, 1),
+        (FilterType.BT_BWC_HISHELF, 8000.0, 1.12, 2),
+        (FilterType.BT_BWC_LOPASS, 18000.0, 1.0, 2),
+    ]
+    return [FilterParams(ftype=t, freq=f, gain=g, slope=s, quality=0.5)
+            for (t, f, g, s) in bands]
+
+
+class ChainParams(NamedTuple):
+    eq_coeffs: Array                 # [K, 5] (raw biquads, for analysis)
+    eq_block: biquad_block.BlockBiquadParams
+    h_spectra: Array                 # [P, F] complex64
+    comp: CompressorParams
+
+
+class ChainState(NamedTuple):
+    eq: Array                        # [..., K, 2]
+    fdl: fftconv.FDLState
+    sc: SidechainState
+    env: dyn.EnvState
+
+
+class FilterConvChain:
+    """64-channel EQ -> convolver -> sidechain compressor chain."""
+
+    def __init__(self, sample_rate: int = 48000, channels: int = 64,
+                 ir: Optional[np.ndarray] = None, rank: int = 14,
+                 ir_seconds: float = 1.0):
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.rank = int(rank)
+        self.block = 1 << (rank - 1)
+        if ir is None:
+            # synthetic exponentially-decaying room-like IR (1 s)
+            n = int(ir_seconds * sample_rate)
+            rng = np.random.default_rng(1234)
+            t = np.arange(n) / sample_rate
+            ir = (rng.standard_normal(n)
+                  * np.exp(-3.0 * t)).astype(np.float32)
+            ir[0] = 1.0
+            ir *= 0.25
+        self.ir = np.asarray(ir, np.float32)
+        self.sidechain = Sidechain(sample_rate, SidechainMode.RMS,
+                                   reactivity_ms=10.0)
+        self.compressor = Compressor(sample_rate, attack_thresh=0.25,
+                                     release_thresh=0.125,
+                                     attack_ms=10.0, release_ms=80.0,
+                                     knee=0.7071, ratio=4.0)
+
+    def build(self) -> ChainParams:
+        eq = np.concatenate(
+            [design_filter(p, self.sample_rate).biquads
+             for p in default_eq_params(self.sample_rate)], axis=0)
+        return ChainParams(
+            eq_coeffs=jnp.asarray(eq, jnp.float32),
+            eq_block=biquad_block.precompute(eq, self.block),
+            h_spectra=fftconv.parse_ir(jnp.asarray(self.ir), self.block),
+            comp=self.compressor.build())
+
+    def init_state(self, params: ChainParams,
+                   channels: Optional[int] = None) -> ChainState:
+        c = self.channels if channels is None else channels
+        return ChainState(
+            eq=biquad_ops.init_state(params.eq_coeffs.shape[0], (c,)),
+            fdl=fftconv.init_fdl(params.h_spectra, (c,)),
+            sc=self.sidechain.init_state((c,)),
+            env=dyn.env_init((c,)))
+
+    # -- single-device step -------------------------------------------------
+    def step(self, params: ChainParams, state: ChainState, x: Array,
+             ) -> Tuple[ChainState, Array]:
+        """x: [C, T], T a multiple of self.block."""
+        y, eq_st = biquad_block.cascade_block(params.eq_block, state.eq, x)
+        fdl_st, y = fftconv.fdl_process(params.h_spectra, state.fdl, y)
+        sc_st, level = self.sidechain.process(state.sc, y)
+        env_st, gain, _ = self.compressor.process(params.comp, state.env,
+                                                  level)
+        y = y * gain
+        return ChainState(eq=eq_st, fdl=fdl_st, sc=sc_st, env=env_st), y
+
+    # -- sharded step ---------------------------------------------------------
+    def sharded_step(self, mesh, params: ChainParams):
+        """Build a jitted shard_map step over a ('chan','time') mesh.
+
+        Returns ``fn(state, x) -> (state, y)`` with x [C, T] sharded
+        (chan, time); carried state sharded over chan only.
+        """
+        chain = self
+
+        def local_step(state: ChainState, x: Array):
+            # EQ: exact IIR across time shards (affine summary exchange)
+            y, eq_st = biquad_cascade_time_sharded(
+                params.eq_coeffs, state.eq, x, pmesh.TIME_AXIS)
+            # Convolver: halo FIR over the time axis (stateless within the
+            # super-block; the FDL state is refreshed from the halo)
+            y = fir_conv_time_sharded(params.h_spectra, chain.block, y,
+                                      pmesh.TIME_AXIS)
+            # Dynamics: sequential in time — gather the time axis for the
+            # detector scan (channels stay parallel)
+            y_full = jax.lax.all_gather(y, pmesh.TIME_AXIS, axis=-1,
+                                        tiled=True)
+            sc_st, level = chain.sidechain.process(state.sc, y_full)
+            env_st, gain, _ = chain.compressor.process(
+                params.comp, state.env, level)
+            n = jax.lax.axis_size(pmesh.TIME_AXIS)
+            idx = jax.lax.axis_index(pmesh.TIME_AXIS)
+            t_loc = x.shape[-1]
+            gain_loc = jax.lax.dynamic_slice_in_dim(
+                gain, idx * t_loc, t_loc, axis=-1)
+            y = y * gain_loc
+            new_state = ChainState(eq=eq_st, fdl=state.fdl, sc=sc_st,
+                                   env=env_st)
+            return new_state, y
+
+        state_specs = ChainState(
+            eq=P(pmesh.CHAN_AXIS),
+            fdl=fftconv.FDLState(spectra=P(pmesh.CHAN_AXIS),
+                                 history=P(pmesh.CHAN_AXIS)),
+            sc=SidechainState(window=P(pmesh.CHAN_AXIS),
+                              rms=P(pmesh.CHAN_AXIS)),
+            env=dyn.EnvState(envelope=P(pmesh.CHAN_AXIS),
+                             peak=P(pmesh.CHAN_AXIS),
+                             hold=P(pmesh.CHAN_AXIS)))
+
+        fn = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, P(pmesh.CHAN_AXIS, pmesh.TIME_AXIS)),
+            out_specs=(state_specs, P(pmesh.CHAN_AXIS, pmesh.TIME_AXIS)),
+            check_vma=False)
+        return jax.jit(fn)

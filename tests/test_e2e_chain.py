@@ -1,0 +1,123 @@
+"""End-to-end chain tests — the BASELINE configs' walking skeleton:
+float64 golden SNR >= 95 dB (the driver north star, BASELINE.md)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lsp_dsp_units_tpu.ops import biquad, fftconv
+from lsp_dsp_units_tpu.models.filters import (Filter, FilterParams,
+                                              FilterType)
+from lsp_dsp_units_tpu.pipeline import FilterConvChain, default_eq_params
+from lsp_dsp_units_tpu.models.filters.design import design_filter
+from lsp_dsp_units_tpu.utils.units import snr_db
+from lsp_dsp_units_tpu.utils import wavio
+
+SR = 48000
+
+
+def _test_signal(n, channels=1, seed=0):
+    """Band-limited noise + tones, like a music-ish fixture."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / SR
+    sig = np.zeros((channels, n))
+    for c in range(channels):
+        sig[c] = (0.3 * np.sin(2 * np.pi * (220 + 40 * c) * t)
+                  + 0.2 * np.sin(2 * np.pi * (997 + 11 * c) * t)
+                  + 0.1 * rng.standard_normal(n))
+    return sig.astype(np.float32)
+
+
+def test_config1_filter_snr():
+    """BASELINE config 1: BWC hi-shelf +6 dB @ 1 kHz slope 2 on mono
+    48 kHz; >= 95 dB SNR vs the float64 golden chain."""
+    x = _test_signal(SR)[0]
+    flt = Filter(SR, FilterParams(ftype=FilterType.BT_BWC_HISHELF,
+                                  slope=2, freq=1000.0, gain=2.0))
+    st = flt.init_state()
+    st, y = flt.process(st, jnp.asarray(x))
+    golden = biquad.np_biquad_cascade_f64(flt.design.biquads, x)
+    assert snr_db(np.asarray(y), golden) > 95.0
+
+
+def test_config1_streaming_odd_blocks():
+    """Same config streamed in odd chunk sizes (31, 127) — reference
+    oracle pattern #3 (SURVEY.md §4)."""
+    x = _test_signal(SR // 4)[0]
+    flt = Filter(SR, FilterParams(ftype=FilterType.BT_BWC_HISHELF,
+                                  slope=2, freq=1000.0, gain=2.0))
+    golden = biquad.np_biquad_cascade_f64(flt.design.biquads, x)
+    for chunk in (31, 127):
+        st = flt.init_state()
+        outs = []
+        for i in range(0, x.size, chunk):
+            st, y = flt.process(st, jnp.asarray(x[i:i + chunk]))
+            outs.append(np.asarray(y))
+        assert snr_db(np.concatenate(outs), golden) > 95.0, chunk
+
+
+def test_filter_conv_chain_snr():
+    """EQ cascade + 1 s convolver on multichannel audio vs float64
+    golden (filters + full convolution in numpy float64)."""
+    chain = FilterConvChain(SR, channels=4, rank=11, ir_seconds=0.2)
+    params = chain.build()
+    state = chain.init_state(params)
+    t = chain.block * 8
+    x = _test_signal(t, channels=4)
+
+    state, y = chain.step(params, state, jnp.asarray(x))
+    y = np.asarray(y)
+
+    from lsp_dsp_units_tpu.ops import biquad_block
+
+    eq = np.concatenate([design_filter(p, SR).biquads
+                         for p in default_eq_params(SR)], axis=0)
+    # golden: filter + convolution only — rebuild the chain without the
+    # dynamics stage for the SNR comparison
+    state2 = chain.init_state(params)
+    y_eq, _ = biquad_block.cascade_block(params.eq_block, state2.eq,
+                                         jnp.asarray(x))
+    _, y_conv = fftconv.fdl_process(params.h_spectra, state2.fdl, y_eq)
+    y_conv = np.asarray(y_conv)
+
+    golden = np.stack([
+        fftconv.np_convolve_golden(biquad.np_biquad_cascade_f64(eq, x[c]),
+                                   chain.ir)
+        for c in range(4)])
+    assert snr_db(y_conv, golden) > 95.0
+
+
+def test_wav_roundtrip(tmp_path):
+    x = _test_signal(1000, channels=2)
+    p = str(tmp_path / "t.wav")
+    wavio.write_wav(p, x, SR)
+    y, sr = wavio.read_wav(p)
+    assert sr == SR
+    np.testing.assert_allclose(y, x, atol=1e-7)
+    # PCM16 path
+    wavio.write_wav(p, x, SR, float32=False)
+    y, _ = wavio.read_wav(p)
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_block_stream_rebuffering():
+    """Host rebuffering wrapper: arbitrary chunk sizes over a fixed-block
+    jitted processor, output delayed by exactly one block."""
+    from lsp_dsp_units_tpu.utils.blocks import BlockStream
+
+    flt = Filter(SR, FilterParams(ftype=FilterType.BT_RLC_BELL, slope=2,
+                                  freq=1000.0, gain=2.0, quality=1.0))
+    block = 256
+
+    def proc(state, xb):
+        return flt.process(state, jnp.asarray(xb))
+
+    bs = BlockStream(proc, flt.init_state(), block)
+    x = _test_signal(2000)[0]
+    outs = []
+    for i in range(0, 2000, 173):
+        outs.append(bs.push(x[i:i + 173]))
+    y = np.concatenate(outs)
+    golden = biquad.np_biquad_cascade_f64(flt.design.biquads, x)
+    # y is delayed by `block` samples
+    assert snr_db(y[block:], golden[: y.size - block]) > 95.0
+    np.testing.assert_allclose(y[:block], 0.0, atol=1e-7)

@@ -1,0 +1,124 @@
+"""Equalizer tests — latency == impulse argmax for FIR/FFT/SPM modes (the
+reference's structural invariant, utest/filters/equalizer.cpp:75-81), IIR
+equivalence with the raw cascade, streaming invariance."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsp_dsp_units_tpu.models.filters.equalizer import Equalizer, EqMode
+from lsp_dsp_units_tpu.models.filters.design import FilterParams, FilterType
+from lsp_dsp_units_tpu.ops import biquad as biquad_ops
+from lsp_dsp_units_tpu.utils.units import snr_db
+
+SR = 48000
+
+
+def _setup(mode, fir_rank=8):
+    eq = Equalizer(SR, filters=3, mode=mode, fir_rank=fir_rank)
+    eq.set_params(0, FilterParams(ftype=FilterType.BT_BWC_HISHELF, slope=2,
+                                  freq=1000.0, gain=2.0))
+    eq.set_params(1, FilterParams(ftype=FilterType.BT_RLC_BELL, slope=1,
+                                  freq=4000.0, gain=0.5, quality=1.0))
+    return eq
+
+
+def test_iir_mode_equals_cascade():
+    eq = _setup(EqMode.IIR)
+    p = eq.build()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=1024).astype(np.float32)
+    st = eq.init_state(p)
+    st, y = eq.process(p, st, jnp.asarray(x))
+    y2, _ = biquad_ops.biquad_cascade(
+        p.coeffs, biquad_ops.init_state(p.coeffs.shape[0]), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6,
+                               atol=1e-7)
+    assert eq.latency() == 0
+
+
+@pytest.mark.parametrize("mode", [EqMode.FIR, EqMode.FFT, EqMode.SPM])
+def test_latency_equals_impulse_argmax(mode):
+    """Reference oracle: reported latency must equal the position of the
+    impulse-response peak (utest/filters/equalizer.cpp:75-81)."""
+    eq = _setup(mode)
+    p = eq.build()
+    st = eq.init_state(p)
+    n = eq.fir_size
+    total = 4 * n
+    x = np.zeros(total, np.float32)
+    x[0] = 1.0
+    outs = []
+    blk = eq.block
+    for i in range(0, total, blk):
+        st, y = eq.process(p, st, jnp.asarray(x[i:i + blk]))
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs)
+    peak = int(np.argmax(np.abs(y)))
+    assert peak == eq.latency(), (peak, eq.latency(), mode)
+
+
+@pytest.mark.parametrize("mode", [EqMode.FIR, EqMode.FFT])
+def test_fir_magnitude_close_to_iir(mode):
+    """Linear-phase modes approximate the IIR magnitude response."""
+    eq = _setup(mode, fir_rank=11)
+    p = eq.build()
+    iir = _setup(EqMode.IIR)
+    pi = iir.build()
+    # measure via long noise + FFT magnitude ratio at band centers
+    st = eq.init_state(p)
+    n = eq.fir_size
+    x = np.zeros(4 * n, np.float32)
+    x[0] = 1.0
+    outs = []
+    for i in range(0, 4 * n, eq.block):
+        st, y = eq.process(p, st, jnp.asarray(x[i:i + eq.block]))
+        outs.append(np.asarray(y))
+    imp = np.concatenate(outs)
+    H = np.fft.rfft(imp)
+    freqs = np.fft.rfftfreq(imp.size, 1.0 / SR)
+    from lsp_dsp_units_tpu.models.filters.design import (
+        digital_freq_response)
+    H_iir = digital_freq_response(np.asarray(pi.coeffs), freqs, SR)
+    for f_test in (500.0, 1000.0, 4000.0, 8000.0):
+        i = int(np.argmin(np.abs(freqs - f_test)))
+        db_fir = 20 * np.log10(np.abs(H[i]) + 1e-12)
+        db_iir = 20 * np.log10(np.abs(H_iir[i]) + 1e-12)
+        assert abs(db_fir - db_iir) < 0.7, (f_test, db_fir, db_iir)
+
+
+def test_spm_streaming_invariance():
+    eq = _setup(EqMode.SPM)
+    p = eq.build()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=8 * eq.block).astype(np.float32)
+
+    st = eq.init_state(p)
+    st, y_full = eq.process(p, st, jnp.asarray(x))
+
+    st = eq.init_state(p)
+    outs = []
+    for i in range(0, x.size, eq.block):
+        st, y = eq.process(p, st, jnp.asarray(x[i:i + eq.block]))
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs), np.asarray(y_full),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fir_xfade_no_click():
+    """Crossfaded coefficient change must stay bounded and converge to
+    the new response (reference EF_XFADE, Equalizer.cpp:486-501)."""
+    eq = _setup(EqMode.FIR)
+    p_old = eq.build()
+    eq.set_params(0, FilterParams(ftype=FilterType.BT_BWC_HISHELF, slope=2,
+                                  freq=1000.0, gain=0.25))
+    p_new = eq.build()
+    rng = np.random.default_rng(2)
+    n = eq.fir_size
+    x = rng.normal(size=n).astype(np.float32) * 0.5
+    st = eq.init_state(p_old)
+    st, _ = eq.process(p_old, st, jnp.asarray(x))
+    st, y = eq.process_xfade(p_old, p_new, st, jnp.asarray(x))
+    assert np.all(np.isfinite(np.asarray(y)))
+    st, y2 = eq.process(p_new, st, jnp.asarray(x))
+    assert np.all(np.isfinite(np.asarray(y2)))
