@@ -8,16 +8,22 @@ vs_baseline = value / (48000 * 64) — how many times faster than real-time
 the full 64-channel chain runs on one chip (the reference publishes no
 throughput numbers — BASELINE.md — so real-time-rate is the operative
 anchor).
+
+Robustness: the TPU tunnel backend (axon) intermittently hangs inside
+compilation or poisons the client after one failed op, so each
+measurement config runs in a SUBPROCESS with a hard timeout; on failure
+the next (smaller) config is tried, with one retry each.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 
 def run_once(rank: int, blocks_per_step: int, iters: int):
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -38,8 +44,7 @@ def run_once(rank: int, blocks_per_step: int, iters: int):
     step = jax.jit(chain.step)
 
     # warm up / compile; np.asarray forces a real device->host fetch so
-    # deferred backend errors surface here (the axon tunnel reports some
-    # failures only at fetch time, not in block_until_ready)
+    # deferred backend errors surface here
     state, y = step(params, state, x)
     y_host = np.asarray(y)
     assert np.all(np.isfinite(y_host)), "non-finite bench output"
@@ -50,32 +55,45 @@ def run_once(rank: int, blocks_per_step: int, iters: int):
     np.asarray(y)
     elapsed = time.perf_counter() - t0
 
-    total_samples = channels * t * iters
-    return total_samples / elapsed, sample_rate, channels
+    total = channels * t * iters
+    return {
+        "metric": "samples_per_sec_per_chip_64ch_filter_conv_dyn_chain",
+        "value": round(total / elapsed, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(total / elapsed / (sample_rate * channels), 3),
+    }
+
+
+CONFIGS = ((14, 6, 10), (14, 1, 20), (12, 2, 20), (11, 1, 20))
 
 
 def main() -> None:
-    last_err = None
-    # prefer large per-call blocks; fall back to smaller graphs if the
-    # backend rejects them (the axon tunnel is intermittently flaky with
-    # large fused programs)
-    for rank, blocks, iters in ((14, 6, 10), (14, 1, 30), (12, 4, 20)):
-        try:
-            value, sample_rate, channels = run_once(rank, blocks, iters)
-            vs_baseline = value / (sample_rate * channels)
-            print(json.dumps({
-                "metric":
-                    "samples_per_sec_per_chip_64ch_filter_conv_dyn_chain",
-                "value": round(value, 1),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(vs_baseline, 3),
-            }))
-            return
-        except Exception as e:  # noqa: BLE001 — retry smaller config
-            last_err = e
-            print(f"bench config (rank={rank}, blocks={blocks}) failed: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr)
-    raise SystemExit(f"all bench configs failed: {last_err}")
+    if len(sys.argv) >= 2 and sys.argv[1] == "--config":
+        rank, blocks, iters = (int(v) for v in sys.argv[2].split(","))
+        print(json.dumps(run_once(rank, blocks, iters)))
+        return
+
+    # orchestrate configs in subprocesses (hang/poison isolation)
+    for rank, blocks, iters in CONFIGS:
+        for attempt in range(2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--config", f"{rank},{blocks},{iters}"],
+                    capture_output=True, text=True, timeout=480,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                for line in out.stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        print(line)
+                        return
+                print(f"bench config rank={rank} blocks={blocks} "
+                      f"attempt={attempt} failed:\n"
+                      f"{out.stderr[-500:]}", file=sys.stderr)
+            except subprocess.TimeoutExpired:
+                print(f"bench config rank={rank} blocks={blocks} "
+                      f"attempt={attempt} timed out", file=sys.stderr)
+    raise SystemExit("all bench configs failed")
 
 
 if __name__ == "__main__":

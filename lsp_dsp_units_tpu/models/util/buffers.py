@@ -1,0 +1,176 @@
+"""Float FIFO primitives: RingBuffer, RawRingBuffer, ShiftBuffer, and the
+MeterGraph decimators (reference: src/main/util/{RingBuffer,
+RawRingBuffer, ShiftBuffer, MeterGraph, ScaledMeterGraph}.cpp).
+
+These are host-side carriers in the TPU design (device state lives in
+processor pytrees); they keep the reference's API surface for framework
+users porting host code, implemented over numpy.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class RingBuffer:
+    """Head/tail FIFO of floats (reference RingBuffer.cpp, used by
+    MeterGraph/Sidechain since 1.0.35 — reference CHANGELOG:13-15)."""
+
+    def __init__(self, size: int):
+        self.data = np.zeros(int(size), np.float32)
+        self.head = 0
+        self.count = 0
+
+    @property
+    def size(self) -> int:
+        return self.data.size
+
+    def clear(self) -> None:
+        self.data[:] = 0.0
+        self.head = 0
+        self.count = 0
+
+    def push(self, x) -> int:
+        x = np.atleast_1d(np.asarray(x, np.float32))
+        n = min(x.size, self.size)
+        x = x[-n:]
+        end = self.head + n
+        if end <= self.size:
+            self.data[self.head:end] = x
+        else:
+            cut = self.size - self.head
+            self.data[self.head:] = x[:cut]
+            self.data[: end - self.size] = x[cut:]
+        self.head = end % self.size
+        self.count = min(self.count + n, self.size)
+        return n
+
+    def tail(self, n: int) -> np.ndarray:
+        """Last n pushed samples, oldest first (zero-padded if short)."""
+        n = int(n)
+        out = np.zeros(n, np.float32)
+        take = min(n, self.count)
+        start = (self.head - take) % self.size
+        idx = (start + np.arange(take)) % self.size
+        out[n - take:] = self.data[idx]
+        return out
+
+
+class ShiftBuffer:
+    """Contiguous FIFO with linear storage and head shifting
+    (reference ShiftBuffer.cpp): append at tail, remove from head, the
+    valid region is always contiguous."""
+
+    def __init__(self, size: int, gap: int = 0):
+        self.data = np.zeros(int(size), np.float32)
+        self.head = 0
+        self.tail_pos = min(gap, int(size))
+
+    def clear(self, gap: int = 0) -> None:
+        self.data[:] = 0.0
+        self.head = 0
+        self.tail_pos = min(gap, self.data.size)
+
+    def append(self, x) -> int:
+        x = np.atleast_1d(np.asarray(x, np.float32))
+        avail = self.data.size - self.tail_pos
+        if x.size > avail:  # shift to make room
+            used = self.tail_pos - self.head
+            self.data[:used] = self.data[self.head:self.tail_pos]
+            self.head = 0
+            self.tail_pos = used
+            avail = self.data.size - used
+        n = min(x.size, avail)
+        self.data[self.tail_pos:self.tail_pos + n] = x[:n]
+        self.tail_pos += n
+        return n
+
+    def shift(self, n: int) -> np.ndarray:
+        n = min(int(n), self.tail_pos - self.head)
+        out = self.data[self.head:self.head + n].copy()
+        self.head += n
+        return out
+
+    @property
+    def avail(self) -> int:
+        return self.tail_pos - self.head
+
+    def view(self) -> np.ndarray:
+        return self.data[self.head:self.tail_pos]
+
+
+class MeterMethod(enum.Enum):
+    MAXIMUM = "maximum"
+    MINIMUM = "minimum"
+    PEAK = "peak"     # max of |x|
+
+
+class MeterGraph:
+    """UI meter history: decimates the input into per-period min/max/peak
+    frames kept in a ring (reference MeterGraph.cpp)."""
+
+    def __init__(self, frames: int, period: int,
+                 method: MeterMethod = MeterMethod.PEAK):
+        self.period = max(1, int(period))
+        self.method = method
+        self.ring = RingBuffer(int(frames))
+        self._acc: Optional[float] = None
+        self._fill = 0
+        self.current = 0.0
+
+    def process(self, x) -> None:
+        x = np.atleast_1d(np.asarray(x, np.float32))
+        pos = 0
+        while pos < x.size:
+            take = min(self.period - self._fill, x.size - pos)
+            seg = x[pos:pos + take]
+            if self.method == MeterMethod.MAXIMUM:
+                v = float(seg.max())
+                self._acc = v if self._acc is None else max(self._acc, v)
+            elif self.method == MeterMethod.MINIMUM:
+                v = float(seg.min())
+                self._acc = v if self._acc is None else min(self._acc, v)
+            else:
+                v = float(np.abs(seg).max())
+                self._acc = v if self._acc is None else max(self._acc, v)
+            self._fill += take
+            pos += take
+            if self._fill >= self.period:
+                self.ring.push(self._acc)
+                self.current = self._acc
+                self._acc = None
+                self._fill = 0
+
+    def frames(self, n: int) -> np.ndarray:
+        return self.ring.tail(n)
+
+
+class ScaledMeterGraph:
+    """Two-stage subsampling meter graph (reference
+    ScaledMeterGraph.cpp): a fast sampler cascades into a slow one so
+    zoomed-out views stay peak-accurate."""
+
+    def __init__(self, frames: int, period: int, subsampling: int,
+                 method: MeterMethod = MeterMethod.PEAK):
+        self.fast = MeterGraph(frames, max(1, period // max(subsampling,
+                                                            1)), method)
+        self.slow = MeterGraph(frames, max(subsampling, 1), method)
+        self.method = method
+
+    def process(self, x) -> None:
+        self.fast.process(x)
+        # feed completed fast frames into the slow sampler
+        # (simplified: push current fast frame value per call)
+        self.slow.process(np.asarray([self.fast.current], np.float32))
+
+    def frames(self, n: int) -> np.ndarray:
+        return self.slow.ring.tail(n)
+
+
+# RawRingBuffer is RingBuffer with caller-managed positions; alias the
+# storage class (reference RawRingBuffer.cpp adds placement read/write
+# which numpy slicing already provides).
+RawRingBuffer = RingBuffer

@@ -1,0 +1,92 @@
+"""FFTCrossover — linear-phase crossover via per-band FFT magnitude masks
+(reference: src/main/util/FFTCrossover.cpp).
+
+Per-band masks are built from the analytic ``hipass``/``lopass`` slopes
+with flatten (misc.fft_crossover, reference misc/fft_crossover.cpp) and
+applied inside ONE shared spectral pass — a single forward FFT fans out
+into B masked inverse FFTs (reference uses a shared SpectralSplitter;
+here the splitter batches all band masks as one [B, F] multiply).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsp_dsp_units_tpu.models.misc import fft_crossover as fxo
+from lsp_dsp_units_tpu.models.util.spectral import SpectralProcessor, \
+    SpectralState
+
+Array = jax.Array
+
+
+class FFTCrossoverBand(NamedTuple):
+    enabled: bool
+    lo_freq: Optional[float]    # high-pass split (None = from DC)
+    hi_freq: Optional[float]    # low-pass split (None = to Nyquist)
+    slope: float                # dB/oct (negative)
+    flatten: float              # in dB — shallow-slope special handled
+    gain: float
+
+
+class FFTCrossover:
+    """Static config: rank + bands; masks precomputed on the host."""
+
+    def __init__(self, sample_rate: int = 48000, rank: int = 12,
+                 bands: Optional[List[FFTCrossoverBand]] = None):
+        self.sample_rate = int(sample_rate)
+        self.proc = SpectralProcessor(rank)
+        self.rank = rank
+        self.bands = bands or []
+        f = np.fft.rfftfreq(self.proc.frame, 1.0 / sample_rate)
+        masks = []
+        for b in self.bands:
+            m = np.ones_like(f)
+            if b.lo_freq is not None:
+                m = m * fxo.hipass(np.maximum(f, 1e-3), b.lo_freq, b.slope)
+            if b.hi_freq is not None:
+                m = m * fxo.lopass(np.maximum(f, 1e-3), b.hi_freq, b.slope)
+            m *= b.gain
+            if not b.enabled:
+                m *= 0.0
+            masks.append(m)
+        if masks:
+            self.masks = jnp.asarray(np.stack(masks), jnp.float32)
+        else:
+            self.masks = jnp.zeros((0, f.size), jnp.float32)
+
+    @property
+    def num_bands(self) -> int:
+        return self.masks.shape[0]
+
+    def latency(self) -> int:
+        return self.proc.latency()
+
+    @property
+    def block(self) -> int:
+        return self.proc.block
+
+    def init_state(self, batch_shape: Tuple[int, ...] = ()) -> SpectralState:
+        """One spectral engine per band (stacked leading axis B)."""
+        return self.proc.init_state((self.num_bands,) + batch_shape)
+
+    def process(self, state: SpectralState, x: Array,
+                ) -> Tuple[SpectralState, Array]:
+        """x [..., T] -> band signals [B, ..., T] (sum ~= linear-phase
+        allpass within mask accuracy)."""
+        b = self.num_bands
+        xb = jnp.broadcast_to(x, (b,) + x.shape)
+        masks = self.masks.reshape((b,) + (1,) * x.ndim
+                                   + (self.masks.shape[-1],))
+
+        def fn(spec):
+            # spec: [B, ..., M, F]
+            return spec * masks
+        return self.proc.process(state, xb, fn)
+
+    def band_mask(self, band: int) -> np.ndarray:
+        """Per-bin gains of a band (reference band_t vFFT)."""
+        return np.asarray(self.masks[band])

@@ -1,0 +1,279 @@
+"""Tests for sampling, oscillator, ADSR, trigger, buffers, dither,
+stat, state dump, butterworth, spectral tilt, noise generators."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+SR = 48000
+
+
+def test_sample_edit_roundtrip(tmp_path):
+    from lsp_dsp_units_tpu.models.sampling import Sample, SampleNormalize
+
+    s = Sample(2, 1000, SR)
+    s.data[0] = np.sin(2 * np.pi * 440 * np.arange(1000) / SR)
+    s.data[1] = 0.25
+    s.apply_gain(0.5)
+    assert abs(float(np.abs(s.data[1]).max()) - 0.125) < 1e-6
+    s.normalize(1.0, SampleNormalize.ALWAYS)
+    assert abs(float(np.abs(s.data).max()) - 1.0) < 1e-6
+    s.reverse()
+    s.fade_in(100).fade_out(100)
+    assert s.data[0, 0] == 0.0
+    p = str(tmp_path / "s.wav")
+    s.save(p)
+    s2 = Sample.load(p)
+    assert s2.sample_rate == SR
+    np.testing.assert_allclose(s2.data, s.data, atol=1e-6)
+
+
+def test_sample_resample_sine():
+    from lsp_dsp_units_tpu.models.sampling import Sample
+
+    s = Sample(1, SR, SR)
+    s.data[0] = np.sin(2 * np.pi * 1000 * np.arange(SR) / SR)
+    s.resample(96000)
+    assert s.sample_rate == 96000
+    assert abs(s.length - 96000) < 100
+    mid = s.data[0][1000:-1000]
+    spec = np.abs(np.fft.rfft(mid * np.hanning(mid.size)))
+    f = np.fft.rfftfreq(mid.size, 1 / 96000)
+    assert abs(f[int(np.argmax(spec))] - 1000.0) < 3.0
+
+
+def test_sample_player():
+    from lsp_dsp_units_tpu.models.sampling import (Sample, SamplePlayer,
+                                                   PlaySettings, LoopMode)
+
+    bank = SamplePlayer()
+    s = Sample(1, 100, SR)
+    s.data[0] = np.arange(100, dtype=np.float32)
+    bank.bind(0, s)
+    pb = bank.play(PlaySettings(sample_id=0, volume=2.0, delay=10))
+    assert pb is not None
+    out = bank.process(50)
+    np.testing.assert_allclose(out[:10], 0.0)
+    np.testing.assert_allclose(out[10:], 2.0 * np.arange(40), rtol=1e-6)
+    # looped playback keeps producing
+    bank.stop()
+    bank.play(PlaySettings(sample_id=0, loop_start=10, loop_end=20,
+                           loop_mode=LoopMode.DIRECT))
+    out = bank.process(200)
+    assert np.abs(out[150:]).max() > 0
+
+
+def test_oscillator_sine_freq():
+    from lsp_dsp_units_tpu.models.util import Oscillator, FunctionGenerator
+
+    osc = Oscillator(SR, FunctionGenerator.SINE, frequency=1000.0)
+    st = osc.init_state()
+    st, y = osc.process(st, 4096)
+    y = np.asarray(y)
+    spec = np.abs(np.fft.rfft(y * np.hanning(y.size)))
+    f = np.fft.rfftfreq(y.size, 1 / SR)
+    assert abs(f[int(np.argmax(spec))] - 1000.0) < 15.0
+    # streaming continuity: phase continues across calls
+    st2 = osc.init_state()
+    st2, a = osc.process(st2, 1000)
+    st2, b = osc.process(st2, 1000)
+    st3 = osc.init_state()
+    st3, full = osc.process(st3, 2000)
+    np.testing.assert_allclose(np.concatenate([a, b]), np.asarray(full),
+                               atol=1e-5)
+
+
+def test_oscillator_bl_saw_cleaner_than_naive():
+    from lsp_dsp_units_tpu.models.util import Oscillator, FunctionGenerator
+
+    def alias_power(kind):
+        osc = Oscillator(SR, kind, frequency=2500.0, width=0.5)
+        st = osc.init_state()
+        st, y = osc.process(st, 8192)
+        y = np.asarray(y)[1000:]
+        spec = np.abs(np.fft.rfft(y * np.hanning(y.size))) ** 2
+        f = np.fft.rfftfreq(y.size, 1 / SR)
+        # power at non-harmonic bins (aliases fold to non-multiples)
+        harm = (np.abs((f / 2500.0) - np.round(f / 2500.0)) < 0.02)
+        return spec[~harm].sum() / spec.sum()
+
+    naive = alias_power(FunctionGenerator.SAWTOOTH)
+    bl = alias_power(FunctionGenerator.BL_SAWTOOTH)
+    assert bl < naive * 0.5
+
+
+def test_adsr_envelope():
+    from lsp_dsp_units_tpu.models.util import ADSREnvelope
+
+    env = ADSREnvelope(attack=0.1, decay=0.3, sustain_level=0.5,
+                       release=0.8)
+    t = jnp.asarray(np.linspace(0, 1, 1001, dtype=np.float32))
+    y = np.asarray(env.process(t))
+    assert y[0] == 0.0 and y[-1] == 0.0
+    assert abs(y[100] - 1.0) < 1e-3          # end of attack
+    assert abs(y[500] - 0.5) < 1e-3          # sustain
+    assert y.max() <= 1.0 + 1e-5
+
+
+def test_trigger_rising_edge():
+    from lsp_dsp_units_tpu.models.util import Trigger, TriggerType
+
+    trg = Trigger(TriggerType.SIMPLE_RISING_EDGE, threshold=0.5)
+    st = trg.init_state()
+    x = np.concatenate([np.linspace(0, 1, 10), np.linspace(1, 0, 10),
+                        np.linspace(0, 1, 10)]).astype(np.float32)
+    st, states = trg.process(st, jnp.asarray(x))
+    fired = np.where(np.asarray(states) == 2)[0]
+    assert fired.size == 2  # two rising crossings of 0.5
+
+
+def test_ring_and_shift_buffers():
+    from lsp_dsp_units_tpu.models.util import RingBuffer, ShiftBuffer
+
+    rb = RingBuffer(8)
+    rb.push(np.arange(5, dtype=np.float32))
+    np.testing.assert_array_equal(rb.tail(3), [2, 3, 4])
+    rb.push(np.arange(5, 11, dtype=np.float32))  # wraps
+    np.testing.assert_array_equal(rb.tail(4), [7, 8, 9, 10])
+
+    sb = ShiftBuffer(16)
+    sb.append(np.arange(10, dtype=np.float32))
+    np.testing.assert_array_equal(sb.shift(4), [0, 1, 2, 3])
+    sb.append(np.arange(10, 20, dtype=np.float32))  # forces shift
+    assert sb.avail == 16
+
+
+def test_meter_graph():
+    from lsp_dsp_units_tpu.models.util import MeterGraph, MeterMethod
+
+    mg = MeterGraph(frames=16, period=10, method=MeterMethod.PEAK)
+    x = np.zeros(100, np.float32)
+    x[25] = -3.0
+    mg.process(x)
+    frames = mg.frames(10)
+    assert frames.max() == 3.0
+
+
+def test_dither_statistics():
+    from lsp_dsp_units_tpu.models.util import Dither
+
+    d = Dither(bits=16, seed=42)
+    x = np.zeros(20000, np.float32)
+    y = d.process(x)
+    lsb = 1.0 / (1 << 15)
+    assert np.abs(y).max() <= lsb  # TPDF spans +-1 LSB/2 *2
+    assert 0.1 * lsb < y.std() < lsb
+
+
+def test_quantized_counter():
+    import jax
+    from lsp_dsp_units_tpu.models.stat import QuantizedCounter
+
+    qc = QuantizedCounter(-1.0, 1.0, levels=4)
+    st = qc.init_state()
+    x = jnp.asarray([-2.0, -0.9, -0.1, 0.1, 0.9, 2.0, jnp.nan])
+    st = qc.process(st, x)
+    assert int(st.below) == 1 and int(st.above) == 1 and int(st.nans) == 1
+    assert int(st.counts.sum()) == 4
+    assert int(st.total) == 7
+
+
+def test_state_dump_roundtrip(tmp_path):
+    from lsp_dsp_units_tpu.utils.state import (save_state, load_state,
+                                               dump_state, StateDumper)
+    from lsp_dsp_units_tpu.models.filters import Filter, FilterParams, \
+        FilterType
+
+    flt = Filter(SR, FilterParams(ftype=FilterType.BT_RLC_BELL, slope=2,
+                                  freq=500.0, gain=2.0, quality=1.0))
+    st = flt.init_state((2,))
+    st, _ = flt.process(st, jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 256)).astype(
+            np.float32)))
+    d = dump_state(st)
+    assert len(d) == 1
+    p = str(tmp_path / "st.npz")
+    save_state(p, st)
+    st2 = load_state(p, flt.init_state((2,)))
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(st2))
+    sd = StateDumper()
+    sd.write_tree("filter", st)
+    assert "filter" in sd.text()
+
+
+def test_butterworth_filter():
+    from lsp_dsp_units_tpu.models.filters.butterworth import (
+        ButterworthFilter, BWFilterType, design_butterworth)
+    from lsp_dsp_units_tpu.models.filters.design import (
+        digital_freq_response)
+    from lsp_dsp_units_tpu.utils.units import gain_to_db
+
+    bq = design_butterworth(4, 1000.0, SR, BWFilterType.LOWPASS)
+    assert abs(gain_to_db(np.abs(digital_freq_response(
+        bq, np.array([1000.0]), SR)))[0] + 3.01) < 0.2
+    assert gain_to_db(np.abs(digital_freq_response(
+        bq, np.array([4000.0]), SR)))[0] < -40
+    hp = design_butterworth(4, 1000.0, SR, BWFilterType.HIGHPASS)
+    assert gain_to_db(np.abs(digital_freq_response(
+        hp, np.array([100.0]), SR)))[0] < -70
+
+
+def test_spectral_tilt():
+    from lsp_dsp_units_tpu.models.filters.spectral_tilt import (
+        SpectralTilt, SlopeUnit)
+    from lsp_dsp_units_tpu.models.filters.design import (
+        digital_freq_response)
+    from lsp_dsp_units_tpu.utils.units import gain_to_db
+
+    tilt = SpectralTilt(SR, order=32, slope=-3.0,
+                        slope_unit=SlopeUnit.DB_PER_OCTAVE,
+                        lower_freq=10.0, upper_freq=20000.0)
+    bq = tilt.build()
+    # slope between 100 Hz and 1600 Hz: 4 octaves * -3 dB
+    g1 = gain_to_db(np.abs(digital_freq_response(bq, np.array([100.0]),
+                                                 SR)))[0]
+    g2 = gain_to_db(np.abs(digital_freq_response(bq, np.array([1600.0]),
+                                                 SR)))[0]
+    assert abs((g2 - g1) - (-12.0)) < 1.0
+
+
+def test_mls_properties():
+    from lsp_dsp_units_tpu.models.noise import MLS
+
+    mls = MLS(n_bits=10)
+    seq = mls.full_period()
+    assert seq.size == 1023
+    assert set(np.unique(seq)) == {-1.0, 1.0}
+    # balance property: counts differ by exactly 1
+    assert abs(int((seq > 0).sum()) - int((seq < 0).sum())) == 1
+    # periodicity
+    more = mls.process(1023)
+    np.testing.assert_array_equal(seq, more)
+
+
+def test_lcg_and_velvet():
+    from lsp_dsp_units_tpu.models.noise import (LCG, LCGDistribution,
+                                                Velvet, VelvetType)
+
+    lcg = LCG(LCGDistribution.UNIFORM, seed=1)
+    x = lcg.process(10000)
+    assert -1.01 <= x.min() and x.max() <= 1.01
+    assert abs(x.mean()) < 0.05
+
+    v = Velvet(VelvetType.OVN, window_width=10.0, seed=2)
+    y = v.generate(1000)
+    nz = np.nonzero(y)[0]
+    assert 80 <= nz.size <= 110            # ~1 spike per 10-sample window
+    assert set(np.unique(y[nz])) <= {-1.0, 1.0}
+
+
+def test_randomizer_deterministic():
+    from lsp_dsp_units_tpu.models.util import Randomizer
+
+    r1 = Randomizer(seed=12345)
+    r2 = Randomizer(seed=12345)
+    a = r1.generate_linear(64)
+    b = r2.generate_linear(64)
+    np.testing.assert_array_equal(a, b)
+    assert np.all((a >= 0.0) & (a < 1.0))
+    assert np.unique(a).size > 60
