@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.ops import biquad as biquad_ops
+from lsp_dsp_units_tpu.ops.cplx import cmul, crmul
 from lsp_dsp_units_tpu.models.filters.design import (
     FilterParams, design_filter, freq_chart)
 from lsp_dsp_units_tpu.models.misc import windows as win
@@ -187,7 +188,7 @@ class Equalizer:
         assert t % n == 0, f"FIR mode needs multiples of {n}, got {t}"
         m = t // n
         frames = x.reshape(x.shape[:-1] + (m, n))
-        spec = jnp.fft.rfft(frames, 2 * n, axis=-1) * conv_spec
+        spec = cmul(jnp.fft.rfft(frames, 2 * n, axis=-1), conv_spec)
         y2 = jnp.fft.irfft(spec, 2 * n, axis=-1)     # [..., M, 2N]
         heads = y2[..., :n]
         tails = y2[..., n:]
@@ -237,7 +238,7 @@ class Equalizer:
         prev = jnp.concatenate(
             [state.spm_hist[..., None, :], hops[..., :-1, :]], axis=-2)
         frames = jnp.concatenate([prev, hops], axis=-1)     # [..., M, N]
-        spec = jnp.fft.rfft(frames, axis=-1) * params.spm_gain
+        spec = crmul(jnp.fft.rfft(frames, axis=-1), params.spm_gain)
         y = jnp.fft.irfft(spec, n, axis=-1)
         w = jnp.asarray(win.sqr_cosine(n), x.dtype)
         y = y * w

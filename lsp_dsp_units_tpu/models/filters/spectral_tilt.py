@@ -159,5 +159,8 @@ class SpectralTilt:
         c = self.coefficients()
         if c.shape[0] == 0:
             return state, x
-        y, state = biquad_ops.biquad_cascade(c, state, x)
+        # long cascades of near-unit poles bias the f32 associative scan
+        # (measured +8 dB tilt error at 16 stages); the sequential scan
+        # keeps the response exact to ~1e-4
+        y, state = biquad_ops.biquad_cascade_seq(c, state, x)
         return state, y

@@ -21,3 +21,5 @@ from lsp_dsp_units_tpu.models.util.dither import Dither, dither_device  # noqa: 
 from lsp_dsp_units_tpu.models.util.buffers import (  # noqa: F401
     RingBuffer, RawRingBuffer, ShiftBuffer, MeterGraph, ScaledMeterGraph,
     MeterMethod)
+from lsp_dsp_units_tpu.models.util.depopper import Depopper, DepopperMode  # noqa: F401
+from lsp_dsp_units_tpu.models.util.analyzer import Analyzer  # noqa: F401

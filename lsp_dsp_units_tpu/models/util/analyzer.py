@@ -1,0 +1,94 @@
+"""Analyzer — multi-channel FFT spectrum analyzer with exponential
+amplitude averaging (reference: src/main/util/Analyzer.cpp).
+
+The reference staggers one channel's FFT per sub-step to amortize CPU
+cost (Analyzer.cpp:258-260); on TPU all channels' FFTs batch into one
+call per analysis period, and the per-frame EMA runs as a tiny scan.
+Amplitudes are compensated by a spectral envelope (reverse noise color,
+Analyzer.cpp reconfigure) and scaled by shift/fft_size.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsp_dsp_units_tpu.models.misc import windows as win
+from lsp_dsp_units_tpu.models.misc import envelope as env
+
+Array = jax.Array
+
+SPEC_FREQ_CENTER = 1000.0   # reference LSP_DSP_UNITS_SPEC_FREQ_CENTER
+
+
+class AnalyzerState(NamedTuple):
+    buffer: Array    # [C, N] rolling signal window
+    amp: Array       # [C, F] averaged magnitudes
+    fill: Array      # [] int32 samples since last FFT
+
+
+class Analyzer:
+    def __init__(self, sample_rate: int = 48000, channels: int = 2,
+                 rank: int = 12, rate: float = 20.0,
+                 reactivity_s: float = 0.2,
+                 window: win.Window = win.Window.HANN,
+                 envelope_kind: env.Envelope = env.Envelope.PINK,
+                 shift: float = 1.0):
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.rank = int(rank)
+        self.n = 1 << self.rank
+        self.f = self.n // 2 + 1
+        self.rate = float(rate)
+        self.period = max(1, int(sample_rate / rate))
+        # reference Analyzer.cpp:287
+        self.tau = float(1.0 - np.exp(np.log(1.0 - np.sqrt(0.5))
+                                      / (rate * reactivity_s)))
+        self._window = jnp.asarray(win.window(self.n, window), jnp.float32)
+        e = env.reverse_noise_lin(0.0, sample_rate * 0.5,
+                                  SPEC_FREQ_CENTER, self.f, envelope_kind)
+        self._envelope = jnp.asarray(e * (shift / self.n), jnp.float32)
+
+    def init_state(self) -> AnalyzerState:
+        return AnalyzerState(
+            buffer=jnp.zeros((self.channels, self.n), jnp.float32),
+            amp=jnp.zeros((self.channels, self.f), jnp.float32),
+            fill=jnp.int32(0))
+
+    def process(self, state: AnalyzerState, x: Array) -> AnalyzerState:
+        """x: [C, T], T a multiple of the analysis period."""
+        t = x.shape[-1]
+        p = self.period
+        assert t % p == 0, (t, p)
+        m = t // p
+        full = jnp.concatenate([state.buffer, x], axis=-1)
+        # analysis frames: last N samples at each period boundary
+        starts = state.buffer.shape[-1] + (jnp.arange(m) + 1) * p - self.n
+        idx = starts[:, None] + jnp.arange(self.n)[None, :]
+        frames = full[:, idx]                       # [C, M, N]
+        mags = jnp.abs(jnp.fft.rfft(frames * self._window, axis=-1))
+
+        def step(amp, new):
+            return amp * (1.0 - self.tau) + new * self.tau, None
+
+        amp, _ = jax.lax.scan(step, state.amp,
+                              jnp.moveaxis(mags, 1, 0))
+        return AnalyzerState(buffer=full[:, -self.n:], amp=amp,
+                             fill=state.fill)
+
+    def get_spectrum(self, state: AnalyzerState, channel: int) -> Array:
+        """Envelope-compensated averaged magnitude [F]
+        (reference Analyzer::get_spectrum)."""
+        return state.amp[channel] * self._envelope
+
+    def frequencies(self) -> np.ndarray:
+        return np.fft.rfftfreq(self.n, 1.0 / self.sample_rate)
+
+    def read_frequencies(self, start: float, stop: float,
+                         count: int) -> np.ndarray:
+        """Log-spaced display frequencies (reference
+        Analyzer::read_frequencies)."""
+        return np.geomspace(max(start, 1e-3), stop, count)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.ops import fftconv
+from lsp_dsp_units_tpu.ops.cplx import cmul
 
 CONVOLVER_RANK_MIN = 8    # reference Convolver.h:28
 CONVOLVER_RANK_MAX = 16   # reference Convolver.h:29
@@ -76,5 +77,5 @@ def convolve_oneshot(x: jax.Array, h: jax.Array) -> jax.Array:
         size <<= 1
     X = jnp.fft.rfft(x, n=size, axis=-1)
     H = jnp.fft.rfft(h, n=size, axis=-1)
-    y = jnp.fft.irfft(X * H, n=size, axis=-1)
+    y = jnp.fft.irfft(cmul(X, H), n=size, axis=-1)
     return y[..., :t].astype(x.dtype)

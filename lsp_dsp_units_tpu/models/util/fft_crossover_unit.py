@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.models.misc import fft_crossover as fxo
+from lsp_dsp_units_tpu.ops.cplx import crmul
 from lsp_dsp_units_tpu.models.util.spectral import SpectralProcessor, \
     SpectralState
 
@@ -84,7 +85,7 @@ class FFTCrossover:
 
         def fn(spec):
             # spec: [B, ..., M, F]
-            return spec * masks
+            return crmul(spec, masks)
         return self.proc.process(state, xb, fn)
 
     def band_mask(self, band: int) -> np.ndarray:

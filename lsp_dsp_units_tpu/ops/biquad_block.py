@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsp_dsp_units_tpu.ops.cplx import cmul
+
 Array = jax.Array
 
 
@@ -96,7 +98,7 @@ def _stage_block(params: BlockBiquadParams, i: int, s_in: Array,
                  x: Array) -> Tuple[Array, Array]:
     """One stage over one block: x [..., B], s_in [..., 2]."""
     b = block_size(params)
-    spec = jnp.fft.rfft(x, 2 * b, axis=-1) * params.h_spec[i]
+    spec = cmul(jnp.fft.rfft(x, 2 * b, axis=-1), params.h_spec[i])
     y_zs = jnp.fft.irfft(spec, 2 * b, axis=-1)[..., :b]
     y_zi = jnp.einsum("nj,...j->...n", params.p1[i], s_in)
     y = (y_zs + y_zi).astype(x.dtype)
@@ -127,7 +129,8 @@ def cascade_block(params: BlockBiquadParams, state: Array, x: Array,
             blocks = jnp.moveaxis(
                 y.reshape(y.shape[:-1] + (m, b)), -2, 0)  # [M, ..., B]
             # zero-state conv for all blocks at once
-            spec = jnp.fft.rfft(blocks, 2 * b, axis=-1) * params.h_spec[i]
+            spec = cmul(jnp.fft.rfft(blocks, 2 * b, axis=-1),
+                        params.h_spec[i])
             y_zs = jnp.fft.irfft(spec, 2 * b, axis=-1)[..., :b]
             du = jnp.einsum("jn,m...n->m...j", params.u_ker[i], blocks)
 

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsp_dsp_units_tpu.ops.cplx import cmul
+
 Array = jax.Array
 
 
@@ -80,7 +82,7 @@ def fdl_step(h_spectra: Array, state: FDLState, x_block: Array,
     spec = jnp.fft.rfft(frame, axis=-1).astype(jnp.complex64)   # [..., F]
     fdl = jnp.concatenate([spec[..., None, :], state.spectra[..., :-1, :]],
                           axis=-2)
-    acc = jnp.sum(fdl * h_spectra, axis=-2)                      # [..., F]
+    acc = jnp.sum(cmul(fdl, h_spectra), axis=-2)                 # [..., F]
     y = jnp.fft.irfft(acc, axis=-1)[..., x_block.shape[-1]:]
     y = y.astype(x_block.dtype)
     return FDLState(spectra=fdl, history=x_block), y
@@ -112,7 +114,7 @@ def fdl_process(h_spectra: Array, state: FDLState, x: Array,
 
     def step(fdl, s):
         fdl = jnp.concatenate([s[..., None, :], fdl[..., :-1, :]], axis=-2)
-        acc = jnp.sum(fdl * h_spectra, axis=-2)
+        acc = jnp.sum(cmul(fdl, h_spectra), axis=-2)
         return fdl, acc
 
     fdl, accs = jax.lax.scan(step, state.spectra, specs_t)

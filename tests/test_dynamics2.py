@@ -1,0 +1,173 @@
+"""Tests for DynamicProcessor, AutoGain, SimpleAutoGain, SurgeProtector,
+Depopper, DynamicFilters, NoiseGenerator, Analyzer."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsp_dsp_units_tpu.utils.units import snr_db, gain_to_db
+
+SR = 48000
+
+
+def test_dynamic_processor_curve():
+    from lsp_dsp_units_tpu.models.dynamics import DynamicProcessor
+
+    dp = DynamicProcessor(SR)
+    # single dot at (0.1 -> 0.05), knee 0.5: compressor-like 2:1 above
+    dp.set_dot(0, 0.1, 0.05, 0.5)
+    p = dp.build()
+    g = np.asarray(dp.reduction(p, jnp.asarray([0.001, 0.1, 1.0],
+                                               jnp.float32)))
+    # below threshold: in_ratio 1 -> gain = makeup offset line
+    # at threshold: out/in = 0.5
+    assert abs(g[1] - 0.5) < 0.02
+    # far below: gain = makeup (0.5) with pre-ratio 0 -> constant
+    assert abs(g[0] - 0.5) < 0.02
+    curve = np.asarray(dp.curve(p, jnp.asarray([1.0], jnp.float32)))
+    assert curve[0] < 1.0  # compressing
+
+    st = dp.init_state()
+    rng = np.random.default_rng(0)
+    x = np.abs(rng.standard_normal(500)).astype(np.float32)
+    st, gain, env = dp.process(p, st, jnp.asarray(x))
+    assert np.all(np.isfinite(np.asarray(gain)))
+
+
+def test_autogain_converges():
+    from lsp_dsp_units_tpu.models.dynamics import AutoGain
+
+    ag = AutoGain(SR, long_grow_db_s=60.0, long_fall_db_s=60.0)
+    st = ag.init_state()
+    n = SR  # 1 second
+    level = np.full(n, 0.1, np.float32)   # input loudness
+    target = np.full(n, 0.4, np.float32)  # want 12 dB more
+    st, vca = ag.process(st, jnp.asarray(level), jnp.asarray(level),
+                         jnp.asarray(target))
+    vca = np.asarray(vca)
+    # should have grown towards 4x (12 dB) within a second at 60 dB/s
+    assert vca[-1] > 2.0
+    # ends stabilized near the 4x target (within the deviation window)
+    assert vca[-1] < 4.5
+
+
+def test_simple_autogain():
+    from lsp_dsp_units_tpu.models.dynamics import SimpleAutoGain
+
+    sag = SimpleAutoGain(SR, grow_db_s=120.0, fall_db_s=120.0)
+    st = sag.init_state()
+    level = np.full(SR // 2, 1.0, np.float32)
+    st, g = sag.process(st, jnp.asarray(level),
+                        jnp.asarray(np.full(SR // 2, 0.25, np.float32)))
+    g = np.asarray(g)
+    assert g[-1] < 0.3  # fell toward 0.25 target
+
+
+def test_surge_protector():
+    from lsp_dsp_units_tpu.models.dynamics import SurgeProtector
+
+    sp = SurgeProtector(on_threshold=0.1, off_threshold=0.01,
+                        transition_samples=100, shutdown_samples=200)
+    st = sp.init_state()
+    x = np.concatenate([np.zeros(50), np.full(300, 0.5),
+                        np.zeros(400)]).astype(np.float32)
+    st, gain = sp.process(st, jnp.asarray(x))
+    gain = np.asarray(gain)
+    assert gain[25] == 0.0              # off before signal
+    assert gain[340] > 0.9              # fully on during signal
+    assert gain[-1] == 0.0              # shut down after timeout
+
+
+def test_depopper_gates_pops():
+    from lsp_dsp_units_tpu.models.util import Depopper
+
+    dp = Depopper(SR, fade_in_thresh=0.05, fade_out_thresh=0.02,
+                  fade_in_ms=5.0, fade_out_ms=5.0, rms_ms=2.0)
+    st = dp.init_state()
+    x = np.concatenate([np.zeros(2000),
+                        0.5 * np.sin(2 * np.pi * 440 *
+                                     np.arange(6000) / SR),
+                        np.zeros(4000)]).astype(np.float32)
+    st, gain, env = dp.process(st, jnp.asarray(x))
+    gain = np.asarray(gain)
+    lat = dp.latency()
+    assert gain[:1500].max() == 0.0        # closed during silence
+    assert gain[3000:7000].max() > 0.9     # opens on signal
+    assert gain[-500:].max() == 0.0        # closed again
+
+
+def test_dynamic_filters_match_static_at_constant_gain():
+    """With a constant gain signal the dynamic filter must equal the
+    statically-designed filter."""
+    from lsp_dsp_units_tpu.models.filters import (DynamicFilters,
+                                                  FilterParams, FilterType,
+                                                  design_filter)
+    from lsp_dsp_units_tpu.ops import biquad
+
+    p = FilterParams(ftype=FilterType.BT_RLC_BELL, slope=2, freq=1000.0,
+                     gain=2.0, quality=1.0)
+    df = DynamicFilters(SR, 1)
+    df.set_params(0, p)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(2048).astype(np.float32)
+    st = df.init_state(0)
+    st, y = df.process(0, st, jnp.asarray(x),
+                       jnp.full(2048, 2.0, jnp.float32))
+
+    static = design_filter(p, SR)
+    golden = biquad.np_biquad_cascade_f64(static.biquads, x)
+    assert snr_db(np.asarray(y), golden) > 70.0
+
+
+def test_dynamic_filters_gain_modulation():
+    from lsp_dsp_units_tpu.models.filters import (DynamicFilters,
+                                                  FilterParams, FilterType)
+
+    df = DynamicFilters(SR, 1)
+    df.set_params(0, FilterParams(ftype=FilterType.BT_BWC_HISHELF,
+                                  slope=2, freq=1000.0, gain=1.0))
+    t = np.arange(8192)
+    x = np.sin(2 * np.pi * 8000 * t / SR).astype(np.float32)
+    # gain ramps 1 -> 4: high-frequency content should grow
+    g = np.linspace(1.0, 4.0, 8192).astype(np.float32)
+    st = df.init_state(0)
+    st, y = df.process(0, st, jnp.asarray(x), jnp.asarray(g))
+    y = np.asarray(y)
+    head = np.abs(y[500:1500]).max()
+    tail = np.abs(y[-1000:]).max()
+    assert tail > head * 2.5
+
+
+def test_noise_generator_colors():
+    from lsp_dsp_units_tpu.models.noise import (NoiseGenerator, NoiseCore,
+                                                NoiseColor)
+
+    gen = NoiseGenerator(SR, NoiseCore.LCG, NoiseColor.PINK, lcg_seed=3)
+    st = gen.init_state()
+    st, y = gen.process(st, SR)
+    y = np.asarray(y)[SR // 4:]
+    spec = np.abs(np.fft.rfft(y * np.hanning(y.size))) ** 2
+    f = np.fft.rfftfreq(y.size, 1 / SR)
+    # pink: ~ -3 dB/oct -> power ratio between 200Hz and 3200Hz bands
+    def band(f0, f1):
+        m = (f >= f0) & (f < f1)
+        return spec[m].mean()
+    ratio_db = 10 * np.log10(band(3200, 6400) / band(200, 400))
+    assert -20 < ratio_db < -7   # ~ -12 dB over 4 octaves for pink
+
+
+def test_analyzer_peak_detection():
+    from lsp_dsp_units_tpu.models.util import Analyzer
+
+    an = Analyzer(SR, channels=2, rank=11, rate=50.0, reactivity_s=0.01)
+    st = an.init_state()
+    t = np.arange(SR // 2)
+    x = np.stack([np.sin(2 * np.pi * 1000 * t / SR),
+                  np.sin(2 * np.pi * 5000 * t / SR)]).astype(np.float32)
+    tt = (x.shape[1] // an.period) * an.period
+    st = an.process(st, jnp.asarray(x[:, :tt]))
+    f = an.frequencies()
+    s0 = np.asarray(an.get_spectrum(st, 0))
+    s1 = np.asarray(an.get_spectrum(st, 1))
+    assert abs(f[int(np.argmax(s0))] - 1000.0) < 50.0
+    assert abs(f[int(np.argmax(s1))] - 5000.0) < 100.0
