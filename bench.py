@@ -27,6 +27,16 @@ def run_once(rank: int, blocks_per_step: int, iters: int):
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: if the backend honors it, repeated bench
+    # runs (and the driver's run) skip the slow tunnel compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from lsp_dsp_units_tpu.pipeline import FilterConvChain
 
     sample_rate = 48000
@@ -64,7 +74,7 @@ def run_once(rank: int, blocks_per_step: int, iters: int):
     }
 
 
-CONFIGS = ((14, 6, 10), (14, 1, 20), (12, 2, 20), (11, 1, 20))
+CONFIGS = ((14, 1, 20), (12, 2, 20), (11, 1, 20))
 
 
 def main() -> None:
@@ -80,7 +90,7 @@ def main() -> None:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--config", f"{rank},{blocks},{iters}"],
-                    capture_output=True, text=True, timeout=480,
+                    capture_output=True, text=True, timeout=420,
                     cwd=os.path.dirname(os.path.abspath(__file__)))
                 for line in out.stdout.splitlines():
                     line = line.strip()

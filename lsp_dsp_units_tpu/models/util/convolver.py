@@ -52,7 +52,7 @@ class Convolver:
 
     @property
     def partitions(self) -> int:
-        return self.h_spectra.shape[-2]
+        return self.h_spectra.re.shape[-2]
 
     def latency(self) -> int:
         """Zero latency, like the reference (direct head segment)."""

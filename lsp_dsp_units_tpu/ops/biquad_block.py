@@ -29,14 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lsp_dsp_units_tpu.ops.cplx import cmul
+from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc, sc_mul
 
 Array = jax.Array
 
 
 class BlockBiquadParams(NamedTuple):
     """Precomputed per-stage block kernels (leading axis = stage K)."""
-    h_spec: Array    # [K, B+1] complex64 — rfft(h, 2B) of stage IRs
+    h_re: Array      # [K, B+1] float32 — Re rfft(h, 2B) of stage IRs
+    h_im: Array      # [K, B+1] float32 — Im (split-complex, see ops.cplx)
     p1: Array        # [K, B, 2] float32 — zero-input output response
     u_ker: Array     # [K, 2, B] float32 — state response to block input
     a_pow: Array     # [K, 2, 2] float32 — A^B
@@ -50,7 +51,8 @@ def precompute(coeffs: np.ndarray, block: int) -> BlockBiquadParams:
     coeffs = np.asarray(coeffs, np.float64)
     k = coeffs.shape[0]
     b = int(block)
-    h_spec = np.zeros((k, b + 1), np.complex64)
+    h_re = np.zeros((k, b + 1), np.float32)
+    h_im = np.zeros((k, b + 1), np.float32)
     p1 = np.zeros((k, b, 2), np.float32)
     u_ker = np.zeros((k, 2, b), np.float32)
     a_pow = np.zeros((k, 2, 2), np.float32)
@@ -67,7 +69,9 @@ def precompute(coeffs: np.ndarray, block: int) -> BlockBiquadParams:
             s2 = b2 * x + a2 * y
             h[n] = y
             x = 0.0
-        h_spec[i] = np.fft.rfft(h, 2 * b).astype(np.complex64)
+        hs = np.fft.rfft(h, 2 * b)
+        h_re[i] = hs.real.astype(np.float32)
+        h_im[i] = hs.imag.astype(np.float32)
         # A^n power table: P[n] = A^n, n = 0..B
         powers = np.zeros((b + 1, 2, 2))
         powers[0] = np.eye(2)
@@ -80,8 +84,9 @@ def precompute(coeffs: np.ndarray, block: int) -> BlockBiquadParams:
         u_ker[i] = u_resp.T.astype(np.float32)
         a_pow[i] = powers[b].astype(np.float32)
     return BlockBiquadParams(
-        h_spec=jnp.asarray(h_spec), p1=jnp.asarray(p1),
-        u_ker=jnp.asarray(u_ker), a_pow=jnp.asarray(a_pow))
+        h_re=jnp.asarray(h_re), h_im=jnp.asarray(h_im),
+        p1=jnp.asarray(p1), u_ker=jnp.asarray(u_ker),
+        a_pow=jnp.asarray(a_pow))
 
 
 def init_state(num_stages: int, batch_shape: Tuple[int, ...] = (),
@@ -90,16 +95,16 @@ def init_state(num_stages: int, batch_shape: Tuple[int, ...] = (),
 
 
 def block_size(params: BlockBiquadParams) -> int:
-    """Static block size B (h_spec last dim is B+1)."""
-    return params.h_spec.shape[-1] - 1
+    """Static block size B (h_re last dim is B+1)."""
+    return params.h_re.shape[-1] - 1
 
 
 def _stage_block(params: BlockBiquadParams, i: int, s_in: Array,
                  x: Array) -> Tuple[Array, Array]:
     """One stage over one block: x [..., B], s_in [..., 2]."""
     b = block_size(params)
-    spec = cmul(jnp.fft.rfft(x, 2 * b, axis=-1), params.h_spec[i])
-    y_zs = jnp.fft.irfft(spec, 2 * b, axis=-1)[..., :b]
+    spec = sc_mul(rfft_sc(x, 2 * b), (params.h_re[i], params.h_im[i]))
+    y_zs = irfft_sc(spec, 2 * b)[..., :b]
     y_zi = jnp.einsum("nj,...j->...n", params.p1[i], s_in)
     y = (y_zs + y_zi).astype(x.dtype)
     s_out = (jnp.einsum("jn,...n->...j", params.u_ker[i], x)
@@ -119,7 +124,7 @@ def cascade_block(params: BlockBiquadParams, state: Array, x: Array,
     t = x.shape[-1]
     assert t % b == 0, (t, b)
     m = t // b
-    k = params.h_spec.shape[0]
+    k = params.h_re.shape[0]
     y = x
     new_states = []
     for i in range(k):
@@ -129,9 +134,9 @@ def cascade_block(params: BlockBiquadParams, state: Array, x: Array,
             blocks = jnp.moveaxis(
                 y.reshape(y.shape[:-1] + (m, b)), -2, 0)  # [M, ..., B]
             # zero-state conv for all blocks at once
-            spec = cmul(jnp.fft.rfft(blocks, 2 * b, axis=-1),
-                        params.h_spec[i])
-            y_zs = jnp.fft.irfft(spec, 2 * b, axis=-1)[..., :b]
+            spec = sc_mul(rfft_sc(blocks, 2 * b),
+                          (params.h_re[i], params.h_im[i]))
+            y_zs = irfft_sc(spec, 2 * b)[..., :b]
             du = jnp.einsum("jn,m...n->m...j", params.u_ker[i], blocks)
 
             def step(s, inp):

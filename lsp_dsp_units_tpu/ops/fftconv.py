@@ -11,8 +11,10 @@ batched and the multiply-accumulate a single fused VPU pass, while keeping
 the same zero-latency semantics (the newest input block contributes to the
 current output block through partition 0).
 
-All spectra use the native one-sided ``rfft`` layout (complex64), not the
-reference's packed-complex format.
+All spectra are SPLIT-COMPLEX — (real, imag) float32 pairs — because the
+TPU backend only supports complex dtype at the FFT boundary itself (see
+ops.cplx).  Interestingly this mirrors the reference's own 'packed
+complex' format choice: a storage layout picked for the hardware.
 """
 
 from __future__ import annotations
@@ -23,19 +25,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lsp_dsp_units_tpu.ops.cplx import cmul
+from lsp_dsp_units_tpu.ops import cplx
+from lsp_dsp_units_tpu.ops.cplx import (irfft_sc, rfft_sc, sc_mul, sc_sum)
 
 Array = jax.Array
 
 
-def parse_ir(ir: Array, block: int) -> Array:
+class Spectra(NamedTuple):
+    """Split-complex spectra container."""
+    re: Array
+    im: Array
+
+
+def parse_ir(ir: Array, block: int) -> Spectra:
     """Partition an impulse response into FDL spectra.
 
     Args:
       ir: [N] (or [..., N]) impulse response.
       block: partition block size B (power of two).
 
-    Returns complex64 spectra [..., P, B+1] with P = ceil(N / B),
+    Returns split-complex spectra [..., P, B+1] with P = ceil(N / B),
     each partition zero-padded to 2B before rfft (overlap-save layout).
     The analog of ``dsp::fastconv_parse`` per partition
     (reference Convolver.cpp:159-214).
@@ -44,29 +53,30 @@ def parse_ir(ir: Array, block: int) -> Array:
     p = max(1, -(-n // block))
     pad = p * block - n
     ir_p = jnp.pad(ir, [(0, 0)] * (ir.ndim - 1) + [(0, pad)])
-    parts = ir_p.reshape(ir.shape[:-1] + (p, block))
-    parts = jnp.pad(parts, [(0, 0)] * (ir.ndim - 1) + [(0, 0), (0, block)])
-    return jnp.fft.rfft(parts, axis=-1).astype(jnp.complex64)
+    parts = ir_p.reshape(ir.shape[:-1] + (p, block)).astype(jnp.float32)
+    re, im = rfft_sc(parts, 2 * block)
+    return Spectra(re.astype(jnp.float32), im.astype(jnp.float32))
 
 
 class FDLState(NamedTuple):
     """Carried state of a partitioned convolver."""
-    spectra: Array   # [..., P, F] complex64 — past input block spectra,
-    #                  index 0 = newest
+    spec_re: Array   # [..., P, F] — past input block spectra, 0 = newest
+    spec_im: Array
     history: Array   # [..., B] float32 — previous input block (for OLS)
 
 
-def init_fdl(h_spectra: Array, batch_shape: Tuple[int, ...] = (),
+def init_fdl(h_spectra: Spectra, batch_shape: Tuple[int, ...] = (),
              dtype=jnp.float32) -> FDLState:
-    p, f = h_spectra.shape[-2], h_spectra.shape[-1]
+    p, f = h_spectra.re.shape[-2], h_spectra.re.shape[-1]
     block = (f - 1)
     return FDLState(
-        spectra=jnp.zeros(batch_shape + (p, f), jnp.complex64),
+        spec_re=jnp.zeros(batch_shape + (p, f), jnp.float32),
+        spec_im=jnp.zeros(batch_shape + (p, f), jnp.float32),
         history=jnp.zeros(batch_shape + (block,), dtype),
     )
 
 
-def fdl_step(h_spectra: Array, state: FDLState, x_block: Array,
+def fdl_step(h_spectra: Spectra, state: FDLState, x_block: Array,
              ) -> Tuple[FDLState, Array]:
     """One block of uniform partitioned overlap-save convolution.
 
@@ -79,16 +89,19 @@ def fdl_step(h_spectra: Array, state: FDLState, x_block: Array,
     convolution output for this block.
     """
     frame = jnp.concatenate([state.history, x_block], axis=-1)  # [..., 2B]
-    spec = jnp.fft.rfft(frame, axis=-1).astype(jnp.complex64)   # [..., F]
-    fdl = jnp.concatenate([spec[..., None, :], state.spectra[..., :-1, :]],
-                          axis=-2)
-    acc = jnp.sum(cmul(fdl, h_spectra), axis=-2)                 # [..., F]
-    y = jnp.fft.irfft(acc, axis=-1)[..., x_block.shape[-1]:]
+    sr, si = rfft_sc(frame)
+    fdl_re = jnp.concatenate([sr[..., None, :], state.spec_re[..., :-1, :]],
+                             axis=-2)
+    fdl_im = jnp.concatenate([si[..., None, :], state.spec_im[..., :-1, :]],
+                             axis=-2)
+    acc = sc_sum(sc_mul((fdl_re, fdl_im), (h_spectra.re, h_spectra.im)),
+                 axis=-2)
+    y = irfft_sc(acc, axis=-1)[..., x_block.shape[-1]:]
     y = y.astype(x_block.dtype)
-    return FDLState(spectra=fdl, history=x_block), y
+    return FDLState(spec_re=fdl_re, spec_im=fdl_im, history=x_block), y
 
 
-def fdl_process(h_spectra: Array, state: FDLState, x: Array,
+def fdl_process(h_spectra: Spectra, state: FDLState, x: Array,
                 ) -> Tuple[FDLState, Array]:
     """Process T = M*B samples (last axis) through the FDL convolver.
 
@@ -107,21 +120,30 @@ def fdl_process(h_spectra: Array, state: FDLState, x: Array,
     prev = jnp.concatenate([state.history[..., None, :], xb[..., :-1, :]],
                            axis=-2)
     frames = jnp.concatenate([prev, xb], axis=-1)
-    specs = jnp.fft.rfft(frames, axis=-1).astype(jnp.complex64)
+    specs_re, specs_im = rfft_sc(frames)
 
     # scan the FDL over blocks (moveaxis M to front)
-    specs_t = jnp.moveaxis(specs, -2, 0)  # [M, ..., F]
+    sre_t = jnp.moveaxis(specs_re, -2, 0)  # [M, ..., F]
+    sim_t = jnp.moveaxis(specs_im, -2, 0)
 
     def step(fdl, s):
-        fdl = jnp.concatenate([s[..., None, :], fdl[..., :-1, :]], axis=-2)
-        acc = jnp.sum(cmul(fdl, h_spectra), axis=-2)
-        return fdl, acc
+        fre, fim = fdl
+        sre, sim = s
+        fre = jnp.concatenate([sre[..., None, :], fre[..., :-1, :]],
+                              axis=-2)
+        fim = jnp.concatenate([sim[..., None, :], fim[..., :-1, :]],
+                              axis=-2)
+        acc = sc_sum(sc_mul((fre, fim), (h_spectra.re, h_spectra.im)),
+                     axis=-2)
+        return (fre, fim), acc
 
-    fdl, accs = jax.lax.scan(step, state.spectra, specs_t)
-    accs = jnp.moveaxis(accs, 0, -2)                  # [..., M, F]
-    y = jnp.fft.irfft(accs, axis=-1)[..., b:]         # [..., M, B]
+    (fre, fim), accs = jax.lax.scan(step, (state.spec_re, state.spec_im),
+                                    (sre_t, sim_t))
+    acc_re = jnp.moveaxis(accs[0], 0, -2)             # [..., M, F]
+    acc_im = jnp.moveaxis(accs[1], 0, -2)
+    y = irfft_sc((acc_re, acc_im), axis=-1)[..., b:]  # [..., M, B]
     y = y.reshape(x.shape).astype(x.dtype)
-    return FDLState(spectra=fdl, history=xb[..., -1, :]), y
+    return FDLState(spec_re=fre, spec_im=fim, history=xb[..., -1, :]), y
 
 
 def direct_conv_block(h: Array, history: Array, x_block: Array) -> Array:

@@ -26,7 +26,7 @@ def left_halo(x: jax.Array, overlap: int, axis_name: str) -> jax.Array:
     return jax.lax.ppermute(tail, axis_name, perm)
 
 
-def fir_conv_time_sharded(h_spectra: jax.Array, block: int,
+def fir_conv_time_sharded(h_spectra, block: int,
                           x: jax.Array, axis_name: str) -> jax.Array:
     """Exact FIR convolution of a time-sharded signal, local FDL + halo.
 
@@ -36,7 +36,7 @@ def fir_conv_time_sharded(h_spectra: jax.Array, block: int,
     gathers from further neighbors by chaining ppermutes.
 
     Args:
-      h_spectra: [P, F] partitioned IR spectra (ops.fftconv.parse_ir).
+      h_spectra: split-complex [P, F] IR spectra (ops.fftconv.parse_ir).
       block: partition block size B (F == B+1).
       x: [..., T_local], T_local divisible by ``block``.
       axis_name: time mesh axis name.
@@ -45,8 +45,9 @@ def fir_conv_time_sharded(h_spectra: jax.Array, block: int,
     convolution.
     """
     from lsp_dsp_units_tpu.ops import fftconv
+    from lsp_dsp_units_tpu.ops.cplx import rfft_sc
 
-    p = h_spectra.shape[-2]
+    p = h_spectra.re.shape[-2]
     # history needed: P tail blocks for the FDL spectra, plus one more
     # block of overlap-save history for the OLDEST of those spectra
     halo = (p + 1) * block
@@ -73,8 +74,9 @@ def fir_conv_time_sharded(h_spectra: jax.Array, block: int,
     warm = hist.reshape(hist.shape[:-1] + (p + 1, block))
     frames = jnp.concatenate([warm[..., :-1, :], warm[..., 1:, :]],
                              axis=-1)                       # [..., P, 2B]
-    specs = jnp.fft.rfft(frames, axis=-1).astype(jnp.complex64)
-    fdl = specs[..., ::-1, :]
-    st = fftconv.FDLState(spectra=fdl, history=warm[..., -1, :])
+    sre, sim = rfft_sc(frames)
+    st = fftconv.FDLState(spec_re=sre[..., ::-1, :],
+                          spec_im=sim[..., ::-1, :],
+                          history=warm[..., -1, :])
     _, y = fftconv.fdl_process(h_spectra, st, x)
     return y

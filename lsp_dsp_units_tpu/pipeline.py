@@ -61,7 +61,7 @@ def default_eq_params(sample_rate: int):
 class ChainParams(NamedTuple):
     eq_coeffs: Array                 # [K, 5] (raw biquads, for analysis)
     eq_block: biquad_block.BlockBiquadParams
-    h_spectra: Array                 # [P, F] complex64
+    h_spectra: fftconv.Spectra       # [P, F] split-complex
     comp: CompressorParams
 
 
@@ -166,7 +166,8 @@ class FilterConvChain:
 
         state_specs = ChainState(
             eq=P(pmesh.CHAN_AXIS),
-            fdl=fftconv.FDLState(spectra=P(pmesh.CHAN_AXIS),
+            fdl=fftconv.FDLState(spec_re=P(pmesh.CHAN_AXIS),
+                                 spec_im=P(pmesh.CHAN_AXIS),
                                  history=P(pmesh.CHAN_AXIS)),
             sc=SidechainState(window=P(pmesh.CHAN_AXIS),
                               rms=P(pmesh.CHAN_AXIS)),

@@ -1,0 +1,201 @@
+"""shared/ — native shared-memory IPC layer
+(reference: src/main/shared/AudioStream.cpp, Catalog.cpp — SURVEY.md §2.6).
+
+The C++ runtime (csrc/shm_runtime.cpp) provides a lock-free POSIX-shm
+audio ring and a shared name registry; this module compiles it on demand
+(g++ is in the image; pybind11 is not, so the binding is ctypes over a C
+ABI) and wraps it in Python classes.
+
+Scope note: this is the HOST-side transport between processes feeding
+the JAX compute process.  Chip-to-chip transport is jax.sharding
+collectives (parallel/), which replace the reference's single-machine
+IPC for scaling (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LOCK = threading.Lock()
+
+
+def _build_lib() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(root, "csrc", "shm_runtime.cpp")
+    out = os.path.join(root, "csrc", "libshm_runtime.so")
+    if (not os.path.exists(out)
+            or os.path.getmtime(out) < os.path.getmtime(src)):
+        cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", src,
+               "-o", out, "-lpthread", "-lrt"]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            lib = ctypes.CDLL(_build_lib())
+            lib.as_create.restype = ctypes.c_void_p
+            lib.as_create.argtypes = [ctypes.c_char_p, ctypes.c_uint32,
+                                      ctypes.c_uint32]
+            lib.as_open.restype = ctypes.c_void_p
+            lib.as_open.argtypes = [ctypes.c_char_p]
+            lib.as_channels.restype = ctypes.c_uint32
+            lib.as_channels.argtypes = [ctypes.c_void_p]
+            lib.as_length.restype = ctypes.c_uint32
+            lib.as_length.argtypes = [ctypes.c_void_p]
+            lib.as_write.restype = ctypes.c_int
+            lib.as_write.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.c_uint32]
+            lib.as_read.restype = ctypes.c_int
+            lib.as_read.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_float),
+                                    ctypes.c_uint32]
+            lib.as_avail.restype = ctypes.c_uint64
+            lib.as_avail.argtypes = [ctypes.c_void_p]
+            lib.as_counter.restype = ctypes.c_uint64
+            lib.as_counter.argtypes = [ctypes.c_void_p]
+            lib.as_terminate.argtypes = [ctypes.c_void_p]
+            lib.as_terminated.restype = ctypes.c_int
+            lib.as_terminated.argtypes = [ctypes.c_void_p]
+            lib.as_close.argtypes = [ctypes.c_void_p]
+            lib.cat_open.restype = ctypes.c_void_p
+            lib.cat_open.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
+            lib.cat_publish.restype = ctypes.c_int
+            lib.cat_publish.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_char_p]
+            lib.cat_get.restype = ctypes.c_int
+            lib.cat_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_char_p, ctypes.c_uint32]
+            lib.cat_erase.restype = ctypes.c_int
+            lib.cat_erase.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.cat_enumerate.restype = ctypes.c_int
+            lib.cat_enumerate.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                          ctypes.c_uint32]
+            lib.cat_revision.restype = ctypes.c_uint32
+            lib.cat_revision.argtypes = [ctypes.c_void_p]
+            lib.cat_keepalive.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.cat_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            _LIB = lib
+    return _LIB
+
+
+class AudioStream:
+    """Lock-free shared-memory audio ring (reference AudioStream.cpp).
+
+    Writer: ``AudioStream.create(id, channels, length)``; readers:
+    ``AudioStream.open(id)``.  Data is planar float32 [channels, frames];
+    NaN/Inf/denormals are sanitized at the boundary (reference
+    read_sanitized/write_sanitized)."""
+
+    def __init__(self, handle, lib):
+        self._h = handle
+        self._lib = lib
+
+    @classmethod
+    def create(cls, shm_id: str, channels: int, length: int,
+               ) -> "AudioStream":
+        lib = _lib()
+        h = lib.as_create(shm_id.encode(), channels, length)
+        if not h:
+            raise OSError(f"cannot create audio stream {shm_id}")
+        return cls(h, lib)
+
+    @classmethod
+    def open(cls, shm_id: str) -> "AudioStream":
+        lib = _lib()
+        h = lib.as_open(shm_id.encode())
+        if not h:
+            raise OSError(f"cannot open audio stream {shm_id}")
+        return cls(h, lib)
+
+    @property
+    def channels(self) -> int:
+        return self._lib.as_channels(self._h)
+
+    @property
+    def length(self) -> int:
+        return self._lib.as_length(self._h)
+
+    def write(self, data: np.ndarray) -> int:
+        data = np.ascontiguousarray(data, np.float32)
+        if data.ndim == 1:
+            data = data[None]
+        frames = data.shape[1]
+        ptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        return self._lib.as_write(self._h, ptr, frames)
+
+    def read(self, frames: int) -> np.ndarray:
+        c = self.channels
+        out = np.zeros((c, frames), np.float32)
+        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        got = self._lib.as_read(self._h, ptr, frames)
+        return out[:, :got]
+
+    def avail(self) -> int:
+        return self._lib.as_avail(self._h)
+
+    def counter(self) -> int:
+        return self._lib.as_counter(self._h)
+
+    def terminate(self) -> None:
+        self._lib.as_terminate(self._h)
+
+    def terminated(self) -> bool:
+        return bool(self._lib.as_terminated(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.as_close(self._h)
+            self._h = None
+
+
+class Catalog:
+    """Shared-memory name registry of published streams
+    (reference Catalog.cpp: publish/get/erase/enumerate + revision)."""
+
+    def __init__(self, shm_id: str, max_records: int = 256):
+        self._lib = _lib()
+        self._h = self._lib.cat_open(shm_id.encode(), max_records)
+        if not self._h:
+            raise OSError(f"cannot open catalog {shm_id}")
+
+    def publish(self, name: str, shm_id: str) -> bool:
+        return bool(self._lib.cat_publish(self._h, name.encode(),
+                                          shm_id.encode()))
+
+    def get(self, name: str) -> Optional[str]:
+        buf = ctypes.create_string_buffer(256)
+        if self._lib.cat_get(self._h, name.encode(), buf, 256):
+            return buf.value.decode()
+        return None
+
+    def erase(self, name: str) -> bool:
+        return bool(self._lib.cat_erase(self._h, name.encode()))
+
+    def enumerate(self) -> List[str]:
+        buf = ctypes.create_string_buffer(65536)
+        self._lib.cat_enumerate(self._h, buf, 65536)
+        txt = buf.value.decode()
+        return [n for n in txt.split("\n") if n]
+
+    def keep_alive(self, name: str) -> None:
+        self._lib.cat_keepalive(self._h, name.encode())
+
+    def revision(self) -> int:
+        return self._lib.cat_revision(self._h)
+
+    def close(self, unlink: bool = False) -> None:
+        if self._h:
+            self._lib.cat_close(self._h, 1 if unlink else 0)
+            self._h = None

@@ -42,8 +42,10 @@ def test_fdl_process_multiblock_equals_stepwise():
         ys.append(np.asarray(y))
     np.testing.assert_allclose(np.asarray(y_all), np.concatenate(ys),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(st2.spectra), np.asarray(st.spectra),
-                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st2.spec_re),
+                               np.asarray(st.spec_re), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st2.spec_im),
+                               np.asarray(st.spec_im), rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("ir_len,blocks", [(1, 4), (127, 4), (4096, 2)])

@@ -1,0 +1,140 @@
+"""Shared-memory IPC tests — the reference's oracle pattern: open writer
+and reader on the same shm id IN ONE PROCESS and stream through the real
+shared segment (reference utest/shared/audiostream.cpp:30-62,403-404;
+catalog.cpp) — no fork, no fake backend."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lsp_dsp_units_tpu.shared import AudioStream, Catalog
+
+UID = f"/lsptpu_test_{os.getpid()}"
+
+
+def test_audio_stream_roundtrip():
+    w = AudioStream.create(UID + "_as", channels=2, length=4096)
+    try:
+        r = AudioStream.open(UID + "_as")
+        assert r.channels == 2
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 512)).astype(np.float32)
+        assert w.write(x) == 512
+        assert r.avail() == 512
+        y = r.read(512)
+        np.testing.assert_allclose(y, x, atol=1e-7)
+        assert r.avail() == 0
+        # second block continues the stream
+        x2 = rng.standard_normal((2, 300)).astype(np.float32)
+        w.write(x2)
+        y2 = r.read(300)
+        np.testing.assert_allclose(y2, x2, atol=1e-7)
+        r.close()
+    finally:
+        w.close()
+
+
+def test_audio_stream_sanitizes():
+    w = AudioStream.create(UID + "_sa", channels=1, length=1024)
+    try:
+        r = AudioStream.open(UID + "_sa")
+        x = np.array([[1.0, np.nan, np.inf, -np.inf, 1e-38, 0.5]],
+                     np.float32)
+        w.write(x)
+        y = r.read(6)
+        np.testing.assert_array_equal(y[0], [1.0, 0.0, 0.0, 0.0, 0.0, 0.5])
+        r.close()
+    finally:
+        w.close()
+
+
+def test_audio_stream_ring_wrap():
+    w = AudioStream.create(UID + "_wr", channels=1, length=256)
+    try:
+        r = AudioStream.open(UID + "_wr")
+        total_in = []
+        total_out = []
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            x = rng.standard_normal((1, 100)).astype(np.float32)
+            n = w.write(x)
+            total_in.append(x[:, :n])
+            total_out.append(r.read(n))
+        np.testing.assert_allclose(np.concatenate(total_out, axis=1),
+                                   np.concatenate(total_in, axis=1),
+                                   atol=1e-7)
+        r.close()
+    finally:
+        w.close()
+
+
+def test_audio_stream_overrun_detection():
+    w = AudioStream.create(UID + "_ov", channels=1, length=128)
+    try:
+        r = AudioStream.open(UID + "_ov")
+        # write far more than the ring without reading
+        for i in range(10):
+            w.write(np.full((1, 64), float(i), np.float32))
+        # reader must skip ahead (overrun) and still produce recent data
+        y = r.read(64)
+        assert y.shape[1] > 0
+        assert y[0, -1] >= 8.0  # data from recent blocks
+        r.close()
+    finally:
+        w.close()
+
+
+def test_audio_stream_terminate_flag():
+    w = AudioStream.create(UID + "_tm", channels=1, length=64)
+    try:
+        r = AudioStream.open(UID + "_tm")
+        assert not r.terminated()
+        w.terminate()
+        assert r.terminated()
+        r.close()
+    finally:
+        w.close()
+
+
+def test_catalog():
+    cat = Catalog(UID + "_cat", max_records=16)
+    try:
+        rev0 = cat.revision()
+        assert cat.publish("drums", UID + "_s1")
+        assert cat.publish("vox", UID + "_s2")
+        assert cat.revision() > rev0
+        assert cat.get("drums") == UID + "_s1"
+        assert cat.get("missing") is None
+        assert sorted(cat.enumerate()) == ["drums", "vox"]
+        # a second handle (same process, same segment) sees the records
+        cat2 = Catalog(UID + "_cat", max_records=16)
+        assert cat2.get("vox") == UID + "_s2"
+        cat2.close()
+        # update in place bumps revision, not record count
+        assert cat.publish("drums", UID + "_s3")
+        assert cat.get("drums") == UID + "_s3"
+        assert len(cat.enumerate()) == 2
+        assert cat.erase("drums")
+        assert cat.get("drums") is None
+        cat.keep_alive("vox")
+    finally:
+        cat.close(unlink=True)
+
+
+def test_catalog_stream_discovery_flow():
+    """Publish a stream id via the catalog, discover and open it — the
+    full producer/consumer handshake."""
+    cat = Catalog(UID + "_flow", max_records=8)
+    w = AudioStream.create(UID + "_flow_audio", channels=1, length=1024)
+    try:
+        cat.publish("main_out", UID + "_flow_audio")
+        sid = cat.get("main_out")
+        r = AudioStream.open(sid)
+        x = np.ones((1, 16), np.float32) * 0.25
+        w.write(x)
+        np.testing.assert_allclose(r.read(16), x)
+        r.close()
+    finally:
+        w.close()
+        cat.close(unlink=True)
