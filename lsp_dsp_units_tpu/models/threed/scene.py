@@ -1,0 +1,127 @@
+"""Scene3D / Object3D — triangle-soup scene model with OBJ loading
+(reference: src/main/3d/Scene3D.cpp, Object3D.cpp, Allocator3D.cpp).
+
+TPU-native layout: the scene is flat arrays — vertices [V, 3], triangles
+[T, 3] vertex indices, per-triangle material parameters — instead of the
+reference's linked vertex/edge/triangle adjacency structures (which serve
+its BSP/culling pipeline; batched intersection tests need none of that).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Material:
+    """Acoustic surface material (reference rt::material_t semantics)."""
+    absorption: float = 0.1     # energy fraction absorbed per bounce
+    diffusion: float = 0.0      # fraction scattered (vs specular)
+    transparency: float = 0.0   # fraction passing through
+
+
+@dataclass
+class Object3D:
+    name: str
+    vertices: np.ndarray        # [V, 3] float32
+    triangles: np.ndarray       # [T, 3] int32 indices into vertices
+    material: Material = field(default_factory=Material)
+
+
+class Scene3D:
+    def __init__(self):
+        self.objects: List[Object3D] = []
+
+    def add_object(self, obj: Object3D) -> None:
+        self.objects.append(obj)
+
+    @classmethod
+    def load_obj(cls, path: str) -> "Scene3D":
+        """Minimal Wavefront OBJ loader (v / f records, polygon fan
+        triangulation) — the reference's scene source format."""
+        scene = cls()
+        verts: List[Tuple[float, float, float]] = []
+        faces: List[Tuple[int, int, int]] = []
+        name = "default"
+
+        def flush():
+            nonlocal faces, name
+            if faces:
+                scene.add_object(Object3D(
+                    name=name,
+                    vertices=np.asarray(verts, np.float32),
+                    triangles=np.asarray(faces, np.int32)))
+                faces = []
+
+        with open(path) as fh:
+            for line in fh:
+                parts = line.strip().split()
+                if not parts or parts[0].startswith("#"):
+                    continue
+                if parts[0] == "o" or parts[0] == "g":
+                    flush()
+                    name = parts[1] if len(parts) > 1 else "default"
+                elif parts[0] == "v":
+                    verts.append((float(parts[1]), float(parts[2]),
+                                  float(parts[3])))
+                elif parts[0] == "f":
+                    idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                    for i in range(1, len(idx) - 1):   # fan triangulate
+                        faces.append((idx[0], idx[i], idx[i + 1]))
+        flush()
+        return scene
+
+    def flatten(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All triangles as [T, 3, 3] with per-triangle
+        (absorption, diffusion, transparency) [T, 3]."""
+        tris = []
+        mats = []
+        for obj in self.objects:
+            t = obj.vertices[obj.triangles]      # [T, 3, 3]
+            tris.append(t)
+            m = np.tile([obj.material.absorption, obj.material.diffusion,
+                         obj.material.transparency],
+                        (t.shape[0], 1))
+            mats.append(m)
+        if not tris:
+            return (np.zeros((0, 3, 3), np.float32),
+                    np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.float32))
+        tri = np.concatenate(tris, 0).astype(np.float32)
+        mat = np.concatenate(mats, 0).astype(np.float32)
+        # face normals
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
+        n = np.cross(e1, e2)
+        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / np.maximum(ln, 1e-12)
+        return tri, mat, n.astype(np.float32)
+
+
+def box_room(size=(6.0, 4.0, 3.0), material: Optional[Material] = None,
+             ) -> Scene3D:
+    """Convenience shoebox room (triangles facing inward)."""
+    sx, sy, sz = size
+    v = np.array([
+        [0, 0, 0], [sx, 0, 0], [sx, sy, 0], [0, sy, 0],
+        [0, 0, sz], [sx, 0, sz], [sx, sy, sz], [0, sy, sz]], np.float32)
+    quads = [
+        (0, 1, 2, 3),  # floor
+        (7, 6, 5, 4),  # ceiling
+        (0, 4, 5, 1),  # wall y=0
+        (2, 6, 7, 3),  # wall y=sy
+        (1, 5, 6, 2),  # wall x=sx
+        (3, 7, 4, 0),  # wall x=0
+    ]
+    faces = []
+    for (a, b, c, d) in quads:
+        faces.append((a, b, c))
+        faces.append((a, c, d))
+    scene = Scene3D()
+    scene.add_object(Object3D(
+        "room", v, np.asarray(faces, np.int32),
+        material or Material(absorption=0.3)))
+    return scene

@@ -23,3 +23,6 @@ from lsp_dsp_units_tpu.models.util.buffers import (  # noqa: F401
     MeterMethod)
 from lsp_dsp_units_tpu.models.util.depopper import Depopper, DepopperMode  # noqa: F401
 from lsp_dsp_units_tpu.models.util.analyzer import Analyzer  # noqa: F401
+from lsp_dsp_units_tpu.models.util.latency_detector import LatencyDetector  # noqa: F401
+from lsp_dsp_units_tpu.models.util.response_taker import ResponseTaker  # noqa: F401
+from lsp_dsp_units_tpu.models.util.sync_chirp import SyncChirpProcessor  # noqa: F401

@@ -1,0 +1,76 @@
+"""3D acoustic raytracer tests: box room physics sanity."""
+
+import numpy as np
+import pytest
+
+from lsp_dsp_units_tpu.models.threed import (
+    Scene3D, box_room, Material, RayTrace3D, Source, Capture, MicPattern)
+from lsp_dsp_units_tpu.models.threed.raytrace import SPEED_OF_SOUND
+
+SR = 48000
+
+
+def test_box_room_ir():
+    scene = box_room((6.0, 4.0, 3.0), Material(absorption=0.4))
+    rt = RayTrace3D(scene, SR, ir_length_s=0.3, rays=2048, max_bounces=15,
+                    seed=1)
+    rt.add_source(Source(np.array([2.0, 2.0, 1.5], np.float32)))
+    rt.add_capture(Capture(np.array([4.0, 2.0, 1.5], np.float32)))
+    ir = rt.process()
+    assert ir.channels == 1
+    e = ir.data[0]
+    assert e.sum() > 0
+    # earliest arrival cannot beat the direct path (2 m)
+    direct_bin = int(2.0 / SPEED_OF_SOUND * SR)
+    first = int(np.nonzero(e)[0][0])
+    assert first >= direct_bin - 2
+    assert first <= direct_bin + int(0.01 * SR)  # within 10 ms of direct
+    # energy decays over time (reverberant tail)
+    early = e[: SR // 20].sum()
+    late = e[SR // 5:].sum()
+    assert early > late
+    assert rt.progress == 1.0
+    assert rt.stats["rays_traced"] == 2048
+
+
+def test_absorption_shortens_reverb():
+    def total_late_energy(absorption):
+        scene = box_room((5.0, 4.0, 3.0), Material(absorption=absorption))
+        rt = RayTrace3D(scene, SR, ir_length_s=0.25, rays=512,
+                        max_bounces=25, seed=2)
+        rt.add_source(Source(np.array([1.5, 1.5, 1.0], np.float32)))
+        rt.add_capture(Capture(np.array([3.5, 2.5, 2.0], np.float32)))
+        ir = rt.process()
+        return ir.data[0][SR // 10:].sum()
+
+    assert total_late_energy(0.8) < total_late_energy(0.1)
+
+
+def test_cardioid_rejects_rear():
+    scene = box_room((8.0, 8.0, 8.0), Material(absorption=0.95))
+    rt = RayTrace3D(scene, SR, ir_length_s=0.1, rays=1024, max_bounces=2,
+                    seed=3)
+    rt.add_source(Source(np.array([2.0, 4.0, 4.0], np.float32)))
+    # capture looks TOWARD the source (-x) vs AWAY
+    toward = Capture(np.array([6.0, 4.0, 4.0], np.float32),
+                     MicPattern.CARDIOID,
+                     np.array([-1.0, 0.0, 0.0], np.float32))
+    away = Capture(np.array([6.0, 4.0, 4.0], np.float32),
+                   MicPattern.CARDIOID,
+                   np.array([1.0, 0.0, 0.0], np.float32))
+    rt.add_capture(toward)
+    rt.add_capture(away)
+    ir = rt.process()
+    direct_bin = int(4.0 / SPEED_OF_SOUND * SR)
+    w = slice(max(0, direct_bin - 5), direct_bin + 5)
+    assert ir.data[0][w].sum() > ir.data[1][w].sum() * 3
+
+
+def test_obj_roundtrip(tmp_path):
+    p = str(tmp_path / "tri.obj")
+    with open(p, "w") as fh:
+        fh.write("o quad\nv 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+    scene = Scene3D.load_obj(p)
+    tri, mat, nrm = scene.flatten()
+    assert tri.shape == (2, 3, 3)      # quad fan-triangulated
+    np.testing.assert_allclose(np.abs(nrm[:, 2]), 1.0)
