@@ -110,10 +110,30 @@ class Gate:
                               curve=new_cur)
             return new_s, (new_e, new_cur)
 
-        xs = jnp.moveaxis(x, -1, 0)
-        state, (es, curves) = jax.lax.scan(step, state, xs)
-        env = jnp.moveaxis(es, 0, -1)
-        curves = jnp.moveaxis(curves, 0, -1)
+        t = x.shape[-1]
+        u = 16 if t % 16 == 0 else 1
+        if u == 1:
+            xs = jnp.moveaxis(x, -1, 0)
+            state, (es, curves) = jax.lax.scan(step, state, xs)
+            env = jnp.moveaxis(es, 0, -1)
+            curves = jnp.moveaxis(curves, 0, -1)
+        else:
+            # unroll u samples per scan step (dispatch overhead dominates)
+            xc = jnp.moveaxis(
+                x.reshape(x.shape[:-1] + (t // u, u)), (-2, -1), (0, 1))
+
+            def chunk(s, xu):
+                es_l, cv_l = [], []
+                for i in range(u):
+                    s, (e, c) = step(s, xu[i])
+                    es_l.append(e)
+                    cv_l.append(c)
+                return s, (jnp.stack(es_l, 0), jnp.stack(cv_l, 0))
+
+            state, (es, curves) = jax.lax.scan(chunk, state, xc)
+            env = jnp.moveaxis(es.reshape((t,) + x.shape[:-1]), 0, -1)
+            curves = jnp.moveaxis(curves.reshape((t,) + x.shape[:-1]),
+                                  0, -1)
         g0 = dyn.gate_x1_gain(k0, env)
         g1 = dyn.gate_x1_gain(k1, env)
         gain = jnp.where(curves == 0, g0, g1)

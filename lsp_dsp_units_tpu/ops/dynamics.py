@@ -49,7 +49,7 @@ def env_init(batch_shape: Tuple[int, ...] = (), dtype=jnp.float32) -> EnvState:
 
 
 def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
-                  hold_samples, release_thresh=None,
+                  hold_samples, release_thresh=None, unroll: int = 16,
                   ) -> Tuple[EnvState, Array]:
     """Branchy attack/release follower with peak-hold
     (exact scan form of reference Compressor.cpp:231-256 /
@@ -57,6 +57,11 @@ def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
 
     ``x``: [..., T] (the detector signal, usually abs or sidechain level).
     Returns (state', envelope [..., T]).
+
+    The recurrence is data-dependent on its own state, so it stays a
+    ``lax.scan`` — but per-step dispatch overhead dominates on TPU, so
+    the scan body processes ``unroll`` samples per step (same math,
+    unrolled in the trace).
     """
     ta = jnp.asarray(tau_attack, x.dtype)
     tr = jnp.asarray(tau_release, x.dtype)
@@ -64,7 +69,7 @@ def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
     rt = None if release_thresh is None else jnp.asarray(release_thresh,
                                                          x.dtype)
 
-    def step(s: EnvState, xt):
+    def one(s: EnvState, xt):
         e, peak, hold = s.envelope, s.peak, s.hold
         d = xt - e
         falling = d < 0.0
@@ -87,9 +92,28 @@ def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
                              jnp.where(rise_peaked, nh, hold))
         return EnvState(new_e, new_peak, new_hold), new_e
 
-    xs = jnp.moveaxis(x, -1, 0)
-    state, es = jax.lax.scan(step, state, xs)
-    return state, jnp.moveaxis(es, 0, -1)
+    t = x.shape[-1]
+    u = unroll if (unroll > 1 and t % unroll == 0) else 1
+
+    if u == 1:
+        xs = jnp.moveaxis(x, -1, 0)
+        state, es = jax.lax.scan(one, state, xs)
+        return state, jnp.moveaxis(es, 0, -1)
+
+    # [..., T] -> [T/u, u, ...] chunks; unroll u iterations per scan step
+    xc = jnp.moveaxis(x.reshape(x.shape[:-1] + (t // u, u)), (-2, -1),
+                      (0, 1))
+
+    def chunk(s: EnvState, xu):
+        outs = []
+        for i in range(u):
+            s, e = one(s, xu[i])
+            outs.append(e)
+        return s, jnp.stack(outs, 0)
+
+    state, es = jax.lax.scan(chunk, state, xc)   # es: [T/u, u, ...]
+    es = jnp.moveaxis(es.reshape((t,) + x.shape[:-1]), 0, -1)
+    return state, es
 
 
 def onepole_lowpass(state: Array, x: Array, k) -> Tuple[Array, Array]:
