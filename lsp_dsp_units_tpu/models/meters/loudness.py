@@ -105,7 +105,10 @@ class LoudnessMeter:
         reference LoudnessMeter.cpp:478-486)."""
         t = x.shape[-1]
         if self._coeffs.shape[0]:
-            y, flt = biquad_ops.biquad_cascade(self._coeffs, state.flt, x)
+            # sequential path: K-weighting's 38 Hz pole loses ~40 dB in
+            # the f32 associative scan (measured); seq holds ~80 dB
+            y, flt = biquad_ops.biquad_cascade_seq(self._coeffs,
+                                                   state.flt, x)
         else:
             y, flt = x, state.flt
         sq = y * y
@@ -196,7 +199,8 @@ class ILUFSMeter:
         assert t % self.blk_size == 0, (t, self.blk_size)
         m = t // self.blk_size
         if self._coeffs.shape[0]:
-            y, flt = biquad_ops.biquad_cascade(self._coeffs, state.flt, x)
+            y, flt = biquad_ops.biquad_cascade_seq(self._coeffs,
+                                                   state.flt, x)
         else:
             y, flt = x, state.flt
         sq = (y * y).reshape(self.channels, m, self.blk_size)

@@ -136,13 +136,18 @@ def biquad_cascade(coeffs: Array, state: Array, x: Array,
 
 
 def biquad_cascade_seq(coeffs: Array, state: Array, x: Array,
-                       ) -> Tuple[Array, Array]:
+                       unroll: int = 16) -> Tuple[Array, Array]:
     """Sequential (lax.scan) path: exact per-sample DF2T order.
 
-    Slower on TPU; used for validation and for tiny blocks where the
-    associative scan's O(T log T) work does not pay off.
+    Numerically the reference's own behavior class (~80 dB vs float64 for
+    near-unit poles, where the f32 associative scan drops to ~40 dB);
+    used where block alignment for the block-FFT path is unavailable.
+    The scan body unrolls ``unroll`` samples per step (TPU per-step
+    dispatch dominates otherwise).
     """
     k = coeffs.shape[-2]
+    if x.shape[-1] == 0:
+        return x, state
 
     def step(s, xt):
         y = xt
@@ -158,9 +163,26 @@ def biquad_cascade_seq(coeffs: Array, state: Array, x: Array,
             y = yi
         return jnp.stack(new_s, axis=-2), y
 
-    xs = jnp.moveaxis(x, -1, 0)
-    state, ys = jax.lax.scan(step, state, xs)
-    return jnp.moveaxis(ys, 0, -1), state
+    t = x.shape[-1]
+    u = unroll if (unroll > 1 and t % unroll == 0) else 1
+    if u == 1:
+        xs = jnp.moveaxis(x, -1, 0)
+        state, ys = jax.lax.scan(step, state, xs)
+        return jnp.moveaxis(ys, 0, -1), state
+
+    xc = jnp.moveaxis(x.reshape(x.shape[:-1] + (t // u, u)), (-2, -1),
+                      (0, 1))
+
+    def chunk(s, xu):
+        outs = []
+        for i in range(u):
+            s, y = step(s, xu[i])
+            outs.append(y)
+        return s, jnp.stack(outs, 0)
+
+    state, ys = jax.lax.scan(chunk, state, xc)
+    ys = jnp.moveaxis(ys.reshape((t,) + x.shape[:-1]), 0, -1)
+    return ys, state
 
 
 def dyn_biquad_cascade(coeffs: Array, state: Array, x: Array,

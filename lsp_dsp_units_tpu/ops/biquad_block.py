@@ -150,3 +150,165 @@ def cascade_block(params: BlockBiquadParams, state: Array, x: Array,
             y = jnp.moveaxis(y_out, 0, -2).reshape(x.shape).astype(x.dtype)
         new_states.append(s)
     return y, jnp.stack(new_states, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-cascade block execution: ONE FFT convolution + MXU matmuls
+# ---------------------------------------------------------------------------
+
+
+class FusedCascadeParams(NamedTuple):
+    """Whole-cascade block kernels: the serial K-stage cascade collapses
+    into one composite FFT convolution plus linear state coupling.
+
+    Derivation: within a block every signal is linear in (x, s_in), so
+      y     = conv(x, h_total)[:B] + G @ vec(s_in)
+      s_out = M @ vec(s_in)        + W @ x
+    with h_total the composite cascade IR over the block, G the
+    state->output responses propagated through downstream stages, W the
+    input->state responses through upstream stages, and M the 2Kx2K
+    inter-stage state coupling — ALL precomputed in float64 on the host.
+    Runtime cost per block: one rfft/irfft pair + two matmuls (vs K FFT
+    pairs for the per-stage path)."""
+    h_re: Array       # [F] composite spectrum (split-complex)
+    h_im: Array       # [F]
+    g_mat: Array      # [B, 2K] state -> output
+    w_mat: Array      # [2K, B] input -> state
+    m_mat: Array      # [2K, 2K] state -> state
+
+
+def precompute_fused(coeffs: np.ndarray, block: int) -> FusedCascadeParams:
+    coeffs = np.asarray(coeffs, np.float64)
+    k = coeffs.shape[0]
+    b = int(block)
+
+    def run_cascade(x, stages):
+        y = x
+        for (b0, b1, b2, a1, a2) in stages:
+            s1 = s2 = 0.0
+            out = np.empty_like(y)
+            for n in range(b):
+                v = b0 * y[n] + s1
+                s1 = b1 * y[n] + a1 * v + s2
+                s2 = b2 * y[n] + a2 * v
+                out[n] = v
+            y = out
+        return y
+
+    delta = np.zeros(b)
+    delta[0] = 1.0
+    # prefix composite IRs: h_prefix[j] = IR of stages 0..j-1
+    h_prefix = [delta.copy()]
+    for j in range(k):
+        h_prefix.append(run_cascade(h_prefix[-1], [coeffs[j]]))
+    h_total = h_prefix[k]
+    # mid IRs between stages (h_{a..b-1}) derived on demand via
+    # deconvolution-free recomputation: IR of stages a..c =
+    # run stages a..c on delta
+    mid_cache = {}
+
+    def h_mid(a, c):  # IR of stages a..c inclusive; a > c -> delta
+        if a > c:
+            return delta
+        key = (a, c)
+        if key not in mid_cache:
+            mid_cache[key] = run_cascade(delta, list(coeffs[a:c + 1]))
+        return mid_cache[key]
+
+    # per-stage power tables
+    p1 = np.zeros((k, b, 2))
+    v_ker = np.zeros((k, b, 2))
+    a_pow = np.zeros((k, 2, 2))
+    for i, (b0, b1, b2, a1, a2) in enumerate(coeffs):
+        A = np.array([[a1, 1.0], [a2, 0.0]])
+        u = np.array([b1 + a1 * b0, b2 + a2 * b0])
+        powers = np.zeros((b + 1, 2, 2))
+        powers[0] = np.eye(2)
+        for n in range(1, b + 1):
+            powers[n] = A @ powers[n - 1]
+        p1[i] = powers[:b, 0, :]
+        v_ker[i] = np.einsum("nij,j->ni", powers[b - 1::-1], u)
+        a_pow[i] = powers[b]
+
+    def corr_with(v2, h):
+        """[B,2] kernel correlated with IR h: out[:, n] = sum_m
+        v2[m] * h[m - n]  -> [2, B]."""
+        out = np.zeros((2, b))
+        for c in range(2):
+            out[c] = np.convolve(v2[:, c][::-1], h)[:b][::-1]
+        return out
+
+    # G: state of stage j -> output through stages j+1..K-1
+    g_mat = np.zeros((b, 2 * k))
+    for j in range(k):
+        h_down = h_mid(j + 1, k - 1)
+        for c in range(2):
+            g_mat[:, 2 * j + c] = np.convolve(p1[j][:, c], h_down)[:b]
+    # W: input -> state of stage i through stages 0..i-1
+    w_mat = np.zeros((2 * k, b))
+    for i in range(k):
+        w_mat[2 * i: 2 * i + 2, :] = corr_with(v_ker[i], h_prefix[i])
+    # M: state couplings
+    m_mat = np.zeros((2 * k, 2 * k))
+    for i in range(k):
+        m_mat[2 * i: 2 * i + 2, 2 * i: 2 * i + 2] = a_pow[i]
+        for j in range(i):
+            # s_j,in -> y_zi_j -> through stages j+1..i-1 -> state i
+            h_m = h_mid(j + 1, i - 1)
+            for c in range(2):
+                gj = np.convolve(p1[j][:, c], h_m)[:b]   # signal at stage i in
+                contrib = v_ker[i].T @ gj                 # [2]
+                m_mat[2 * i: 2 * i + 2, 2 * j + c] = contrib
+
+    hs = np.fft.rfft(h_total, 2 * b)
+    return FusedCascadeParams(
+        h_re=jnp.asarray(hs.real, jnp.float32),
+        h_im=jnp.asarray(hs.imag, jnp.float32),
+        g_mat=jnp.asarray(g_mat, jnp.float32),
+        w_mat=jnp.asarray(w_mat, jnp.float32),
+        m_mat=jnp.asarray(m_mat, jnp.float32))
+
+
+def fused_block_size(params: FusedCascadeParams) -> int:
+    return params.h_re.shape[-1] - 1
+
+
+def cascade_block_fused(params: FusedCascadeParams, state: Array,
+                        x: Array) -> Tuple[Array, Array]:
+    """Fused cascade execution: x [..., T] (T multiple of B), state
+    [..., K, 2] -> (y, state')."""
+    b = fused_block_size(params)
+    k = params.g_mat.shape[-1] // 2
+    t = x.shape[-1]
+    assert t % b == 0, (t, b)
+    m = t // b
+    sv = state.reshape(state.shape[:-2] + (2 * k,))
+
+    if m == 1:
+        spec_r = jnp.fft.rfft(x, 2 * b, axis=-1)
+        pr = jnp.real(spec_r) * params.h_re - jnp.imag(spec_r) * params.h_im
+        pi = jnp.real(spec_r) * params.h_im + jnp.imag(spec_r) * params.h_re
+        y_zs = jnp.fft.irfft(jax.lax.complex(pr, pi), 2 * b,
+                             axis=-1)[..., :b]
+        y = y_zs + jnp.einsum("bk,...k->...b", params.g_mat, sv)
+        sv2 = (jnp.einsum("kj,...j->...k", params.m_mat, sv)
+               + jnp.einsum("kb,...b->...k", params.w_mat, x))
+        return y.astype(x.dtype), sv2.reshape(state.shape)
+
+    blocks = jnp.moveaxis(x.reshape(x.shape[:-1] + (m, b)), -2, 0)
+    spec = jnp.fft.rfft(blocks, 2 * b, axis=-1)
+    pr = jnp.real(spec) * params.h_re - jnp.imag(spec) * params.h_im
+    pi = jnp.real(spec) * params.h_im + jnp.imag(spec) * params.h_re
+    y_zs = jnp.fft.irfft(jax.lax.complex(pr, pi), 2 * b,
+                         axis=-1)[..., :b]                # [M, ..., B]
+    wx = jnp.einsum("kb,m...b->m...k", params.w_mat, blocks)
+
+    def step(s, inp):
+        zs, wxi = inp
+        y_blk = zs + jnp.einsum("bk,...k->...b", params.g_mat, s)
+        s2 = jnp.einsum("kj,...j->...k", params.m_mat, s) + wxi
+        return s2, y_blk
+
+    sv2, y_out = jax.lax.scan(step, sv, (y_zs, wx))
+    y = jnp.moveaxis(y_out, 0, -2).reshape(x.shape).astype(x.dtype)
+    return y, sv2.reshape(state.shape)

@@ -60,7 +60,7 @@ def default_eq_params(sample_rate: int):
 
 class ChainParams(NamedTuple):
     eq_coeffs: Array                 # [K, 5] (raw biquads, for analysis)
-    eq_block: biquad_block.BlockBiquadParams
+    eq_block: biquad_block.FusedCascadeParams
     h_spectra: fftconv.Spectra       # [P, F] split-complex
     comp: CompressorParams
 
@@ -105,7 +105,7 @@ class FilterConvChain:
              for p in default_eq_params(self.sample_rate)], axis=0)
         return ChainParams(
             eq_coeffs=jnp.asarray(eq, jnp.float32),
-            eq_block=biquad_block.precompute(eq, self.block),
+            eq_block=biquad_block.precompute_fused(eq, self.block),
             h_spectra=fftconv.parse_ir(jnp.asarray(self.ir), self.block),
             comp=self.compressor.build())
 
@@ -122,7 +122,8 @@ class FilterConvChain:
     def step(self, params: ChainParams, state: ChainState, x: Array,
              ) -> Tuple[ChainState, Array]:
         """x: [C, T], T a multiple of self.block."""
-        y, eq_st = biquad_block.cascade_block(params.eq_block, state.eq, x)
+        y, eq_st = biquad_block.cascade_block_fused(params.eq_block,
+                                                    state.eq, x)
         fdl_st, y = fftconv.fdl_process(params.h_spectra, state.fdl, y)
         sc_st, level = self.sidechain.process(state.sc, y)
         env_st, gain, _ = self.compressor.process(params.comp, state.env,

@@ -74,8 +74,8 @@ def test_filter_conv_chain_snr():
     # golden: filter + convolution only — rebuild the chain without the
     # dynamics stage for the SNR comparison
     state2 = chain.init_state(params)
-    y_eq, _ = biquad_block.cascade_block(params.eq_block, state2.eq,
-                                         jnp.asarray(x))
+    y_eq, _ = biquad_block.cascade_block_fused(params.eq_block, state2.eq,
+                                               jnp.asarray(x))
     _, y_conv = fftconv.fdl_process(params.h_spectra, state2.fdl, y_eq)
     y_conv = np.asarray(y_conv)
 
