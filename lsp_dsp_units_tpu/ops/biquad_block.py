@@ -43,6 +43,25 @@ class BlockBiquadParams(NamedTuple):
     a_pow: Array     # [K, 2, 2] float32 — A^B
 
 
+def _run_stage(x: np.ndarray, stage) -> np.ndarray:
+    """One biquad stage over a float64 buffer (scipy lfilter when
+    available, else a python loop)."""
+    b0, b1, b2, a1, a2 = (float(v) for v in stage)
+    try:
+        from scipy.signal import lfilter
+        return lfilter([b0, b1, b2], [1.0, -a1, -a2],
+                       np.asarray(x, np.float64))
+    except Exception:
+        out = np.empty(len(x))
+        s1 = s2 = 0.0
+        for n, xn in enumerate(np.asarray(x, np.float64)):
+            y = b0 * xn + s1
+            s1 = b1 * xn + a1 * y + s2
+            s2 = b2 * xn + a2 * y
+            out[n] = y
+        return out
+
+
 def precompute(coeffs: np.ndarray, block: int) -> BlockBiquadParams:
     """Precompute block kernels from ``[K, 5]`` biquads (float64 host math).
 
@@ -60,15 +79,7 @@ def precompute(coeffs: np.ndarray, block: int) -> BlockBiquadParams:
         A = np.array([[a1, 1.0], [a2, 0.0]])
         u = np.array([b1 + a1 * b0, b2 + a2 * b0])
         # stage impulse response over the block (sequential f64 — cheap)
-        h = np.zeros(b)
-        s1 = s2 = 0.0
-        x = 1.0
-        for n in range(b):
-            y = b0 * x + s1
-            s1 = b1 * x + a1 * y + s2
-            s2 = b2 * x + a2 * y
-            h[n] = y
-            x = 0.0
+        h = _run_stage(np.eye(1, b, 0)[0], (b0, b1, b2, a1, a2))
         hs = np.fft.rfft(h, 2 * b)
         h_re[i] = hs.real.astype(np.float32)
         h_im[i] = hs.imag.astype(np.float32)
@@ -183,16 +194,9 @@ def precompute_fused(coeffs: np.ndarray, block: int) -> FusedCascadeParams:
     b = int(block)
 
     def run_cascade(x, stages):
-        y = x
-        for (b0, b1, b2, a1, a2) in stages:
-            s1 = s2 = 0.0
-            out = np.empty_like(y)
-            for n in range(b):
-                v = b0 * y[n] + s1
-                s1 = b1 * y[n] + a1 * v + s2
-                s2 = b2 * y[n] + a2 * v
-                out[n] = v
-            y = out
+        y = np.asarray(x, np.float64)
+        for stage in stages:
+            y = _run_stage(y, stage)
         return y
 
     delta = np.zeros(b)

@@ -37,6 +37,7 @@ from lsp_dsp_units_tpu.models.util.sidechain import (
 from lsp_dsp_units_tpu.parallel import mesh as pmesh
 from lsp_dsp_units_tpu.parallel.halo import fir_conv_time_sharded
 from lsp_dsp_units_tpu.parallel.time_iir import biquad_cascade_time_sharded
+from lsp_dsp_units_tpu.parallel.fused_iir import fused_cascade_time_sharded
 
 Array = jax.Array
 
@@ -141,9 +142,10 @@ class FilterConvChain:
         chain = self
 
         def local_step(state: ChainState, x: Array):
-            # EQ: exact IIR across time shards (affine summary exchange)
-            y, eq_st = biquad_cascade_time_sharded(
-                params.eq_coeffs, state.eq, x, pmesh.TIME_AXIS)
+            # EQ: exact IIR across time shards via the fused block kernel
+            # (f64-precomputed transitions; ~120 dB like the local path)
+            y, eq_st = fused_cascade_time_sharded(
+                params.eq_block, state.eq, x, pmesh.TIME_AXIS)
             # Convolver: halo FIR over the time axis (stateless within the
             # super-block; the FDL state is refreshed from the halo)
             y = fir_conv_time_sharded(params.h_spectra, chain.block, y,

@@ -129,3 +129,33 @@ def test_chan_sharded_chain():
     y_ref, _ = biquad.biquad_cascade(c, biquad.init_state(2, (8,)),
                                      jnp.asarray(x))
     assert snr_db(y, np.asarray(y_ref)) > 120.0
+
+
+def test_time_sharded_fused_cascade_exact():
+    """Fused cascade over a time-sharded axis == unsharded fused."""
+    from lsp_dsp_units_tpu.ops import biquad_block
+    from lsp_dsp_units_tpu.parallel.fused_iir import (
+        fused_cascade_time_sharded)
+
+    rng = np.random.default_rng(7)
+    coeffs = _stable_biquads(rng, 3)
+    block = 128
+    fp = biquad_block.precompute_fused(coeffs, block)
+    x = rng.normal(size=(2, 8 * 512)).astype(np.float32)
+
+    st = biquad_block.init_state(3, (2,))
+    y_ref, s_ref = biquad_block.cascade_block_fused(fp, st, jnp.asarray(x))
+
+    m = pmesh.make_mesh(chan=1, time=8)
+
+    def f(x_sh):
+        st = biquad_block.init_state(3, (x_sh.shape[0],))
+        return fused_cascade_time_sharded(fp, st, x_sh, pmesh.TIME_AXIS)
+
+    g = jax.jit(shard_map(
+        f, mesh=m, in_specs=P(None, pmesh.TIME_AXIS),
+        out_specs=(P(None, pmesh.TIME_AXIS), P(None)), check_vma=False))
+    y, s = g(jnp.asarray(x))
+    assert snr_db(np.asarray(y), np.asarray(y_ref)) > 100.0
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=1e-3, atol=1e-5)
