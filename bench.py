@@ -74,7 +74,7 @@ def run_once(rank: int, blocks_per_step: int, iters: int):
     }
 
 
-CONFIGS = ((14, 6, 10), (14, 1, 20), (12, 2, 20))
+CONFIGS = ((14, 1, 20), (12, 2, 20), (11, 1, 20))
 
 
 def main() -> None:

@@ -49,7 +49,7 @@ def env_init(batch_shape: Tuple[int, ...] = (), dtype=jnp.float32) -> EnvState:
 
 
 def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
-                  hold_samples, release_thresh=None, unroll: int = 32,
+                  hold_samples, release_thresh=None, unroll: int = 16,
                   ) -> Tuple[EnvState, Array]:
     """Branchy attack/release follower with peak-hold
     (exact scan form of reference Compressor.cpp:231-256 /

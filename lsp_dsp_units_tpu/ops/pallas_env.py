@@ -1,0 +1,106 @@
+"""Pallas TPU kernel for the peak-hold envelope follower.
+
+The envelope recurrence (reference Compressor.cpp:231-256) is the one
+truly sequential per-sample loop on the hot path.  As a ``lax.scan`` it
+pays XLA per-step dispatch; as a single Pallas kernel the whole T-loop
+runs inside one Mosaic program with the state resident in registers/VMEM
+and channels vectorized across lanes.
+
+Layout: x is processed as [T, C_pad] (time on sublanes, channels on
+lanes, C padded to 128); parameters arrive via SMEM so knob changes do
+not recompile the kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_LANES = 128
+
+
+def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref):
+    ta = params_ref[0, 0]
+    tr = params_ref[0, 1]
+    rt = params_ref[0, 2]
+    nh = params_ref[0, 3]
+    use_rt = params_ref[0, 4]
+    t_total = x_ref.shape[0]
+
+    def body(t, carry):
+        e, peak, hold = carry
+        xt = x_ref[t, :]
+        d = xt - e
+        falling = d < 0.0
+        holding = hold > 0.0
+        tau_dn = jnp.where(use_rt > 0.5,
+                           jnp.where(e > rt, tr, ta), tr)
+        e_fall = e + tau_dn * d
+        e_rise = e + ta * d
+        new_e = jnp.where(falling, jnp.where(holding, e, e_fall), e_rise)
+        rise_peaked = jnp.logical_and(~falling, e_rise >= peak)
+        new_peak = jnp.where(falling, jnp.where(holding, peak, e_fall),
+                             jnp.where(rise_peaked, e_rise, peak))
+        new_hold = jnp.where(falling,
+                             jnp.where(holding, hold - 1.0, hold),
+                             jnp.where(rise_peaked, nh, hold))
+        env_ref[t, :] = new_e
+        return new_e, new_peak, new_hold
+
+    init = (s_ref[0, :], s_ref[1, :], s_ref[2, :])
+    e, p, h = jax.lax.fori_loop(0, t_total, body, init)
+    sout_ref[0, :] = e
+    sout_ref[1, :] = p
+    sout_ref[2, :] = h
+
+
+def peak_envelope_pallas(env_state, x: Array, tau_attack, tau_release,
+                         hold_samples, release_thresh=None,
+                         interpret: bool = False):
+    """Drop-in for ops.dynamics.peak_envelope on 2D [C, T] inputs.
+
+    Returns (EnvState', env [C, T]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from lsp_dsp_units_tpu.ops.dynamics import EnvState
+
+    c, t = x.shape
+    c_pad = -(-c // _LANES) * _LANES
+    xt = jnp.zeros((t, c_pad), jnp.float32)
+    xt = jax.lax.dynamic_update_slice(xt, x.T.astype(jnp.float32), (0, 0))
+    s = jnp.zeros((4, c_pad), jnp.float32)
+    s = s.at[0, :c].set(env_state.envelope)
+    s = s.at[1, :c].set(env_state.peak)
+    s = s.at[2, :c].set(env_state.hold.astype(jnp.float32))
+    zero = jnp.float32(0.0)
+    params = jnp.stack([
+        jnp.asarray(tau_attack, jnp.float32),
+        jnp.asarray(tau_release, jnp.float32),
+        zero if release_thresh is None
+        else jnp.asarray(release_thresh, jnp.float32),
+        jnp.asarray(hold_samples, jnp.float32),
+        jnp.float32(0.0 if release_thresh is None else 1.0),
+        zero, zero, zero]).reshape(1, 8)
+
+    env_t, s_out = pl.pallas_call(
+        _kernel,
+        out_shape=(jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((4, c_pad), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(params, xt, s)
+
+    new_state = EnvState(
+        envelope=s_out[0, :c], peak=s_out[1, :c],
+        hold=s_out[2, :c].astype(jnp.int32))
+    return new_state, env_t[:, :c].T

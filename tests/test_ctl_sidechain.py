@@ -1,0 +1,134 @@
+"""ctl units and Sidechain modes (reference utest counterparts:
+utest/util/{counter,crossfade,sidechain}.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsp_dsp_units_tpu.models.ctl import (Bypass, Counter, Toggle, Blink,
+                                          Crossfade)
+from lsp_dsp_units_tpu.models.util.sidechain import (Sidechain,
+                                                     SidechainMode,
+                                                     SidechainSource,
+                                                     select_source)
+from lsp_dsp_units_tpu.utils.units import snr_db
+
+SR = 48000
+
+
+def test_counter():
+    c = Counter(SR, frequency=100.0)   # fires every 480 samples
+    fires = 0
+    for _ in range(10):
+        c.submit(480)
+        if c.commit():
+            fires += 1
+    assert fires == 10
+    # partial blocks accumulate
+    c2 = Counter(SR, frequency=100.0)
+    c2.submit(479)
+    assert not c2.commit()
+    c2.submit(1)
+    assert c2.commit()
+
+
+def test_toggle():
+    t = Toggle()
+    assert not t.submit(0.0)
+    t.submit(1.0)
+    assert t.pending()
+    assert t.commit()            # latches on
+    t.submit(0.0)
+    assert not t.commit()
+
+
+def test_blink():
+    b = Blink(SR, time_s=0.01)   # 480 samples
+    assert b.process(100) == 0.0
+    b.blink()
+    assert b.process(100) == 1.0
+    assert b.process(480) == 1.0
+    assert b.process(100) == 0.0
+
+
+def test_bypass_ramp():
+    bp = Bypass(SR, time_ms=1.0)  # 48-sample ramp
+    st = bp.init_state()
+    dry = jnp.zeros(200, jnp.float32)
+    wet = jnp.ones(200, jnp.float32)
+    st, y = bp.process(st, dry, wet)
+    np.testing.assert_allclose(np.asarray(y), 1.0)   # wet by default
+    st = bp.set_bypass(st, True)
+    st, y = bp.process(st, dry, wet)
+    y = np.asarray(y)
+    assert y[0] > 0.9 and y[-1] == 0.0               # ramped to dry
+    assert np.all(np.diff(y[:48]) <= 1e-6)           # monotone ramp
+
+
+def test_crossfade():
+    cf = Crossfade(SR, time_s=100 / SR)  # 100-sample fade
+    st = cf.init_state()
+    a = jnp.ones(200, jnp.float32)        # fade out
+    b = jnp.full(200, 2.0, jnp.float32)   # fade in
+    st = cf.toggle(st)
+    st, y = cf.process(st, a, b, 200)
+    y = np.asarray(y)
+    assert abs(y[0] - 1.0) < 0.05
+    assert abs(y[-1] - 2.0) < 1e-5
+    assert not bool(cf.active(st))
+
+
+def test_sidechain_source_select():
+    l = jnp.asarray([1.0, -1.0, 0.5])
+    r = jnp.asarray([0.5, 0.5, -0.5])
+    np.testing.assert_allclose(
+        np.asarray(select_source(l, r, SidechainSource.MIDDLE)),
+        [0.75, 0.25, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(select_source(l, r, SidechainSource.SIDE)),
+        [0.25, 0.75, 0.5])
+    np.testing.assert_allclose(
+        np.asarray(select_source(l, r, SidechainSource.AMIN)),
+        [0.5, 0.5, 0.5])
+    np.testing.assert_allclose(
+        np.asarray(select_source(l, r, SidechainSource.AMAX)),
+        [1.0, 1.0, 0.5])
+
+
+def golden_rms(x, n):
+    """Float64 sliding RMS over trailing window n."""
+    sq = np.concatenate([np.zeros(n), np.asarray(x, np.float64) ** 2])
+    out = np.empty(x.size)
+    acc = 0.0
+    for i in range(x.size):
+        acc += sq[n + i] - sq[i]
+        out[i] = np.sqrt(max(acc, 0.0) / n)
+    return out
+
+
+def test_sidechain_rms_golden():
+    sc = Sidechain(SR, SidechainMode.RMS, reactivity_ms=5.0)
+    rng = np.random.default_rng(0)
+    x = np.abs(rng.standard_normal(4096)).astype(np.float32)
+    st = sc.init_state()
+    st, y = sc.process(st, jnp.asarray(x))
+    golden = golden_rms(x, sc.reactivity)
+    assert snr_db(np.asarray(y), golden) > 80.0
+    # streaming continuity
+    st = sc.init_state()
+    outs = []
+    for i in range(0, 4096, 512):
+        st, y = sc.process(st, jnp.asarray(x[i:i + 512]))
+        outs.append(np.asarray(y))
+    assert snr_db(np.concatenate(outs), golden) > 80.0
+
+
+def test_sidechain_modes_shapes():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
+    for mode in SidechainMode:
+        sc = Sidechain(SR, mode, reactivity_ms=3.0)
+        st = sc.init_state((4,))
+        st, y = sc.process(st, jnp.asarray(x))
+        assert y.shape == (4, 1024)
+        assert np.all(np.asarray(y) >= 0.0), mode

@@ -159,3 +159,34 @@ def test_time_sharded_fused_cascade_exact():
     assert snr_db(np.asarray(y), np.asarray(y_ref)) > 100.0
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_global_meters_psum():
+    """psum-based global meters over a time-sharded signal equal the
+    unsharded computation (SURVEY §2.12: all-reduce only for meters)."""
+    from lsp_dsp_units_tpu.parallel.meters import (
+        global_mean_square, global_true_peak, global_correlation)
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 8 * 256)).astype(np.float32)
+    y = rng.standard_normal((2, 8 * 256)).astype(np.float32)
+    m = pmesh.make_mesh(chan=1, time=8)
+
+    def f(xs, ys):
+        ms = global_mean_square(xs, pmesh.TIME_AXIS)
+        tp = global_true_peak(xs, pmesh.TIME_AXIS)
+        cor = global_correlation(xs, ys, pmesh.TIME_AXIS)
+        return ms, tp, cor
+
+    g = jax.jit(shard_map(
+        f, mesh=m,
+        in_specs=(P(None, pmesh.TIME_AXIS), P(None, pmesh.TIME_AXIS)),
+        out_specs=(P(None), P(None), P(None))))
+    ms, tp, cor = g(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(ms), (x ** 2).mean(-1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tp), np.abs(x).max(-1),
+                               rtol=1e-6)
+    ref_cor = (x * y).sum(-1) / np.sqrt((x ** 2).sum(-1)
+                                        * (y ** 2).sum(-1))
+    np.testing.assert_allclose(np.asarray(cor), ref_cor, rtol=1e-4)
