@@ -173,7 +173,12 @@ class Equalizer:
         if self.mode == EqMode.IIR:
             if params.coeffs.shape[0] == 0:
                 return state, x
-            y, iir = biquad_ops.biquad_cascade(params.coeffs, state.iir, x)
+            # sequential scan: multi-band cascades can include low
+            # frequency poles where the f32 assoc scan loses ~40 dB;
+            # block-aligned high-throughput users should run the fused
+            # kernel (ops.biquad_block) as the pipeline does
+            y, iir = biquad_ops.biquad_cascade_seq(params.coeffs,
+                                                   state.iir, x)
             return state._replace(iir=iir), y
         if self.mode in (EqMode.FIR, EqMode.FFT):
             return self._process_fir(params.conv_spec, state, x)

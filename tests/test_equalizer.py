@@ -30,7 +30,7 @@ def test_iir_mode_equals_cascade():
     x = rng.normal(size=1024).astype(np.float32)
     st = eq.init_state(p)
     st, y = eq.process(p, st, jnp.asarray(x))
-    y2, _ = biquad_ops.biquad_cascade(
+    y2, _ = biquad_ops.biquad_cascade_seq(
         p.coeffs, biquad_ops.init_state(p.coeffs.shape[0]), jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6,
                                atol=1e-7)
