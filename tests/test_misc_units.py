@@ -277,3 +277,47 @@ def test_randomizer_deterministic():
     np.testing.assert_array_equal(a, b)
     assert np.all((a >= 0.0) & (a < 1.0))
     assert np.unique(a).size > 60
+
+
+def test_unit_conversions_reference_formulas():
+    """Full units.h conversion vocabulary (units.h:34-393)."""
+    from lsp_dsp_units_tpu.utils import units as u
+    # gain/dB/power round trips
+    assert abs(u.db_to_gain(6.0205999) - 2.0) < 1e-6
+    assert abs(u.gain_to_db(u.db_to_gain(-17.3)) - (-17.3)) < 1e-9
+    assert abs(u.power_to_db(u.db_to_power(12.5)) - 12.5) < 1e-9
+    # LUFS anchors (EBU R128 -0.691 dB, LU 22.309)
+    assert abs(u.db_to_lufs(0.0) + 0.691) < 1e-12
+    assert abs(u.lufs_to_db(u.db_to_lufs(3.3)) - 3.3) < 1e-12
+    assert abs(u.gain_to_lu(1.0) - 22.309) < 1e-9
+    assert abs(u.lu_to_gain(u.gain_to_lu(0.42)) - 0.42) < 1e-9
+    assert abs(u.lufs_to_gain(-23.0) - u.db_to_gain(-23.0 + 0.691)) < 1e-12
+    # nepers
+    assert abs(u.db_to_neper(1.0) - u.NEPER_PER_DB) < 1e-12
+    assert abs(u.neper_to_db(u.db_to_neper(7.0)) - 7.0) < 1e-3
+    assert abs(u.gain_to_neper(u.neper_to_gain(0.5)) - 0.5) < 1e-4
+    assert abs(u.neper_to_lufs(u.lufs_to_neper(-14.0)) + 14.0) < 2e-3
+    # musical pitch
+    assert abs(u.midi_note_to_frequency(69) - 440.0) < 1e-9
+    assert abs(u.midi_note_to_frequency(57) - 220.0) < 1e-9
+    assert abs(float(u.frequency_to_note(440.0)) - 69.0) < 1e-9
+    assert abs(float(u.frequency_to_note(466.16)) - 70.0) < 5e-3
+    assert float(u.frequency_to_note(5.0)) == u.NOTE_OUT_OF_RANGE
+    assert float(u.frequency_to_note(30000.0)) == u.NOTE_OUT_OF_RANGE
+    assert abs(u.semitones_to_frequency_shift(12.0) - 2.0) < 1e-9
+    assert abs(u.frequency_shift_to_semitones(2.0) - 12.0) < 1e-9
+    # tempo: 1/4 note at 120 BPM = 2 Hz = 0.5 s
+    assert abs(u.time_signature_to_frequency(0.25, 120.0) - 2.0) < 1e-12
+    assert abs(u.time_signature_to_period(0.25, 120.0) - 0.5) < 1e-12
+    # time / distance
+    assert abs(u.seconds_to_samples(48000, 0.5) - 24000.0) < 1e-9
+    assert abs(u.samples_to_millis(48000, 480) - 10.0) < 1e-9
+    assert abs(u.millis_to_samples(48000, 10.0) - 480.0) < 1e-9
+    assert abs(u.hz_to_samples(48000, 100.0) - 480.0) < 1e-9
+    assert abs(u.samples_to_meters(48000, 340.29, 48000) - 340.29) < 1e-9
+    assert abs(u.samples_to_centimeters(48000, 340.0, 480) - 340.0) < 1e-6
+    # sound speed at 20 degC ~ 343.6 m/s (units.h:43-51 formula)
+    v = float(u.sound_speed(20.0))
+    assert 343.0 < v < 344.5
+    # at 0 degC ~ 331.4
+    assert 331.0 < float(u.sound_speed(0.0)) < 332.0
