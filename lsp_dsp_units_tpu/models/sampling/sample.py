@@ -27,6 +27,31 @@ class SampleNormalize(enum.Enum):
     ALWAYS = "always"
 
 
+class SampleCrossfade(enum.Enum):
+    """Chunk crossfade law for time-stretching
+    (reference sampling/types.h:67-78)."""
+    LINEAR = "linear"
+    CONST_POWER = "const_power"
+
+
+def _put_chunk(dst: np.ndarray, src: np.ndarray, doff: int, soff: int,
+               length: int, fade_in: int, fade_out: int,
+               fade: SampleCrossfade) -> None:
+    """Accumulate a source chunk into dst with fade ramps on its edges
+    (reference Sample.cpp:399-457).  Linear: ramp i/len; const-power:
+    sqrt of the linear ramp, so overlapped chunks keep unit power."""
+    w = np.ones(length, np.float32)
+    if fade_in > 0:
+        r = np.arange(fade_in, dtype=np.float32) / fade_in
+        w[:fade_in] = r
+    if fade_out > 0:
+        r = (fade_out - np.arange(fade_out, dtype=np.float32)) / fade_out
+        w[length - fade_out:] = r
+    if fade is SampleCrossfade.CONST_POWER:
+        w = np.sqrt(w)
+    dst[..., doff:doff + length] += src[..., soff:soff + length] * w
+
+
 class Sample:
     def __init__(self, channels: int = 0, length: int = 0,
                  sample_rate: int = 48000):
@@ -70,6 +95,30 @@ class Sample:
         self.data = np.concatenate([self.data, other], axis=1)
         return self
 
+    def prepend(self, samples: int) -> "Sample":
+        """Insert silence at the head (reference Sample.h:301)."""
+        return self.insert(0, samples)
+
+    def set_channels(self, channels: int) -> "Sample":
+        """Grow/shrink the channel count keeping existing data
+        (reference Sample.h:272); new channels are silent."""
+        c, n = self.data.shape
+        if channels <= c:
+            self.data = self.data[:channels].copy()
+        else:
+            self.data = np.concatenate(
+                [self.data, np.zeros((channels - c, n), np.float32)])
+        return self
+
+    def save_range(self, path: str, offset: int,
+                   count: Optional[int] = None) -> int:
+        """Save a sub-range to a WAV file, returning the number of
+        samples written (reference Sample.h:352-362)."""
+        count = self.length - offset if count is None else count
+        chunk = self.data[:, offset:offset + count]
+        wavio.write_wav(path, chunk, self.sample_rate)
+        return chunk.shape[1]
+
     def insert(self, pos: int, samples: int) -> "Sample":
         c = self.channels
         z = np.zeros((c, samples), np.float32)
@@ -82,10 +131,81 @@ class Sample:
             [self.data[:, :pos], self.data[:, pos + samples:]], axis=1)
         return self
 
-    def stretch(self, new_length: int, start: int = 0,
+    def stretch(self, new_length: int, chunk_size: int = 0,
+                fade_type: SampleCrossfade = SampleCrossfade.CONST_POWER,
+                fade_size: float = 0.5, start: int = 0,
                 end: Optional[int] = None) -> "Sample":
-        """Stretch the region [start, end) to a new length by Lanczos
-        resampling it (reference Sample::stretch semantics)."""
+        """Pitch-preserving time stretch of the region [start, end):
+        overlapping source chunks are laid onto the new timeline with
+        crossfades between them (reference Sample.cpp:523-613).
+
+        ``chunk_size=0`` selects the automatic size
+        ``src_length / (2 - fade_size/2)``; ``fade_size`` is the relative
+        crossfade fraction of a chunk in [0, 1].
+
+        Fade law: ``CONST_POWER`` keeps noise-like material at constant
+        power but can peak up to sqrt(2)x on coherent (tonal) content
+        when overlapped chunks land in phase; ``LINEAR`` bounds coherent
+        peaks at the input amplitude but dips power on uncorrelated
+        material.  (Same trade-off as the reference's put_chunk laws,
+        Sample.cpp:399-457.)"""
+        end = self.length if end is None else end
+        if start > self.length or end > self.length or start > end:
+            raise ValueError("bad stretch range")
+        src_length = end - start
+        if src_length == new_length:
+            return self
+
+        out = np.zeros((self.channels,
+                        self.length - src_length + new_length), np.float32)
+        out[:, :start] = self.data[:, :start]
+        out[:, start + new_length:] = self.data[:, end:]
+        dst = out[:, start:start + new_length]
+        src = self.data[:, start:end]
+
+        if src_length <= 1:
+            # degenerate region: hold the boundary value
+            # (reference do_simple_stretch, Sample.cpp:459-484)
+            dst[:] = src[:, :1] if src_length else 0.0
+            self.data = out
+            return self
+
+        # clamp per the reference: effective fade fraction in [0, 0.5]
+        fade_size = float(np.clip(fade_size * 0.5, 0.0, 0.5))
+        if chunk_size == 0:
+            chunk_size = int(src_length / (2.0 - fade_size))
+        else:
+            chunk_size = min(chunk_size, src_length)
+        fade_length = int(chunk_size * fade_size)
+
+        if new_length + fade_length <= chunk_size * 2:
+            # two chunks with one crossfade (Sample.cpp:486-521)
+            fade_length = min(fade_length, new_length)
+            c1 = (new_length + fade_length) >> 1
+            c2 = new_length - c1 + fade_length
+            _put_chunk(dst, src, 0, 0, c1, 0, fade_length, fade_type)
+            _put_chunk(dst, src, new_length - c2, src_length - c2, c2,
+                       fade_length, 0, fade_type)
+            self.data = out
+            return self
+
+        eff = chunk_size - fade_length
+        n_chunks = (new_length - fade_length) // eff
+        last_len = new_length - n_chunks * eff
+        _put_chunk(dst, src, 0, 0, chunk_size, 0, fade_length, fade_type)
+        for j in range(1, n_chunks):
+            soff = (j * (src_length - chunk_size)) // (n_chunks - 1)
+            _put_chunk(dst, src, j * eff, soff, chunk_size,
+                       fade_length, fade_length, fade_type)
+        _put_chunk(dst, src, new_length - last_len, src_length - last_len,
+                   last_len, fade_length, 0, fade_type)
+        self.data = out
+        return self
+
+    def stretch_resample(self, new_length: int, start: int = 0,
+                         end: Optional[int] = None) -> "Sample":
+        """Stretch the region [start, end) by Lanczos resampling it
+        (changes pitch; companion to the reference-style :meth:`stretch`)."""
         end = self.length if end is None else end
         region = self.data[:, start:end]
         n = region.shape[1]
