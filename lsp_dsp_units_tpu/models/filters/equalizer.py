@@ -104,6 +104,21 @@ class Equalizer:
                 for p in self.filters
                 if p is not None and p.ftype.value != "none"]
 
+    def freq_chart(self, freqs, idx: Optional[int] = None):
+        """Complex frequency response at ``freqs`` [Hz] — of filter
+        ``idx`` alone, or of the whole equalizer when ``idx`` is None
+        (reference Equalizer.h:197-224)."""
+        freqs = np.asarray(freqs, np.float64)
+        if idx is not None:
+            p = self.filters[idx]
+            if p is None or p.ftype.value == "none":
+                return np.ones_like(freqs, np.complex128)
+            return freq_chart(design_filter(p, self.sample_rate), freqs)
+        h = np.ones_like(freqs, np.complex128)
+        for d in self._active_designs():
+            h = h * freq_chart(d, freqs)
+        return h
+
     def build(self) -> EqParams:
         """Design all filters and build mode-specific parameters
         (the analog of reconfigure(), Equalizer.cpp:243-358)."""

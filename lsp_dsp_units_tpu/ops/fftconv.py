@@ -122,27 +122,31 @@ def fdl_process(h_spectra: Spectra, state: FDLState, x: Array,
     frames = jnp.concatenate([prev, xb], axis=-1)
     specs_re, specs_im = rfft_sc(frames)
 
-    # scan the FDL over blocks (moveaxis M to front)
-    sre_t = jnp.moveaxis(specs_re, -2, 0)  # [M, ..., F]
-    sim_t = jnp.moveaxis(specs_im, -2, 0)
-
-    def step(fdl, s):
-        fre, fim = fdl
-        sre, sim = s
-        fre = jnp.concatenate([sre[..., None, :], fre[..., :-1, :]],
-                              axis=-2)
-        fim = jnp.concatenate([sim[..., None, :], fim[..., :-1, :]],
-                              axis=-2)
-        acc = sc_sum(sc_mul((fre, fim), (h_spectra.re, h_spectra.im)),
-                     axis=-2)
-        return (fre, fim), acc
-
-    (fre, fim), accs = jax.lax.scan(step, (state.spec_re, state.spec_im),
-                                    (sre_t, sim_t))
-    acc_re = jnp.moveaxis(accs[0], 0, -2)             # [..., M, F]
-    acc_im = jnp.moveaxis(accs[1], 0, -2)
+    # Scan-free FDL MAC: output block m needs spectra of blocks m-p for
+    # partitions p — a correlation over the block index.  Lay old state
+    # (newest-first [P, F]) and the M new spectra on one time-ordered
+    # axis, then gather [M, P] windows and contract with H in a single
+    # einsum.  No sequential dependency, no 2x(P*F) shift-register copy
+    # per block — the whole MAC is one batched gather + multiply-reduce.
+    p = h_spectra.re.shape[-2]
+    # S_seq[i] = spectrum of block (i - P); old state index q holds
+    # block (-1-q) -> position P-1-q
+    seq_re = jnp.concatenate([jnp.flip(state.spec_re, axis=-2), specs_re],
+                             axis=-2)            # [..., P+M, F]
+    seq_im = jnp.concatenate([jnp.flip(state.spec_im, axis=-2), specs_im],
+                             axis=-2)
+    idx = (p + jnp.arange(m)[:, None] - jnp.arange(p)[None, :])  # [M, P]
+    win_re = jnp.take(seq_re, idx, axis=-2)      # [..., M, P, F]
+    win_im = jnp.take(seq_im, idx, axis=-2)
+    acc_re = jnp.einsum("...mpf,pf->...mf", win_re, h_spectra.re) \
+        - jnp.einsum("...mpf,pf->...mf", win_im, h_spectra.im)
+    acc_im = jnp.einsum("...mpf,pf->...mf", win_re, h_spectra.im) \
+        + jnp.einsum("...mpf,pf->...mf", win_im, h_spectra.re)
     y = irfft_sc((acc_re, acc_im), axis=-1)[..., b:]  # [..., M, B]
     y = y.reshape(x.shape).astype(x.dtype)
+    # new state: newest P spectra, index 0 = newest (block M-1)
+    fre = jnp.flip(seq_re[..., m:m + p, :], axis=-2)
+    fim = jnp.flip(seq_im[..., m:m + p, :], axis=-2)
     return FDLState(spec_re=fre, spec_im=fim, history=xb[..., -1, :]), y
 
 

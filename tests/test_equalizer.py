@@ -122,3 +122,21 @@ def test_fir_xfade_no_click():
     assert np.all(np.isfinite(np.asarray(y)))
     st, y2 = eq.process(p_new, st, jnp.asarray(x))
     assert np.all(np.isfinite(np.asarray(y2)))
+
+
+def test_freq_chart_per_filter_and_total():
+    """Equalizer.freq_chart (reference Equalizer.h:197-224): the total
+    chart is the product of per-filter charts; inactive slots are
+    unity."""
+    eq = _setup(EqMode.IIR)
+    freqs = np.asarray([100.0, 1000.0, 4000.0, 12000.0])
+    total = eq.freq_chart(freqs)
+    prod = np.ones_like(freqs, np.complex128)
+    for i in range(3):
+        prod = prod * eq.freq_chart(freqs, idx=i)
+    np.testing.assert_allclose(total, prod, rtol=1e-12)
+    np.testing.assert_allclose(eq.freq_chart(freqs, idx=2), 1.0)  # unset
+    # hi-shelf at slot 0: gain 2.0 well above 1 kHz, ~1 well below
+    h0 = eq.freq_chart(np.asarray([20.0, 20000.0]), idx=0)
+    assert abs(abs(h0[0]) - 1.0) < 0.1
+    assert abs(abs(h0[1]) - 2.0) < 0.1
