@@ -178,13 +178,24 @@ class DynamicFilters:
         return biquad_ops.init_state(self.num_stages(fid), batch_shape)
 
     def process(self, fid: int, state: Array, x: Array, gain: Array,
-                ) -> Tuple[Array, Array]:
-        """x, gain: [..., T] -> (state', y)."""
+                method: str = "assoc") -> Tuple[Array, Array]:
+        """x, gain: [..., T] -> (state', y).
+
+        ``method``: 'assoc' (time-parallel scan; full precision for
+        mid/high-frequency filters) or 'seq' (sequential f32 recurrence
+        — the reference's own precision class, preferred for
+        low-frequency / near-unit-pole dynamic filters)."""
         p = self.params[fid]
         if not self.active[fid] or p.ftype == FilterType.NONE:
             return state, x
         coeffs = _design_per_sample(p, gain, self.sample_rate)
-        y, state = biquad_ops.dyn_biquad_cascade(coeffs, state, x)
+        if method == "seq":
+            y, state = biquad_ops.dyn_biquad_cascade_seq(coeffs, state, x)
+        elif method == "assoc":
+            y, state = biquad_ops.dyn_biquad_cascade(coeffs, state, x)
+        else:
+            raise ValueError(f"unknown method {method!r}; use 'assoc' or"
+                             " 'seq'")
         return state, y
 
     def freq_chart(self, fid: int, gain: float,

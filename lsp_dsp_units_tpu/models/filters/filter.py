@@ -82,8 +82,11 @@ class Filter:
             return state, x
         if method == "seq":
             y, state = biquad_ops.biquad_cascade_seq(c, state, x)
-        else:
+        elif method == "assoc":
             y, state = biquad_ops.biquad_cascade(c, state, x)
+        else:
+            raise ValueError(f"unknown method {method!r}; use 'assoc' or"
+                             " 'seq'")
         return state, y
 
     # -- analysis (reference Filter.cpp:500-698, 2418-2428) ----------------

@@ -207,6 +207,57 @@ def dyn_biquad_cascade(coeffs: Array, state: Array, x: Array,
     return y, jnp.stack(new_states, axis=-2)
 
 
+def dyn_biquad_cascade_seq(coeffs: Array, state: Array, x: Array,
+                           unroll: int = 16) -> Tuple[Array, Array]:
+    """Sequential path for per-sample-varying cascades — the precision
+    class of the reference's own f32 recurrence (dsp::dyn_biquad_*,
+    DynamicFilters.cpp:265-303), for near-unit-pole (low-frequency)
+    dynamic filters where the f32 associative scan loses ~36 dB.
+
+    Args/shapes as :func:`dyn_biquad_cascade`."""
+    k = coeffs.shape[-2]
+    t = x.shape[-1]
+    if t == 0:
+        return x, state
+
+    def step(s, inp):
+        xt, ct = inp                       # ct: [..., K, 5]
+        y = xt
+        new_s = []
+        for i in range(k):
+            c = ct[..., i, :]
+            s1 = s[..., i, 0]
+            s2 = s[..., i, 1]
+            yi = c[..., 0] * y + s1
+            ns1 = c[..., 1] * y + c[..., 3] * yi + s2
+            ns2 = c[..., 2] * y + c[..., 4] * yi
+            new_s.append(jnp.stack([ns1, ns2], axis=-1))
+            y = yi
+        return jnp.stack(new_s, axis=-2), y
+
+    u = unroll if (unroll > 1 and t % unroll == 0) else 1
+    xs = jnp.moveaxis(x, -1, 0)                       # [T, ...]
+    cs = jnp.moveaxis(coeffs, -3, 0)                  # [T, ..., K, 5]
+    if u == 1:
+        state, ys = jax.lax.scan(step, state, (xs, cs))
+        return jnp.moveaxis(ys, 0, -1), state
+
+    xc = xs.reshape((t // u, u) + xs.shape[1:])
+    cc = cs.reshape((t // u, u) + cs.shape[1:])
+
+    def chunk(s, inp):
+        xu, cu = inp
+        outs = []
+        for i in range(u):
+            s, y = step(s, (xu[i], cu[i]))
+            outs.append(y)
+        return s, jnp.stack(outs, 0)
+
+    state, ys = jax.lax.scan(chunk, state, (xc, cc))
+    ys = jnp.moveaxis(ys.reshape((t,) + ys.shape[2:]), 0, -1)
+    return ys, state
+
+
 def impulse_response(coeffs: Array, length: int) -> Array:
     """Impulse response of a cascade (reference FilterBank.cpp:293-330)."""
     x = jnp.zeros((length,), jnp.float32).at[0].set(1.0)

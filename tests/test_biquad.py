@@ -128,3 +128,52 @@ def test_impulse_response_jit():
     f = jax.jit(lambda c, s, x: biquad.biquad_cascade(c, s, x))
     y, _ = f(c, biquad.init_state(1), jnp.zeros(128, jnp.float32))
     assert y.shape == (128,)
+
+
+def test_dyn_biquad_seq_matches_assoc_and_golden():
+    """dyn_biquad_cascade_seq: sequential per-sample-coefficient path
+    equals the assoc path for well-conditioned filters and tracks the
+    f64 golden recurrence closely."""
+    rng = np.random.default_rng(11)
+    t, k = 512, 2
+    x = rng.standard_normal(t).astype(np.float32)
+    # random stable time-varying coefficients around a 1 kHz bell
+    from lsp_dsp_units_tpu.models.filters.design import (FilterParams,
+                                                         FilterType,
+                                                         design_filter)
+    base = design_filter(FilterParams(ftype=FilterType.BT_RLC_BELL, slope=2,
+                                      freq=1000.0, gain=2.0, quality=1.0),
+                         48000).biquads  # [2, 5]
+    mod = 1.0 + 0.02 * np.sin(np.linspace(0, 6.0, t))[:, None, None]
+    dyn = (base[None, :, :] * mod).astype(np.float32)       # [T, K, 5]
+    dyn[..., 3:] = base[None, :, 3:]  # keep poles fixed (stability)
+
+    ja = jnp.asarray(dyn)
+    y_seq, s_seq = biquad.dyn_biquad_cascade_seq(
+        ja, biquad.init_state(k), jnp.asarray(x))
+    y_assoc, s_assoc = biquad.dyn_biquad_cascade(
+        ja, biquad.init_state(k), jnp.asarray(x))
+    assert snr_db(np.asarray(y_seq), np.asarray(y_assoc)) > 90.0
+
+    # golden: float64 sequential recurrence with the same coefficients
+    yg = np.zeros(t)
+    s = np.zeros((k, 2))
+    for n in range(t):
+        v = float(x[n])
+        for i in range(k):
+            b0, b1, b2, a1, a2 = (float(c) for c in dyn[n, i])
+            y = b0 * v + s[i, 0]
+            s[i, 0] = b1 * v + a1 * y + s[i, 1]
+            s[i, 1] = b2 * v + a2 * y
+            v = y
+        yg[n] = v
+    assert snr_db(np.asarray(y_seq), yg) > 90.0
+    np.testing.assert_allclose(np.asarray(s_seq), s, atol=1e-4)
+
+    # odd length (unroll fallback) + empty input
+    y_odd, _ = biquad.dyn_biquad_cascade_seq(
+        ja[:511], biquad.init_state(k), jnp.asarray(x[:511]))
+    assert y_odd.shape == (511,)
+    y_e, s_e = biquad.dyn_biquad_cascade_seq(
+        ja[:0], biquad.init_state(k), jnp.asarray(x[:0]))
+    assert y_e.shape == (0,)
