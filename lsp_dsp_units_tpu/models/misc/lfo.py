@@ -3,11 +3,14 @@ include/.../misc/lfo.h:57-141).  Pure elementwise jnp."""
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
-_2PI = 2.0 * jnp.pi
-_4PI = 4.0 * jnp.pi
-_REV_LN100 = 0.5 / jnp.log(10.0)
+# host floats — importing this module must not initialize a JAX backend
+_2PI = 2.0 * math.pi
+_4PI = 4.0 * math.pi
+_REV_LN100 = 0.5 / math.log(10.0)
 
 
 def triangular(phase):

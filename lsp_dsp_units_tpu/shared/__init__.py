@@ -29,12 +29,14 @@ _LOCK = threading.Lock()
 def _build_lib() -> str:
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    src = os.path.join(root, "csrc", "shm_runtime.cpp")
+    srcs = [os.path.join(root, "csrc", "shm_runtime.cpp"),
+            os.path.join(root, "csrc", "stream_engine.cpp")]
     out = os.path.join(root, "csrc", "libshm_runtime.so")
     if (not os.path.exists(out)
-            or os.path.getmtime(out) < os.path.getmtime(src)):
-        cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", src,
-               "-o", out, "-lpthread", "-lrt"]
+            or any(os.path.getmtime(out) < os.path.getmtime(s)
+                   for s in srcs)):
+        cmd = (["g++", "-O2", "-fPIC", "-shared", "-std=c++17"] + srcs +
+               ["-o", out, "-lpthread", "-lrt"])
         subprocess.run(cmd, check=True, capture_output=True)
     return out
 
@@ -86,6 +88,27 @@ def _lib() -> ctypes.CDLL:
             lib.cat_revision.argtypes = [ctypes.c_void_p]
             lib.cat_keepalive.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
             lib.cat_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.se_create.restype = ctypes.c_void_p
+            lib.se_create.argtypes = [ctypes.c_uint32, ctypes.c_uint32]
+            lib.se_bind.restype = ctypes.c_int
+            lib.se_bind.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_uint32,
+                                    ctypes.c_uint32]
+            lib.se_ready.restype = ctypes.c_int
+            lib.se_ready.argtypes = [ctypes.c_void_p]
+            lib.se_wait.restype = ctypes.c_int
+            lib.se_wait.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                    ctypes.c_uint32]
+            lib.se_gather.restype = ctypes.c_int
+            lib.se_gather.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float)]
+            lib.se_scatter.restype = ctypes.c_int
+            lib.se_scatter.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_float)]
+            lib.se_stats.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_uint64),
+                                     ctypes.POINTER(ctypes.c_uint64)]
+            lib.se_destroy.argtypes = [ctypes.c_void_p]
             _LIB = lib
     return _LIB
 
@@ -199,3 +222,80 @@ class Catalog:
         if self._h:
             self._lib.cat_close(self._h, 1 if unlink else 0)
             self._h = None
+
+
+class StreamEngine:
+    """Native batching pump (csrc/stream_engine.cpp): binds shm audio
+    rings to row ranges of one [rows, block] batch so MANY streams feed
+    a single jitted device step — the TPU-native replacement for the
+    reference's per-instance CPU processing loop.
+
+    Typical loop::
+
+        eng = StreamEngine(block=4096, rows=64)
+        eng.bind(in_stream=a, out_stream=b, row=0, channels=2)
+        ...
+        while eng.wait(min_ready=1, timeout_ms=100) > 0:
+            batch = eng.gather()               # [rows, block] np.float32
+            state, y = jitted_step(params, state, jnp.asarray(batch))
+            eng.scatter(np.asarray(y))
+    """
+
+    def __init__(self, block: int, rows: int):
+        self._lib = _lib()
+        self._h = self._lib.se_create(block, rows)
+        if not self._h:
+            raise RuntimeError("se_create failed")
+        self.block = int(block)
+        self.rows = int(rows)
+        self._batch = np.zeros((rows, block), np.float32)
+        self._bound = []          # keep stream objects alive
+
+    def bind(self, in_stream: Optional[AudioStream] = None,
+             out_stream: Optional[AudioStream] = None, row: int = 0,
+             channels: int = 1) -> int:
+        ih = in_stream._h if in_stream is not None else None
+        oh = out_stream._h if out_stream is not None else None
+        slot = self._lib.se_bind(self._h, ih, oh, row, channels)
+        if slot < 0:
+            raise ValueError(
+                f"bad bind: rows [{row}, {row + channels}) out of range "
+                f"or overlapping an existing slot")
+        self._bound.append((in_stream, out_stream))
+        return slot
+
+    def ready(self) -> int:
+        return self._lib.se_ready(self._h)
+
+    def wait(self, min_ready: int = 1, timeout_ms: float = 100.0) -> int:
+        """Ready count (>=0), or -1 if a bound input terminated."""
+        return self._lib.se_wait(self._h, min_ready,
+                                 int(timeout_ms * 1000))
+
+    def gather(self) -> np.ndarray:
+        """One block from every ready input into the [rows, block]
+        batch; underruns and unbound rows are zeroed."""
+        self._lib.se_gather(
+            self._h,
+            self._batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return self._batch
+
+    def scatter(self, batch: np.ndarray) -> int:
+        batch = np.ascontiguousarray(batch, np.float32)
+        assert batch.shape == (self.rows, self.block), batch.shape
+        return self._lib.se_scatter(
+            self._h,
+            batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+    def stats(self) -> Tuple[int, int]:
+        """(blocks gathered, underruns)."""
+        g = ctypes.c_uint64()
+        u = ctypes.c_uint64()
+        self._lib.se_stats(self._h, ctypes.byref(g), ctypes.byref(u))
+        return int(g.value), int(u.value)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.se_destroy(self._h)
+            self._h = None
+            self._bound = []

@@ -138,3 +138,68 @@ def test_catalog_stream_discovery_flow():
     finally:
         w.close()
         cat.close(unlink=True)
+
+
+def test_stream_engine_pump():
+    """StreamEngine (csrc/stream_engine.cpp): gather blocks from several
+    shm rings into one batch, process, scatter back."""
+    from lsp_dsp_units_tpu.shared import AudioStream, StreamEngine
+
+    block, rows = 128, 6
+    eng = StreamEngine(block=block, rows=rows)
+    ins, outs, readers = [], [], []
+    try:
+        for i in range(2):
+            ins.append(AudioStream.create(f"/lsp_se_in{i}_{os.getpid()}",
+                                          2, 1024))
+            outs.append(AudioStream.create(f"/lsp_se_out{i}_{os.getpid()}",
+                                           2, 1024))
+            eng.bind(ins[i], outs[i], row=2 * i, channels=2)
+        # overlapping bind must fail
+        with pytest.raises(ValueError):
+            eng.bind(ins[0], outs[0], row=1, channels=2)
+        # out-of-range bind must fail
+        with pytest.raises(ValueError):
+            eng.bind(ins[0], outs[0], row=5, channels=2)
+
+        assert eng.ready() == 0
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((2, block)).astype(np.float32)
+        x1 = rng.standard_normal((2, block)).astype(np.float32)
+        ins[0].write(x0)
+        assert eng.ready() == 1
+        ins[1].write(x1)
+        assert eng.wait(min_ready=2, timeout_ms=10) == 2
+
+        batch = eng.gather()
+        assert batch.shape == (rows, block)
+        np.testing.assert_allclose(batch[0:2], x0, atol=1e-7)
+        np.testing.assert_allclose(batch[2:4], x1, atol=1e-7)
+        np.testing.assert_array_equal(batch[4:], 0.0)   # unbound rows
+
+        # process (host math stands in for the jitted step) and scatter
+        eng.scatter(batch * 0.5)
+        readers = [AudioStream.open(f"/lsp_se_out{i}_{os.getpid()}")
+                   for i in range(2)]
+        # readers attach at current head; scatter again so they see data
+        ins[0].write(x0)
+        ins[1].write(x1)
+        eng.gather()
+        eng.scatter(batch * 0.5)
+        got = readers[0].read(block)
+        np.testing.assert_allclose(got, 0.5 * x0, atol=1e-6)
+
+        # underrun: no fresh input -> zero-filled, counted
+        assert eng.ready() == 0
+        empty = eng.gather()
+        np.testing.assert_array_equal(empty[0:2], 0.0)
+        g, u = eng.stats()
+        assert g == 4 and u == 2
+
+        # termination surfaces through wait
+        ins[0].terminate()
+        assert eng.wait(min_ready=1, timeout_ms=5) == -1
+    finally:
+        eng.close()
+        for s in ins + outs + readers:
+            s.close()
