@@ -1,13 +1,17 @@
-"""SamplePlayer — polyphonic sample playback
+"""SamplePlayer — polyphonic sample playback on the batch model
 (reference: src/main/sampling/SamplePlayer.cpp, helpers/playback.cpp,
-helpers/batch.cpp, Playback.h, PlaySettings.h).
+helpers/batch.cpp, Playback.h, PlaySettings.h, sampling/types.h).
 
-Playback items carry {sample id, channel, volume, position, loop mode,
-crossfade}; mixing a block is a batched gather over the sample bank —
-the reference's per-playback batch scheduling (helpers/batch.cpp)
-becomes one vectorized segment computation per playback per block.
-Host orchestrates (play/cancel lists); the mix itself is numpy (device
-path available by moving the gather into jnp for large polyphony).
+The reference schedules playback as a chain of *batches* — HEAD (from
+the start position to the loop), LOOP (one pass over the loop range,
+direction per loop mode), TAIL (leaving the loop to the sample end) —
+where consecutive non-sequential batches overlap by a crossfade
+(playback.cpp:408-454: the previous batch fades out while the next
+fades in; a HEAD extends forward into the loop instead of shifting).
+This port keeps that state machine on the host (it is tiny, data
+independent control flow) and mixes each batch overlap as one
+vectorized gather + fade-weight add per block — the per-sample batch
+loop of helpers/batch.cpp becomes array math.
 """
 
 from __future__ import annotations
@@ -22,9 +26,30 @@ from lsp_dsp_units_tpu.models.sampling.sample import Sample
 
 
 class LoopMode(enum.Enum):
+    """(reference sampling/types.h:79-132, sample_loop_t)"""
     NONE = "none"
-    DIRECT = "direct"           # wrap to loop start
-    REVERSE = "reverse"         # ping-pong
+    DIRECT = "direct"                     # always start -> end
+    REVERSE = "reverse"                   # always end -> start
+    DIRECT_HALF_PP = "direct_half_pp"     # ping-pong, leave any direction
+    REVERSE_HALF_PP = "reverse_half_pp"
+    DIRECT_FULL_PP = "direct_full_pp"     # leave only after reversed part
+    REVERSE_FULL_PP = "reverse_full_pp"   # leave only after direct part
+    DIRECT_SMART_PP = "direct_smart_pp"   # leave only after direct part
+    REVERSE_SMART_PP = "reverse_smart_pp"
+
+
+_PP_MODES = {LoopMode.DIRECT_HALF_PP, LoopMode.REVERSE_HALF_PP,
+             LoopMode.DIRECT_FULL_PP, LoopMode.REVERSE_FULL_PP,
+             LoopMode.DIRECT_SMART_PP, LoopMode.REVERSE_SMART_PP}
+_DIRECT_FIRST = {LoopMode.DIRECT, LoopMode.DIRECT_HALF_PP,
+                 LoopMode.DIRECT_FULL_PP, LoopMode.DIRECT_SMART_PP}
+# leave-the-loop permission (playback.cpp:280-335): after which batch
+# direction may a TAIL follow? None = any.
+_LEAVE_AFTER_REVERSE = {LoopMode.DIRECT_FULL_PP, LoopMode.REVERSE_HALF_PP}
+_LEAVE_AFTER_DIRECT = {LoopMode.REVERSE_FULL_PP, LoopMode.DIRECT_SMART_PP,
+                       LoopMode.REVERSE_SMART_PP}
+
+
 class XFadeType(enum.Enum):
     LINEAR = "linear"
     CONST_POWER = "const_power"
@@ -46,18 +71,201 @@ class PlaySettings:
     reverse: bool = False
 
 
+_HEAD, _LOOP, _TAIL = 0, 1, 2
+
+
+@dataclass
+class _Batch:
+    ts: int          # playback-relative output timestamp
+    start: int       # sample range [start, end): end > start plays
+    end: int         # forward; end < start plays start-1 .. end
+    btype: int
+    fade_in: int = 0
+    fade_out: int = 0
+    extended: bool = False   # HEAD already extended by xfade
+
+    @property
+    def length(self) -> int:
+        return abs(self.end - self.start)
+
+    @property
+    def forward(self) -> bool:
+        return self.end >= self.start
+
+
+_PLAY, _STOP, _CANCEL, _DONE = 0, 1, 2, 3
+
+
 @dataclass
 class Playback:
     """Handle over a live playback (reference Playback.h)."""
     settings: PlaySettings
-    position: float = 0.0
-    delay_left: int = 0
-    direction: int = 1
-    active: bool = True
     serial: int = 0
+    state: int = _PLAY
+    clock: int = 0                     # samples rendered so far
+    chain: List["_Batch"] = field(default_factory=list)
+    loop_mode: LoopMode = LoopMode.NONE
+    loop_start: int = 0
+    loop_end: int = 0
+    xfade: int = 0
+    cancel_at: int = -1
+    cancel_len: int = 0
 
-    def cancel(self, fadeout: int = 0) -> None:
-        self.active = False
+    @property
+    def active(self) -> bool:
+        return self.state != _DONE
+
+    def stop(self, delay: int = 0) -> None:
+        """Leave the loop gracefully: finish per the loop mode's leave
+        rule, then play the tail (reference Playback::stop)."""
+        if self.state == _PLAY:
+            self.state = _STOP
+
+    def cancel(self, fadeout: int = 0, delay: int = 0) -> None:
+        """Fade out over ``fadeout`` samples and deactivate
+        (reference Playback::cancel / apply_fade_out)."""
+        if self.state in (_PLAY, _STOP):
+            self.state = _CANCEL
+            self.cancel_at = self.clock + int(delay)
+            self.cancel_len = int(fadeout)
+
+
+# -- batch state machine (reference helpers/playback.cpp) -----------------
+
+
+def _initial_batch(pb: Playback, sample_len: int) -> _Batch:
+    s = pb.settings
+    start = min(max(int(s.start), 0), sample_len - 1)
+    rev = bool(s.reverse)
+
+    if pb.loop_mode == LoopMode.NONE:
+        return _Batch(ts=int(s.delay), start=start,
+                      end=0 if rev else sample_len, btype=_TAIL)
+
+    ls, le = pb.loop_start, pb.loop_end
+    if start < ls:
+        if rev:
+            return _Batch(int(s.delay), start, 0, _TAIL)
+        return _Batch(int(s.delay), start, ls, _HEAD)
+    if start < le:
+        if pb.loop_mode in _DIRECT_FIRST:
+            end = ls if rev else le
+        else:
+            end = le if rev else ls
+        return _Batch(int(s.delay), start, end, _LOOP)
+    if rev:
+        return _Batch(int(s.delay), start, le, _HEAD)
+    return _Batch(int(s.delay), start, sample_len, _TAIL)
+
+
+def _loop_batch_after(pb: Playback, cur: _Batch) -> _Batch:
+    """Next LOOP batch range per the loop mode (playback.cpp:338-395)."""
+    ls, le = pb.loop_start, pb.loop_end
+    rev = bool(pb.settings.reverse)
+    mode = pb.loop_mode
+    if mode == LoopMode.DIRECT:
+        return _Batch(0, le if rev else ls, ls if rev else le, _LOOP)
+    if mode == LoopMode.REVERSE:
+        return _Batch(0, ls if rev else le, le if rev else ls, _LOOP)
+    # ping-pong: reverse the direction of the current loop batch; after
+    # a HEAD, the first repeat direction comes from the mode family
+    if cur.btype == _HEAD:
+        if mode in _DIRECT_FIRST:
+            return _Batch(0, le if rev else ls, ls if rev else le, _LOOP)
+        return _Batch(0, ls if rev else le, le if rev else ls, _LOOP)
+    if cur.forward:
+        return _Batch(0, le, ls, _LOOP)
+    return _Batch(0, ls, le, _LOOP)
+
+
+def _may_leave_loop(pb: Playback, cur: _Batch) -> bool:
+    mode = pb.loop_mode
+    if mode in _LEAVE_AFTER_REVERSE:
+        return (not cur.forward) if not pb.settings.reverse else cur.forward
+    if mode in _LEAVE_AFTER_DIRECT:
+        return cur.forward if not pb.settings.reverse else (not cur.forward)
+    return True        # DIRECT / REVERSE / HALF_PP: leave any time
+
+
+def _tail_batch(pb: Playback, sample_len: int) -> _Batch:
+    if pb.settings.reverse:
+        return _Batch(0, pb.loop_start, 0, _TAIL)
+    return _Batch(0, pb.loop_end, sample_len, _TAIL)
+
+
+def _sequential(prev: _Batch, nxt: _Batch) -> bool:
+    """No crossfade needed when the next batch continues exactly
+    (playback.cpp:35-40)."""
+    if prev.end != nxt.start:
+        return False
+    return nxt.forward if prev.forward else (not nxt.forward)
+
+
+def _compute_next(pb: Playback, cur: _Batch,
+                  sample_len: int) -> Optional[_Batch]:
+    """compute_next_batch (playback.cpp:409-454): range + crossfade
+    timing.  Mutates ``cur``'s fade_out/end for the overlap — a batch's
+    fades are FINAL only once its successor has been computed."""
+    if cur is None or cur.btype == _TAIL:
+        return None
+    loop_allowed = pb.state == _PLAY
+    if cur.btype == _HEAD and not loop_allowed:
+        nxt = _Batch(0, pb.loop_start, sample_len, _TAIL)
+    elif not loop_allowed and _may_leave_loop(pb, cur):
+        nxt = _tail_batch(pb, sample_len)
+    else:
+        nxt = _loop_batch_after(pb, cur)
+
+    # timestamp from the UNextended length (reference computes it before
+    # the head extension, playback.cpp:431)
+    base_len = cur.length - (pb.xfade if cur.extended else 0)
+    nxt.ts = cur.ts + base_len
+    cur.fade_out = 0
+    nxt.fade_in = 0
+    xf = pb.xfade
+    if xf > 0 and not _sequential(cur, nxt):
+        cur.fade_out = xf
+        nxt.fade_in = xf
+        if cur.btype == _HEAD:
+            # head extends forward into the loop, no shift
+            if not cur.extended:
+                cur.end += xf
+                cur.extended = True
+        else:
+            nxt.ts -= xf
+            if nxt.btype == _TAIL:
+                nxt.start -= xf if nxt.forward else -xf
+    return nxt
+
+
+# -- mixing ---------------------------------------------------------------
+
+
+def _mix_batch(out: np.ndarray, data: np.ndarray, b: _Batch, t0: int,
+               volume: float, fade: XFadeType) -> None:
+    """Accumulate the overlap of batch ``b`` with output window
+    [t0, t0+len(out)) (reference helpers/batch.cpp, vectorized)."""
+    blen = b.length
+    lo = max(b.ts, t0)
+    hi = min(b.ts + blen, t0 + out.size)
+    if hi <= lo:
+        return
+    rel = np.arange(lo - b.ts, hi - b.ts)
+    idx = (b.start + rel) if b.forward else (b.start - 1 - rel)
+    np.clip(idx, 0, data.size - 1, out=idx)
+    g = data[idx].astype(np.float64)
+    w = np.ones(rel.size)
+    fi = min(b.fade_in, blen)
+    fo = min(b.fade_out, blen)
+    if fi > 0:
+        m = rel < fi
+        w[m] = rel[m] / fi
+    if fo > 0:
+        m = rel >= blen - fo
+        w[m] = np.minimum(w[m], (blen - rel[m]) / fo)
+    if fade is XFadeType.CONST_POWER:
+        w = np.sqrt(w)
+    out[lo - t0:hi - t0] += (g * w * volume).astype(np.float32)
 
 
 class SamplePlayer:
@@ -80,18 +288,27 @@ class SamplePlayer:
 
     # -- playback control (reference SamplePlayer::play, :368-412) ---------
     def play(self, settings: PlaySettings) -> Optional[Playback]:
-        if settings.sample_id not in self.samples:
+        smp = self.samples.get(settings.sample_id)
+        if smp is None or smp.length == 0:
             return None
         if len(self.playbacks) >= self.max_playbacks:
-            # steal the oldest playback (reference reuses the inactive
-            # list / oldest item)
-            self.playbacks.pop(0)
+            self.playbacks.pop(0)       # steal the oldest
         self._serial += 1
-        pb = Playback(settings=settings,
-                      position=float(settings.start),
-                      delay_left=int(settings.delay),
-                      direction=-1 if settings.reverse else 1,
-                      serial=self._serial)
+        pb = Playback(settings=settings, serial=self._serial)
+        n = smp.length
+        ls, le = int(settings.loop_start), int(settings.loop_end)
+        pb.loop_mode = settings.loop_mode
+        if (ls < 0 or le < 0 or ls == le or ls >= n or le > n):
+            pb.loop_mode = LoopMode.NONE
+        else:
+            if le < ls:
+                ls, le = le, ls
+            pb.loop_start, pb.loop_end = ls, le
+            pb.xfade = min(int(settings.xfade_length), (le - ls) // 2)
+        pb.chain = [_initial_batch(pb, n)]
+        nxt = _compute_next(pb, pb.chain[0], n)
+        if nxt is not None:
+            pb.chain.append(nxt)
         self.playbacks.append(pb)
         return pb
 
@@ -100,53 +317,72 @@ class SamplePlayer:
         self.playbacks.clear()
         return n
 
-    # -- mixing (reference SamplePlayer::process, :305-366) -----------------
+    # -- mixing (reference SamplePlayer::process + process_playback) -------
     def process(self, count: int) -> np.ndarray:
         """Mix ``count`` output samples of all active playbacks (mono)."""
         out = np.zeros(count, np.float32)
-        still_active: List[Playback] = []
+        keep: List[Playback] = []
         for pb in self.playbacks:
-            if not pb.active:
-                continue
             smp = self.samples.get(pb.settings.sample_id)
-            if smp is None or smp.length == 0:
+            if smp is None or smp.length == 0 or not pb.active:
                 continue
             ch = min(pb.settings.channel, smp.channels - 1)
             data = smp.data[ch]
-            s = pb.settings
-            n0 = 0
-            # initial delay
-            if pb.delay_left > 0:
-                d = min(pb.delay_left, count)
-                pb.delay_left -= d
-                n0 = d
-            remaining = count - n0
-            if remaining <= 0:
-                still_active.append(pb)
-                continue
-            idx = pb.position + np.arange(remaining) * pb.direction
-            loop_on = (s.loop_mode != LoopMode.NONE and s.loop_start >= 0
-                       and s.loop_end > s.loop_start)
-            if loop_on:
-                ls, le = s.loop_start, s.loop_end
-                ln = le - ls
-                rel = idx - ls
-                if s.loop_mode == LoopMode.DIRECT:
-                    idx = np.where(idx >= le, ls + np.mod(rel, ln), idx)
-                else:  # ping-pong
-                    m = np.mod(rel, 2 * ln)
-                    idx = np.where(idx >= le,
-                                   np.where(m < ln, ls + m,
-                                            le - 1 - (m - ln)), idx)
-            valid = (idx >= 0) & (idx < data.size)
-            g = np.asarray(data[np.clip(idx.astype(np.int64), 0,
-                                        data.size - 1)])
-            out[n0:] += np.where(valid, g, 0.0) * (s.volume * self.gain)
-            pb.position = float(idx[-1] + pb.direction) if remaining else \
-                pb.position
-            if loop_on or (0 <= pb.position < data.size):
-                still_active.append(pb)
-            else:
-                pb.active = False
-        self.playbacks = still_active
+            n = smp.length
+            # a stop() may invalidate precomputed LOOP successors
+            # (reference recompute_next_batch): drop and recompute
+            if pb.state != _PLAY and len(pb.chain) > 1 \
+                    and pb.chain[1].btype == _LOOP:
+                del pb.chain[1:]
+                nxt = _compute_next(pb, pb.chain[0], n)
+                if nxt is not None:
+                    pb.chain.append(nxt)
+
+            t0, t1 = pb.clock, pb.clock + count
+            vol = pb.settings.volume * self.gain
+            buf = np.zeros(count, np.float32)
+
+            # grow the chain so every batch overlapping the window has
+            # its successor computed (fades are final only then)
+            i = 0
+            while i < len(pb.chain):
+                b = pb.chain[i]
+                if b.btype != _TAIL and i == len(pb.chain) - 1:
+                    nxt = _compute_next(pb, b, n)
+                    if nxt is not None:
+                        pb.chain.append(nxt)
+                if b.ts >= t1:
+                    break
+                i += 1
+
+            for b in pb.chain:
+                if b.ts < t1:
+                    _mix_batch(buf, data, b, t0, vol,
+                               pb.settings.xfade_type)
+
+            # drop batches fully behind the window
+            while pb.chain and pb.chain[0].ts + pb.chain[0].length <= t1:
+                if len(pb.chain) == 1:
+                    if pb.chain[0].btype == _TAIL:
+                        pb.chain.clear()
+                        pb.state = _DONE
+                    break
+                pb.chain.pop(0)
+
+            # cancel fadeout envelope (reference apply_fade_out)
+            if pb.state == _CANCEL:
+                t = np.arange(t0, t1)
+                if pb.cancel_len > 0:
+                    env = np.clip(1.0 - (t - pb.cancel_at)
+                                  / pb.cancel_len, 0.0, 1.0)
+                else:
+                    env = (t < pb.cancel_at).astype(np.float32)
+                buf *= env.astype(np.float32)
+                if t1 >= pb.cancel_at + pb.cancel_len:
+                    pb.state = _DONE
+            out += buf
+            pb.clock = t1
+            if pb.active:
+                keep.append(pb)
+        self.playbacks = keep
         return out

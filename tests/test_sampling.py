@@ -151,3 +151,128 @@ def test_prepend_set_channels_save_range(tmp_path):
     s2 = Sample.load(p)
     assert s2.length == 50 and s2.channels == 2
     np.testing.assert_allclose(s2.data[0], np.arange(50), atol=2e-4)
+
+
+# -- SamplePlayer batch machine (reference helpers/playback.cpp) ----------
+
+def _player_with_ramp(n=100):
+    from lsp_dsp_units_tpu.models.sampling import Sample, SamplePlayer
+    bank = SamplePlayer()
+    s = Sample(1, n, SR)
+    s.data[0] = np.arange(n, dtype=np.float32)
+    bank.bind(0, s)
+    return bank
+
+
+def test_player_direct_loop_exact():
+    """DIRECT loop without crossfade repeats [ls, le) verbatim."""
+    from lsp_dsp_units_tpu.models.sampling import PlaySettings, LoopMode
+    bank = _player_with_ramp()
+    bank.play(PlaySettings(sample_id=0, loop_start=10, loop_end=20,
+                           loop_mode=LoopMode.DIRECT))
+    out = bank.process(50)
+    np.testing.assert_array_equal(out[:10], np.arange(10))        # head
+    for k in range(4):
+        np.testing.assert_array_equal(out[10 + 10 * k: 20 + 10 * k],
+                                      np.arange(10, 20))          # loops
+
+
+def test_player_pingpong_loop():
+    """HALF_PP alternates direction: fwd, back, fwd..."""
+    from lsp_dsp_units_tpu.models.sampling import PlaySettings, LoopMode
+    bank = _player_with_ramp()
+    bank.play(PlaySettings(sample_id=0, loop_start=10, loop_end=20,
+                           loop_mode=LoopMode.DIRECT_HALF_PP))
+    out = bank.process(40)
+    np.testing.assert_array_equal(out[10:20], np.arange(10, 20))   # fwd
+    np.testing.assert_array_equal(out[20:30], np.arange(19, 9, -1))  # back
+    np.testing.assert_array_equal(out[30:40], np.arange(10, 20))   # fwd
+
+
+def test_player_reverse_loop():
+    """REVERSE loop always plays end -> start."""
+    from lsp_dsp_units_tpu.models.sampling import PlaySettings, LoopMode
+    bank = _player_with_ramp()
+    bank.play(PlaySettings(sample_id=0, loop_start=10, loop_end=20,
+                           loop_mode=LoopMode.REVERSE))
+    out = bank.process(40)
+    np.testing.assert_array_equal(out[20:30], np.arange(19, 9, -1))
+    np.testing.assert_array_equal(out[30:40], np.arange(19, 9, -1))
+
+
+def test_player_loop_crossfade_continuity():
+    """With xfade, the loop seam blends: linear fades sum to the DC
+    value on constant input (playback.cpp:436-454)."""
+    from lsp_dsp_units_tpu.models.sampling import (Sample, SamplePlayer,
+                                                   PlaySettings, LoopMode,
+                                                   XFadeType)
+    bank = SamplePlayer()
+    s = Sample(1, 100, SR)
+    s.data[0] = 1.0
+    bank.bind(0, s)
+    bank.play(PlaySettings(sample_id=0, loop_start=10, loop_end=40,
+                           loop_mode=LoopMode.DIRECT, xfade_length=8,
+                           xfade_type=XFadeType.LINEAR))
+    out = bank.process(200)
+    # steady state: everything (past the first sample) stays at 1.0
+    np.testing.assert_allclose(out[1:], 1.0, atol=1e-6)
+
+
+def test_player_stop_plays_tail():
+    """stop() leaves the loop and plays through to the sample end."""
+    from lsp_dsp_units_tpu.models.sampling import PlaySettings, LoopMode
+    bank = _player_with_ramp()
+    pb = bank.play(PlaySettings(sample_id=0, loop_start=10, loop_end=20,
+                                loop_mode=LoopMode.DIRECT))
+    out1 = bank.process(15)                 # inside the first loop pass
+    pb.stop()
+    out2 = bank.process(120)
+    full = np.concatenate([out1, out2])
+    # after the current loop batch completes (t=20), the tail follows
+    np.testing.assert_array_equal(full[20:100], np.arange(20, 100))
+    np.testing.assert_array_equal(full[100:], 0.0)   # sample exhausted
+    assert not pb.active
+
+
+def test_player_full_pp_leaves_after_reverse():
+    """FULL_PP (direct) may leave the loop only after a reversed pass."""
+    from lsp_dsp_units_tpu.models.sampling import PlaySettings, LoopMode
+    bank = _player_with_ramp()
+    pb = bank.play(PlaySettings(sample_id=0, loop_start=10, loop_end=20,
+                                loop_mode=LoopMode.DIRECT_FULL_PP))
+    bank.process(12)        # inside first (forward) loop pass
+    pb.stop()
+    out = bank.process(60)  # must finish fwd pass AND a reverse pass
+    full_t = 12 + np.arange(60)
+    # reverse pass occupies t in [20, 30): values 19..10
+    rev = out[(full_t >= 20) & (full_t < 30)]
+    np.testing.assert_array_equal(rev, np.arange(19, 9, -1))
+    # tail [le, len) starts at t=30
+    tail = out[(full_t >= 30) & (full_t < 40)]
+    np.testing.assert_array_equal(tail, np.arange(20, 30))
+
+
+def test_player_cancel_fadeout():
+    from lsp_dsp_units_tpu.models.sampling import (Sample, SamplePlayer,
+                                                   PlaySettings)
+    bank = SamplePlayer()
+    s = Sample(1, 1000, SR)
+    s.data[0] = 1.0
+    bank.bind(0, s)
+    pb = bank.play(PlaySettings(sample_id=0))
+    bank.process(100)
+    pb.cancel(fadeout=50)
+    out = bank.process(100)
+    assert abs(out[0] - 1.0) < 0.03
+    assert out[49] < 0.05 and np.all(out[50:] == 0.0)
+    assert np.all(np.diff(out[:50]) <= 1e-6)   # monotone fade
+    assert not pb.active
+
+
+def test_player_reverse_playback_no_loop():
+    from lsp_dsp_units_tpu.models.sampling import PlaySettings
+    bank = _player_with_ramp()
+    bank.play(PlaySettings(sample_id=0, start=30, reverse=True))
+    out = bank.process(40)
+    np.testing.assert_array_equal(out[:30], np.arange(29, -1, -1))
+    np.testing.assert_array_equal(out[30:], 0.0)
