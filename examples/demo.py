@@ -2,7 +2,8 @@
 src/test/mtest/demo.cpp:35-105): load WAV -> configure unit -> stream
 process() in blocks -> save WAV.
 
-Usage: python examples/demo.py in.wav out.wav [filter|chain|loudness]
+Usage: python examples/demo.py in.wav out.wav \
+    [filter|chain|loudness|sampler|stretch]
 """
 
 import os
@@ -57,6 +58,30 @@ def main() -> None:
             meter.loudness_lufs_gain(st)))) if True else 0.0
         print(f"integrated loudness: {lufs:.2f} LUFS")
         y = np.asarray(out)[None]
+    elif mode == "sampler":
+        # loop the middle half of the input ping-pong with crossfades
+        # and render 2x the original length (SamplePlayer batch model)
+        from lsp_dsp_units_tpu.models.sampling import (
+            Sample, SamplePlayer, PlaySettings, LoopMode, XFadeType)
+        bank = SamplePlayer()
+        bank.bind(0, Sample.load(src))
+        n = x.shape[1]
+        pb = bank.play(PlaySettings(
+            sample_id=0, loop_start=n // 4, loop_end=3 * n // 4,
+            loop_mode=LoopMode.DIRECT_HALF_PP,
+            xfade_length=min(n // 8, sr // 50),
+            xfade_type=XFadeType.LINEAR))
+        y = bank.process(2 * n)
+        pb.stop()
+        y = np.concatenate([y, bank.process(n)])[None, :]
+    elif mode == "stretch":
+        # pitch-preserving 1.5x time stretch (Sample.stretch)
+        from lsp_dsp_units_tpu.models.sampling import (Sample,
+                                                       SampleCrossfade)
+        s = Sample.load(src)
+        s.stretch(int(s.length * 1.5),
+                  fade_type=SampleCrossfade.LINEAR)
+        y = s.data
     else:
         raise SystemExit(f"unknown mode {mode}")
 
