@@ -110,6 +110,18 @@ class Gate:
                               curve=new_cur)
             return new_s, (new_e, new_cur)
 
+        if x.ndim == 2 and jax.default_backend() == "tpu":
+            # single Pallas kernel: whole T-loop in one Mosaic program
+            from lsp_dsp_units_tpu.ops.pallas_env import (
+                gate_envelope_pallas)
+            env_st, cur, env, curves = gate_envelope_pallas(
+                state.env, state.curve, x, ta, tr, nh, k0.end, k1.start)
+            state = GateState(env=env_st, curve=cur)
+            g0 = dyn.gate_x1_gain(k0, env)
+            g1 = dyn.gate_x1_gain(k1, env)
+            gain = jnp.where(curves == 0, g0, g1)
+            return state, gain, env
+
         t = x.shape[-1]
         u = 16 if t % 16 == 0 else 1
         if u == 1:

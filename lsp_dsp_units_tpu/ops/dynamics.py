@@ -63,6 +63,13 @@ def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
     the scan body processes ``unroll`` samples per step (same math,
     unrolled in the trace).
     """
+    if x.ndim == 2 and x.dtype == jnp.float32 \
+            and jax.default_backend() == "tpu":
+        # one Mosaic program for the whole T-loop (see ops.pallas_env)
+        from lsp_dsp_units_tpu.ops.pallas_env import peak_envelope_pallas
+        return peak_envelope_pallas(state, x, tau_attack, tau_release,
+                                    hold_samples, release_thresh)
+
     ta = jnp.asarray(tau_attack, x.dtype)
     tr = jnp.asarray(tau_release, x.dtype)
     nh = jnp.asarray(hold_samples, jnp.int32)

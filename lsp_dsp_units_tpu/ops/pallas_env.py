@@ -59,6 +59,98 @@ def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref):
     sout_ref[2, :] = h
 
 
+def _gate_kernel(params_ref, x_ref, s_ref, env_ref, cur_ref, sout_ref):
+    """Gate envelope + hysteresis curve switch in one Mosaic loop
+    (reference Gate.cpp:267-367; see models/dynamics/gate.py)."""
+    ta = params_ref[0, 0]
+    tr = params_ref[0, 1]
+    nh = params_ref[0, 2]
+    k0_end = params_ref[0, 3]
+    k1_start = params_ref[0, 4]
+    t_total = x_ref.shape[0]
+
+    def body(t, carry):
+        e, peak, hold, cur = carry
+        xt = x_ref[t, :]
+        d = xt - e
+        falling = d < 0.0
+        holding = hold > 0.0
+        e_fall = e + tr * d
+        e_rise = e + ta * d
+        new_e = jnp.where(falling, jnp.where(holding, e, e_fall), e_rise)
+        rise_peaked = jnp.logical_and(~falling, e_rise >= peak)
+        new_peak = jnp.where(falling, jnp.where(holding, peak, e_fall),
+                             jnp.where(rise_peaked, e_rise, peak))
+        new_hold = jnp.where(falling,
+                             jnp.where(holding, hold - 1.0, hold),
+                             jnp.where(rise_peaked, nh, hold))
+        switch_up = jnp.logical_and(cur < 0.5, new_e > k0_end)
+        switch_dn = jnp.logical_and(cur > 0.5, new_e < k1_start)
+        new_cur = jnp.where(switch_up, 1.0,
+                            jnp.where(switch_dn, 0.0, cur))
+        env_ref[t, :] = new_e
+        cur_ref[t, :] = new_cur
+        return new_e, new_peak, new_hold, new_cur
+
+    init = (s_ref[0, :], s_ref[1, :], s_ref[2, :], s_ref[3, :])
+    e, p, h, c = jax.lax.fori_loop(0, t_total, body, init)
+    sout_ref[0, :] = e
+    sout_ref[1, :] = p
+    sout_ref[2, :] = h
+    sout_ref[3, :] = c
+
+
+def gate_envelope_pallas(env_state, curve, x: Array, tau_attack,
+                         tau_release, hold_samples, k0_end, k1_start,
+                         interpret: bool = False):
+    """Gate envelope + active-curve track on 2D [C, T] inputs.
+
+    Returns (EnvState', curve' [C] int32, env [C, T], curves [C, T]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from lsp_dsp_units_tpu.ops.dynamics import EnvState
+
+    c, t = x.shape
+    c_pad = -(-c // _LANES) * _LANES
+    xt = jnp.zeros((t, c_pad), jnp.float32)
+    xt = jax.lax.dynamic_update_slice(xt, x.T.astype(jnp.float32), (0, 0))
+    s = jnp.zeros((4, c_pad), jnp.float32)
+    s = s.at[0, :c].set(env_state.envelope)
+    s = s.at[1, :c].set(env_state.peak)
+    s = s.at[2, :c].set(env_state.hold.astype(jnp.float32))
+    s = s.at[3, :c].set(curve.astype(jnp.float32))
+    zero = jnp.float32(0.0)
+    params = jnp.stack([
+        jnp.asarray(tau_attack, jnp.float32),
+        jnp.asarray(tau_release, jnp.float32),
+        jnp.asarray(hold_samples, jnp.float32),
+        jnp.asarray(k0_end, jnp.float32),
+        jnp.asarray(k1_start, jnp.float32),
+        zero, zero, zero]).reshape(1, 8)
+
+    env_t, cur_t, s_out = pl.pallas_call(
+        _gate_kernel,
+        out_shape=(jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((4, c_pad), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(params, xt, s)
+
+    new_state = EnvState(
+        envelope=s_out[0, :c], peak=s_out[1, :c],
+        hold=s_out[2, :c].astype(jnp.int32))
+    new_curve = (s_out[3, :c] > 0.5).astype(jnp.int32)
+    curves = (cur_t[:, :c].T > 0.5).astype(jnp.int32)
+    return new_state, new_curve, env_t[:, :c].T, curves
+
+
 def peak_envelope_pallas(env_state, x: Array, tau_attack, tau_release,
                          hold_samples, release_thresh=None,
                          interpret: bool = False):

@@ -171,3 +171,37 @@ def test_analyzer_peak_detection():
     s1 = np.asarray(an.get_spectrum(st, 1))
     assert abs(f[int(np.argmax(s0))] - 1000.0) < 50.0
     assert abs(f[int(np.argmax(s1))] - 5000.0) < 100.0
+
+
+def test_gate_pallas_kernel_matches_scan():
+    """Pallas gate envelope kernel (interpreter mode) is bit-exact vs
+    the lax.scan path, including the hysteresis curve track."""
+    from lsp_dsp_units_tpu.models.dynamics.gate import Gate, GateState
+    from lsp_dsp_units_tpu.ops import dynamics as dyn
+    from lsp_dsp_units_tpu.ops.pallas_env import gate_envelope_pallas
+
+    gate = Gate(48000, threshold=0.2, zone=0.4, hyst_threshold=0.15,
+                hyst_zone=0.5, reduction=0.1, attack_ms=2.0,
+                release_ms=30.0, hold_ms=1.0)
+    p = gate.build()
+    rng = np.random.default_rng(5)
+    x = jnp.asarray((np.abs(rng.standard_normal((3, 512)))
+                     * np.linspace(0.0, 0.6, 512)).astype(np.float32))
+    st = gate.init_state((3,))
+    st_scan, gain_scan, env_scan = gate.process(p, st, x)
+
+    st2 = gate.init_state((3,))
+    env_st, cur, env, curves = gate_envelope_pallas(
+        st2.env, st2.curve, x, p.tau_attack, p.tau_release, p.hold,
+        p.knees[0].end, p.knees[1].start, interpret=True)
+    np.testing.assert_allclose(np.asarray(env), np.asarray(env_scan),
+                               rtol=0, atol=0)
+    g0 = dyn.gate_x1_gain(p.knees[0], env)
+    g1 = dyn.gate_x1_gain(p.knees[1], env)
+    gain = jnp.where(curves == 0, g0, g1)
+    np.testing.assert_allclose(np.asarray(gain), np.asarray(gain_scan),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(env_st.envelope),
+                                  np.asarray(st_scan.env.envelope))
+    np.testing.assert_array_equal(np.asarray(cur),
+                                  np.asarray(st_scan.curve))
