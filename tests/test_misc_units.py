@@ -321,3 +321,22 @@ def test_unit_conversions_reference_formulas():
     assert 343.0 < v < 344.5
     # at 0 degC ~ 331.4
     assert 331.0 < float(u.sound_speed(0.0)) < 332.0
+
+
+def test_profiling_helpers(tmp_path):
+    """utils.profiling: trace context produces a capture dir; time_fn
+    measures a jitted step (SURVEY §5 profile/trace analog)."""
+    import jax
+    import jax.numpy as jnp
+    from lsp_dsp_units_tpu.utils import profiling
+
+    f = jax.jit(lambda v: jnp.tanh(v) * 2.0)
+    x = jnp.ones((8, 256), jnp.float32)
+    with profiling.trace(str(tmp_path)):
+        np.asarray(f(x))
+    import os
+    assert any(os.scandir(str(tmp_path)))   # trace artifacts written
+
+    sec, rate = profiling.time_fn(f, x, iters=3, windows=2,
+                                  samples_per_call=8 * 256)
+    assert sec > 0 and rate > 0
