@@ -182,3 +182,68 @@ def test_all_types_design_and_stable(ftype):
                                         freq2=4000.0, gain=2.0, quality=0.7),
                            SR)
         assert np.all(np.isfinite(d2.biquads))
+
+
+def test_bwc_lopass_matches_scipy_butterworth():
+    """BT_BWC_LOPASS slope-s == 2s-order Butterworth: magnitude must
+    match scipy.signal.butter within 0.1 dB across the band."""
+    from scipy import signal as sps
+    # slope == Butterworth order; EVEN orders are textbook-exact
+    # (odd-order BWC uses the reference's own cascade arrangement)
+    for slope, fc in ((2, 1000.0), (4, 4000.0), (6, 500.0)):
+        d = design_filter(FilterParams(ftype=FilterType.BT_BWC_LOPASS,
+                                       freq=fc, slope=slope), SR)
+        freqs = np.geomspace(40.0, 20000.0, 120)
+        h_ours = np.abs(digital_freq_response(np.asarray(d.biquads),
+                                              freqs, SR))
+        b, a = sps.butter(slope, fc, btype="low", fs=SR)
+        _, h_ref = sps.freqz(b, a, worN=freqs, fs=SR)
+        db_err = 20 * np.log10(np.maximum(h_ours, 1e-9)) \
+            - 20 * np.log10(np.maximum(np.abs(h_ref), 1e-9))
+        # ignore the deep stopband (numerical noise floor differs)
+        mask = 20 * np.log10(np.maximum(np.abs(h_ref), 1e-12)) > -80
+        assert np.abs(db_err[mask]).max() < 0.1, (slope, fc)
+
+
+def test_bwc_hipass_matches_scipy_butterworth():
+    from scipy import signal as sps
+    d = design_filter(FilterParams(ftype=FilterType.BT_BWC_HIPASS,
+                                   freq=250.0, slope=6), SR)
+    freqs = np.geomspace(40.0, 20000.0, 120)
+    h_ours = np.abs(digital_freq_response(np.asarray(d.biquads), freqs, SR))
+    b, a = sps.butter(6, 250.0, btype="high", fs=SR)
+    _, h_ref = sps.freqz(b, a, worN=freqs, fs=SR)
+    mask = 20 * np.log10(np.maximum(np.abs(h_ref), 1e-12)) > -80
+    db_err = 20 * np.log10(np.maximum(h_ours[mask], 1e-9)) \
+        - 20 * np.log10(np.abs(h_ref[mask]))
+    assert np.abs(db_err).max() < 0.1
+
+
+def test_apo_biquads_match_cookbook():
+    """DR_APO_* == Audio-EQ-Cookbook formulas (independent rederivation
+    here against the textbook expressions)."""
+    f0, q, gain = 1200.0, 1.3, 2.5
+    w0 = 2 * np.pi * f0 / SR
+    alpha = np.sin(w0) / (2 * q)
+    A = np.sqrt(gain)
+
+    # peaking EQ (cookbook)
+    b = np.array([1 + alpha * A, -2 * np.cos(w0), 1 - alpha * A])
+    a = np.array([1 + alpha / A, -2 * np.cos(w0), 1 - alpha / A])
+    d = design_filter(FilterParams(ftype=FilterType.DR_APO_PEAKING,
+                                   freq=f0, gain=gain, quality=q), SR)
+    freqs = np.geomspace(100.0, 20000.0, 60)
+    h_ours = np.abs(digital_freq_response(np.asarray(d.biquads), freqs, SR))
+    from scipy import signal as sps
+    _, h_ref = sps.freqz(b / a[0], a / a[0], worN=freqs, fs=SR)
+    np.testing.assert_allclose(h_ours, np.abs(h_ref), rtol=1e-4)
+
+    # low-pass (cookbook, Q)
+    b = np.array([(1 - np.cos(w0)) / 2, 1 - np.cos(w0),
+                  (1 - np.cos(w0)) / 2])
+    a = np.array([1 + alpha, -2 * np.cos(w0), 1 - alpha])
+    d = design_filter(FilterParams(ftype=FilterType.DR_APO_LOPASS,
+                                   freq=f0, quality=q), SR)
+    h_ours = np.abs(digital_freq_response(np.asarray(d.biquads), freqs, SR))
+    _, h_ref = sps.freqz(b / a[0], a / a[0], worN=freqs, fs=SR)
+    np.testing.assert_allclose(h_ours, np.abs(h_ref), rtol=1e-4)
