@@ -140,18 +140,25 @@ uint32_t as_length(void* vh) {
 }
 
 // Write `frames` planar samples (data[ch * frames + i]); returns frames
-// written.  Lock-free: data stores first, then head publishes.
+// written.  Lock-free: data stores first, then head publishes.  Copies
+// run over at most two contiguous ring segments (no per-sample modulo)
+// so the sanitize loop auto-vectorizes.
 int as_write(void* vh, const float* data, uint32_t frames) {
     as_handle_t* h = reinterpret_cast<as_handle_t*>(vh);
     as_header_t* hdr = h->hdr;
     const uint32_t C = hdr->channels, L = hdr->length;
     if (frames > hdr->max_blk) frames = hdr->max_blk;
     uint64_t head = hdr->head.load(std::memory_order_relaxed);
+    const uint32_t off = (uint32_t)(head % L);
+    const uint32_t n1 = (off + frames <= L) ? frames : (L - off);
+    const uint32_t n2 = frames - n1;
     for (uint32_t c = 0; c < C; ++c) {
         float* ring = h->data + (size_t)c * L;
         const float* src = data + (size_t)c * frames;
-        for (uint32_t i = 0; i < frames; ++i)
-            ring[(head + i) % L] = sanitize(src[i]);
+        for (uint32_t i = 0; i < n1; ++i)
+            ring[off + i] = sanitize(src[i]);
+        for (uint32_t i = 0; i < n2; ++i)
+            ring[i] = sanitize(src[n1 + i]);
     }
     hdr->head.store(head + frames, std::memory_order_release);
     hdr->counter.fetch_add(1, std::memory_order_relaxed);
@@ -171,11 +178,16 @@ int as_read(void* vh, float* data, uint32_t frames) {
     uint64_t avail = head - h->read_pos;
     if (avail == 0) return 0;
     uint32_t todo = (uint32_t)(avail < frames ? avail : frames);
+    const uint32_t off = (uint32_t)(h->read_pos % L);
+    const uint32_t n1 = (off + todo <= L) ? todo : (L - off);
+    const uint32_t n2 = todo - n1;
     for (uint32_t c = 0; c < C; ++c) {
         const float* ring = h->data + (size_t)c * L;
         float* dst = data + (size_t)c * todo;
-        for (uint32_t i = 0; i < todo; ++i)
-            dst[i] = sanitize(ring[(h->read_pos + i) % L]);
+        for (uint32_t i = 0; i < n1; ++i)
+            dst[i] = sanitize(ring[off + i]);
+        for (uint32_t i = 0; i < n2; ++i)
+            dst[n1 + i] = sanitize(ring[i]);
     }
     h->read_pos += todo;
     return (int)todo;
