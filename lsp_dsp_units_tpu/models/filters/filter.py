@@ -80,6 +80,15 @@ class Filter:
         c = coeffs if coeffs is not None else self.coefficients()
         if c.shape[-2] == 0:
             return state, x
+        batch = x.shape[:-1]
+        if state.shape[:-2] != batch:
+            try:
+                state = jnp.broadcast_to(state, batch + state.shape[-2:])
+            except ValueError:
+                raise ValueError(
+                    f"state batch shape {state.shape[:-2]} does not match "
+                    f"input batch shape {batch}; create state with "
+                    f"init_state(batch_shape={batch})") from None
         if method == "seq":
             y, state = biquad_ops.biquad_cascade_seq(c, state, x)
         elif method == "assoc":

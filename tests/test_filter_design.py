@@ -247,3 +247,24 @@ def test_apo_biquads_match_cookbook():
     h_ours = np.abs(digital_freq_response(np.asarray(d.biquads), freqs, SR))
     _, h_ref = sps.freqz(b / a[0], a / a[0], worN=freqs, fs=SR)
     np.testing.assert_allclose(h_ours, np.abs(h_ref), rtol=1e-4)
+
+
+def test_filter_process_broadcasts_unbatched_state():
+    """init_state() with no batch shape must work for [C, T] input (the
+    zero state broadcasts); mismatched non-broadcastable state raises a
+    clear error instead of a kernel-shape failure."""
+    import jax.numpy as jnp
+    from lsp_dsp_units_tpu.models.filters import Filter, FilterParams
+
+    f = Filter(48000, FilterParams(ftype=FilterType.BT_BWC_HISHELF,
+                                   freq=1000.0, gain=2.0, slope=2))
+    x = jnp.zeros((2, 256)).at[:, 0].set(1.0)
+
+    st_b, y_b = f.process(f.init_state((2,)), x)
+    st_u, y_u = f.process(f.init_state(), x)
+    np.testing.assert_array_equal(np.asarray(y_b), np.asarray(y_u))
+    assert st_u.shape == st_b.shape
+
+    import pytest
+    with pytest.raises(ValueError, match="batch shape"):
+        f.process(f.init_state((3,)), x)
