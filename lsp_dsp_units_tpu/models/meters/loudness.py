@@ -196,7 +196,11 @@ class ILUFSMeter:
         integrated loudness (amplitude domain, updated at each completed
         400 ms block)."""
         t = x.shape[-1]
-        assert t % self.blk_size == 0, (t, self.blk_size)
+        if t % self.blk_size != 0:
+            raise ValueError(
+                f"input length {t} must be a multiple of the meter's "
+                f"block quarter ({self.blk_size} samples = 100 ms); use "
+                f"utils.blocks.BlockStream for arbitrary chunk sizes")
         m = t // self.blk_size
         if self._coeffs.shape[0]:
             y, flt = biquad_ops.biquad_cascade_seq(self._coeffs,

@@ -62,7 +62,11 @@ class Analyzer:
         """x: [C, T], T a multiple of the analysis period."""
         t = x.shape[-1]
         p = self.period
-        assert t % p == 0, (t, p)
+        if t % p != 0:
+            raise ValueError(
+                f"input length {t} must be a multiple of the analysis "
+                f"period ({p} samples = sample_rate/rate); use "
+                f"utils.blocks.BlockStream for arbitrary chunk sizes")
         m = t // p
         full = jnp.concatenate([state.buffer, x], axis=-1)
         # analysis frames: last N samples at each period boundary

@@ -60,7 +60,11 @@ class SpectralProcessor:
     def _frames(self, state: SpectralState, x: Array):
         h = self.hop
         t = x.shape[-1]
-        assert t % h == 0, (t, h)
+        if t % h != 0:
+            raise ValueError(
+                f"input length {t} must be a multiple of the hop size "
+                f"({h} samples = 2**(rank-1)/2); use utils.blocks."
+                f"BlockStream for arbitrary chunk sizes")
         m = t // h
         hops = x.reshape(x.shape[:-1] + (m, h))
         prev = jnp.concatenate(
@@ -166,7 +170,11 @@ class SpectralSplitter:
         h = self.hop
         n = self.frame
         t = x.shape[-1]
-        assert t % h == 0, (t, h)
+        if t % h != 0:
+            raise ValueError(
+                f"input length {t} must be a multiple of the hop size "
+                f"({h} samples = 2**(rank-1)/2); use utils.blocks."
+                f"BlockStream for arbitrary chunk sizes")
         m = t // h
         full = jnp.concatenate([state.hist, x], axis=-1)
         idx = (jnp.arange(m)[:, None] * h + jnp.arange(n)[None, :])
