@@ -332,3 +332,132 @@ def test_sampling_units_smoke():
     player.play(PlaySettings(sample_id=0, channel=0, volume=1.0))
     out = player.process(1024)
     _assert_finite("SamplePlayer", out)
+
+
+def test_jit_single_trace_all_device_units():
+    """Every device-path unit must trace exactly once under jax.jit for a
+    streaming loop of same-shaped calls — shape/dtype/weak-type drift in
+    the carried state would force a silent recompile every block on TPU."""
+    from lsp_dsp_units_tpu.models.dynamics.compressor import Compressor
+    from lsp_dsp_units_tpu.models.dynamics.expander import Expander
+    from lsp_dsp_units_tpu.models.dynamics.gate import Gate
+    from lsp_dsp_units_tpu.models.dynamics.limiter import Limiter
+    from lsp_dsp_units_tpu.models.dynamics.dynamic_processor import (
+        DynamicProcessor)
+    from lsp_dsp_units_tpu.models.dynamics.surge_protector import (
+        SurgeProtector)
+    from lsp_dsp_units_tpu.models.meters.loudness import (
+        ILUFSMeter, LoudnessMeter)
+    from lsp_dsp_units_tpu.models.meters.true_peak import TruePeakMeter
+    from lsp_dsp_units_tpu.models.meters.correlometer import Correlometer
+    from lsp_dsp_units_tpu.models.meters.peak import PeakMeter, Panometer
+    from lsp_dsp_units_tpu.models.util.convolver import Convolver
+    from lsp_dsp_units_tpu.models.util.crossover import Crossover
+    from lsp_dsp_units_tpu.models.util.delay import Delay, DynamicDelay
+    from lsp_dsp_units_tpu.models.util.oversampler import Oversampler
+    from lsp_dsp_units_tpu.models.util.sidechain import Sidechain
+    from lsp_dsp_units_tpu.models.util.trigger import Trigger
+    from lsp_dsp_units_tpu.models.util.spectral import (
+        SpectralProcessor, SpectralSplitter)
+    from lsp_dsp_units_tpu.models.util.fft_crossover_unit import FFTCrossover
+    from lsp_dsp_units_tpu.models.util.analyzer import Analyzer
+    from lsp_dsp_units_tpu.models.filters import Filter, FilterParams
+    from lsp_dsp_units_tpu.models.filters.butterworth import (
+        ButterworthFilter)
+    from lsp_dsp_units_tpu.models.filters.spectral_tilt import SpectralTilt
+    from lsp_dsp_units_tpu.models.filters.equalizer import Equalizer
+
+    ir = (_rng.standard_normal(2000) * np.exp(
+        -np.arange(2000) / 400)).astype(np.float32)
+    xl = jnp.asarray((_rng.standard_normal((2, 9600)) * 0.25
+                      ).astype(np.float32))
+    dcurve = jnp.broadcast_to(jnp.linspace(0, 500, T).astype(jnp.int32),
+                              X.shape)
+    fdelay = jnp.broadcast_to(
+        jnp.linspace(0.0, 500.0, T, dtype=jnp.float32), X.shape)
+    half = jnp.full_like(X, 0.5)
+    ident = lambda spec: spec
+
+    comp, exp_, gate, dynp = (Compressor(SR), Expander(SR), Gate(SR),
+                              DynamicProcessor(SR))
+    lim, surge = Limiter(SR), SurgeProtector()
+    conv = Convolver(ir, rank=12)
+    xover, delay = Crossover(SR), Delay(max_delay=1024)
+    ddelay, ovs = DynamicDelay(max_delay=1024), Oversampler(SR, ratio=2)
+    sc, trig = Sidechain(SR), Trigger()
+    spp, spl = SpectralProcessor(rank=12), SpectralSplitter(rank=12)
+    fxo = FFTCrossover(SR, rank=12)
+    ana = Analyzer(SR, channels=2, rank=12)
+    xa = jnp.asarray((_rng.standard_normal((2, 2 * ana.period)) * 0.25
+                      ).astype(np.float32))
+    flt = Filter(SR, FilterParams())
+    bwf = ButterworthFilter(SR, order=4, cutoff=2000.0)
+    tilt = SpectralTilt(SR)
+    lm, ilufs = LoudnessMeter(SR, channels=2), ILUFSMeter(SR, channels=2)
+    tpm, corr = TruePeakMeter(SR), Correlometer(window=1024)
+    pk, pan = PeakMeter(SR), Panometer(SR)
+    eq = Equalizer(SR, filters=4)
+    eqp = eq.build()
+
+    cases = {
+        "Compressor": (comp.init_state(BATCH),
+                       lambda s: comp.process(comp.build(), s, X)),
+        "Expander": (exp_.init_state(BATCH),
+                     lambda s: exp_.process(exp_.build(), s, X)),
+        "Gate": (gate.init_state(BATCH),
+                 lambda s: gate.process(gate.build(), s, X)),
+        "DynamicProcessor": (dynp.init_state(BATCH),
+                             lambda s: dynp.process(dynp.build(), s, X)),
+        "Limiter": (lim.init_state(BATCH),
+                    lambda s: lim.process(lim.build(), s, jnp.abs(X))),
+        "SurgeProtector": (surge.init_state(BATCH),
+                           lambda s: surge.process(s, X)),
+        "Convolver": (conv.init_state(BATCH), lambda s: conv.process(s, X)),
+        "Crossover": (xover.init_state(BATCH),
+                      lambda s: xover.process(s, X)),
+        "Delay": (delay.init_state(BATCH),
+                  lambda s: delay.process(s, X, 64)),
+        "DynamicDelay": (ddelay.init_state(BATCH),
+                         lambda s: ddelay.process(s, X, dcurve, half,
+                                                  fdelay)),
+        "Oversampler": (ovs.init_state(BATCH),
+                        lambda s: ovs.process(s, X, jnp.tanh)),
+        "Sidechain": (sc.init_state(BATCH), lambda s: sc.process(s, X)),
+        "Trigger": (trig.init_state(), lambda s: trig.process(s, X[0])),
+        "SpectralProcessor": (spp.init_state(BATCH),
+                              lambda s: spp.process(s, X, ident)),
+        "SpectralSplitter": (spl.init_state(BATCH),
+                             lambda s: spl.process(s, X, [ident])),
+        "FFTCrossover": (fxo.init_state(BATCH), lambda s: fxo.process(s, X)),
+        "Analyzer": (ana.init_state(), lambda s: (ana.process(s, xa),)),
+        "Filter": (flt.init_state(BATCH), lambda s: flt.process(s, X)),
+        "ButterworthFilter": (bwf.init_state(BATCH),
+                              lambda s: bwf.process(s, X)),
+        "SpectralTilt": (tilt.init_state(BATCH), lambda s: tilt.process(s, X)),
+        "LoudnessMeter": (lm.init_state(), lambda s: lm.process(s, xl)),
+        "ILUFSMeter": (ilufs.init_state(), lambda s: ilufs.process(s, xl)),
+        "TruePeakMeter": (tpm.init_state(BATCH), lambda s: tpm.process(s, X)),
+        "Correlometer": (corr.init_state(()),
+                         lambda s: corr.process(s, X[0], X[1])),
+        "PeakMeter": (pk.init_state(BATCH), lambda s: pk.process(s, X)),
+        "Panometer": (pan.init_state(), lambda s: pan.process(s, X[0], X[1])),
+        "Equalizer": (eq.init_state(eqp, BATCH),
+                      lambda s: eq.process(eqp, s, X)),
+    }
+
+    failures = []
+    for name, (state, call) in cases.items():
+        traces = {"n": 0}
+
+        def traced(s, _call=call, _traces=traces):
+            _traces["n"] += 1
+            return _call(s)
+
+        jf = jax.jit(traced)
+        out = jf(state)
+        out = jf(out[0])
+        jax.block_until_ready(out)
+        if traces["n"] != 1:
+            failures.append(f"{name}: traced {traces['n']}x (state drift "
+                            "forces a recompile every block)")
+    assert not failures, "\n".join(failures)
