@@ -146,10 +146,12 @@ class FilterConvChain:
             # (f64-precomputed transitions; ~120 dB like the local path)
             y, eq_st = fused_cascade_time_sharded(
                 params.eq_block, state.eq, x, pmesh.TIME_AXIS)
-            # Convolver: halo FIR over the time axis (stateless within the
-            # super-block; the FDL state is refreshed from the halo)
-            y = fir_conv_time_sharded(params.h_spectra, chain.block, y,
-                                      pmesh.TIME_AXIS)
+            # Convolver: halo FIR over the time axis; the carried FDL
+            # state supplies history older than the super-block so the
+            # reverb tail survives call boundaries (matches step())
+            y, fdl_st = fir_conv_time_sharded(params.h_spectra, chain.block,
+                                              y, pmesh.TIME_AXIS,
+                                              carry=state.fdl)
             # Dynamics: sequential in time — gather the time axis for the
             # detector scan (channels stay parallel)
             y_full = jax.lax.all_gather(y, pmesh.TIME_AXIS, axis=-1,
@@ -163,7 +165,7 @@ class FilterConvChain:
             gain_loc = jax.lax.dynamic_slice_in_dim(
                 gain, idx * t_loc, t_loc, axis=-1)
             y = y * gain_loc
-            new_state = ChainState(eq=eq_st, fdl=state.fdl, sc=sc_st,
+            new_state = ChainState(eq=eq_st, fdl=fdl_st, sc=sc_st,
                                    env=env_st)
             return new_state, y
 

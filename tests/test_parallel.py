@@ -190,3 +190,77 @@ def test_global_meters_psum():
     ref_cor = (x * y).sum(-1) / np.sqrt((x ** 2).sum(-1)
                                         * (y ** 2).sum(-1))
     np.testing.assert_allclose(np.asarray(cor), ref_cor, rtol=1e-4)
+
+
+def test_sharded_chain_streaming_matches_step():
+    """Convolution/IIR/envelope history must survive super-block
+    boundaries: N consecutive sharded_step calls == N single-device
+    step() calls (the IR is much longer than a super-block, so dropping
+    carried FDL state would diverge from call 2 on)."""
+    from lsp_dsp_units_tpu.pipeline import FilterConvChain
+
+    chain = FilterConvChain(48000, channels=4, rank=9, ir_seconds=0.05)
+    params = chain.build()
+    mesh = pmesh.make_mesh(chan=2, time=4)
+    t = chain.block * 4 * 2              # 2 blocks per time shard
+    rng = np.random.default_rng(11)
+    xs = [jnp.asarray(rng.standard_normal((4, t)).astype(np.float32) * 0.25)
+          for _ in range(3)]
+
+    st_ref = chain.init_state(params)
+    refs = []
+    step_ref = jax.jit(chain.step)
+    for x in xs:
+        st_ref, y = step_ref(params, st_ref, x)
+        refs.append(np.asarray(y))
+
+    step_sh = chain.sharded_step(mesh, params)
+    st_sh = chain.init_state(params)
+    spec = jax.NamedSharding(mesh, P("chan", "time"))
+    for k, (x, ref) in enumerate(zip(xs, refs)):
+        st_sh, y = step_sh(st_sh, jax.device_put(x, spec))
+        got = np.asarray(y)
+        # the floor at this tiny block size (256) is the sharded EQ's
+        # f32 zero-state+correction rounding (~60 dB; ~120 dB at the
+        # production block 8192).  Before the FDL carry fix, calls 2+
+        # collapsed to ~13 dB — this guards the history path.
+        assert snr_db(ref, got) > 55.0, (k, snr_db(ref, got))
+
+
+def test_time_sharded_fir_streaming_carry_exact():
+    """Carried-FDL halo convolution across super-block calls is exact:
+    bit-identical to the sequential FDL stream and ~130 dB vs the f64
+    golden, with the IR much longer than a local shard."""
+    rng = np.random.default_rng(5)
+    block = 128
+    ir = rng.normal(size=1100).astype(np.float32)       # P=9 partitions
+    h = fftconv.parse_ir(jnp.asarray(ir), block)
+    n_sh, blocks_local = 4, 2
+    t = n_sh * blocks_local * block
+    xs = [rng.normal(size=(2, t)).astype(np.float32) for _ in range(3)]
+
+    m = pmesh.make_mesh(chan=1, time=n_sh)
+
+    def f(carry, x_sh):
+        y, c2 = fir_conv_time_sharded(h, block, x_sh, pmesh.TIME_AXIS,
+                                      carry=carry)
+        return c2, y
+
+    fdl_spec = fftconv.FDLState(P(), P(), P())
+    g = jax.jit(shard_map(
+        f, mesh=m, in_specs=(fdl_spec, P(None, pmesh.TIME_AXIS)),
+        out_specs=(fdl_spec, P(None, pmesh.TIME_AXIS))))
+
+    carry = fftconv.init_fdl(h, (2,))
+    st = fftconv.init_fdl(h, (2,))
+    outs = []
+    for x in xs:
+        carry, y = g(carry, jnp.asarray(x))
+        st, y_seq = fftconv.fdl_process(h, st, jnp.asarray(x))
+        assert snr_db(np.asarray(y_seq), np.asarray(y)) > 120.0
+        outs.append(np.asarray(y))
+
+    full = np.concatenate(xs, axis=-1)
+    golden = np.stack([fftconv.np_convolve_golden(full[c], ir)
+                       for c in range(2)])
+    assert snr_db(golden, np.concatenate(outs, axis=-1)) > 125.0
