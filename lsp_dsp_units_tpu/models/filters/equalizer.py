@@ -251,18 +251,27 @@ class Equalizer:
         [N/2, 3N/2) of the frame (Equalizer.cpp:486-501)."""
         n = self.fir_size
         assert x.shape[-1] == n, "xfade step processes exactly one frame"
+        # old convolution with the carried overlap-add tail folded in —
+        # the reference's vOutBuffer after fastconv_parse_apply
         st_old, y_old = self._process_fir(old.conv_spec, state, x)
-        st_new, y_new = self._process_fir(new.conv_spec, state, x)
-        half = n // 2
-        i = jnp.arange(n, dtype=x.dtype)
-        ramp = jnp.clip((i - half) / jnp.asarray(n, x.dtype), 0.0, 1.0)
-        y = y_old * (1.0 - ramp) + y_new * ramp
-        # the tail continues with the new convolution, mixed like the
-        # in-frame ramp's continuation
-        ramp_t = jnp.clip((i + n - half) / jnp.asarray(n, x.dtype), 0.0, 1.0)
-        tail = (st_old.fir_tail * (1.0 - ramp_t)
-                + st_new.fir_tail * ramp_t)
-        return st_new._replace(fir_tail=tail), y.astype(x.dtype)
+        # new convolution over a ZERO base (reference's vFft: no previous
+        # tail), Equalizer.cpp:491-493
+        st_new, _ = self._process_fir(
+            new.conv_spec,
+            state._replace(fir_tail=jnp.zeros_like(state.fir_tail)), x)
+        # linear ramp old->new across [N/2, 3N/2) of the 2N result
+        # buffer; beyond 3N/2 the tail is pure new (Equalizer.cpp:496-498)
+        j = jnp.arange(2 * n, dtype=x.dtype)
+        r = jnp.clip((j - (n // 2)) / jnp.asarray(n, x.dtype), 0.0, 1.0)
+        obuf = jnp.concatenate([st_old.fir_pending, st_old.fir_tail],
+                               axis=-1)
+        nbuf = jnp.concatenate([st_new.fir_pending, st_new.fir_tail],
+                               axis=-1)
+        mixed = obuf * (1.0 - r) + nbuf * r
+        # emitted now: the pre-change pending frame (one-frame output
+        # buffering); the blended frame is emitted on the next call
+        return state._replace(fir_pending=mixed[..., :n],
+                              fir_tail=mixed[..., n:]), y_old
 
     def _process_spm(self, params: EqParams, state: EqState, x: Array,
                      ) -> Tuple[EqState, Array]:

@@ -106,22 +106,45 @@ def test_spm_streaming_invariance():
 
 
 def test_fir_xfade_no_click():
-    """Crossfaded coefficient change must stay bounded and converge to
-    the new response (reference EF_XFADE, Equalizer.cpp:486-501)."""
+    """Crossfaded coefficient change must pass through an INTERMEDIATE
+    gain frame, not hard-switch (reference EF_XFADE,
+    Equalizer.cpp:486-501): steady 8 kHz sine through a hi-shelf whose
+    gain drops 2.0 -> 0.25; the frame after the xfade call must sit
+    strictly between the old and new steady levels."""
     eq = _setup(EqMode.FIR)
     p_old = eq.build()
     eq.set_params(0, FilterParams(ftype=FilterType.BT_BWC_HISHELF, slope=2,
                                   freq=1000.0, gain=0.25))
     p_new = eq.build()
-    rng = np.random.default_rng(2)
     n = eq.fir_size
-    x = rng.normal(size=n).astype(np.float32) * 0.5
+    t = np.arange(n * 12) / SR
+    sine = (0.5 * np.sin(2 * np.pi * 8000.0 * t)).astype(np.float32)
+    frames = sine.reshape(12, n)
+
     st = eq.init_state(p_old)
-    st, _ = eq.process(p_old, st, jnp.asarray(x))
-    st, y = eq.process_xfade(p_old, p_new, st, jnp.asarray(x))
-    assert np.all(np.isfinite(np.asarray(y)))
-    st, y2 = eq.process(p_new, st, jnp.asarray(x))
-    assert np.all(np.isfinite(np.asarray(y2)))
+    rms = []
+    for k in range(4):
+        st, y = eq.process(p_old, st, jnp.asarray(frames[k]))
+        rms.append(float(np.sqrt(np.mean(np.square(np.asarray(y))))))
+    st, y = eq.process_xfade(p_old, p_new, st, jnp.asarray(frames[4]))
+    rms.append(float(np.sqrt(np.mean(np.square(np.asarray(y))))))
+    for k in range(5, 12):
+        st, y = eq.process(p_new, st, jnp.asarray(frames[k]))
+        rms.append(float(np.sqrt(np.mean(np.square(np.asarray(y))))))
+
+    old_lvl, new_lvl = rms[3], rms[-1]
+    assert old_lvl > 3.0 * new_lvl          # the change is audible
+    # xfade call still emits the pre-change pending frame
+    assert abs(rms[4] - old_lvl) < 0.15 * old_lvl
+    # the ramp spans [N/2, 3N/2) of the computed 2N buffer, so the TWO
+    # following frames descend monotonically through the transition with
+    # at least one strictly-intermediate level (a hard switch would jump
+    # straight to new_lvl)
+    assert old_lvl * 1.05 > rms[5] > rms[6] > new_lvl
+    assert new_lvl * 1.2 < rms[6] < old_lvl * 0.8, (new_lvl, rms[6], old_lvl)
+    # and convergence to the new response
+    assert abs(rms[-1] - rms[-2]) < 0.05 * new_lvl
+    assert all(np.isfinite(v) for v in rms)
 
 
 def test_freq_chart_per_filter_and_total():
