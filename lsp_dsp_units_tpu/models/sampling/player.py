@@ -210,7 +210,12 @@ def _compute_next(pb: Playback, cur: _Batch,
         return None
     loop_allowed = pb.state == _PLAY
     if cur.btype == _HEAD and not loop_allowed:
-        nxt = _Batch(0, pb.loop_start, sample_len, _TAIL)
+        # after-head tail skips the loop; in reverse the head ends at
+        # loop_end and the tail continues DOWN to 0 (playback.cpp:193-201)
+        if pb.settings.reverse:
+            nxt = _Batch(0, pb.loop_end, 0, _TAIL)
+        else:
+            nxt = _Batch(0, pb.loop_start, sample_len, _TAIL)
     elif not loop_allowed and _may_leave_loop(pb, cur):
         nxt = _tail_batch(pb, sample_len)
     else:
@@ -227,14 +232,19 @@ def _compute_next(pb: Playback, cur: _Batch,
         cur.fade_out = xf
         nxt.fade_in = xf
         if cur.btype == _HEAD:
-            # head extends forward into the loop, no shift
+            # head end extension is UNCONDITIONALLY += (so a reverse
+            # head gets shortened by xf) — reference-verbatim behavior
+            # (playback.cpp:452 `s->nEnd += pb->nXFade`, no bReverse
+            # branch); parity wins over symmetry
             if not cur.extended:
                 cur.end += xf
                 cur.extended = True
         else:
             nxt.ts -= xf
             if nxt.btype == _TAIL:
-                nxt.start -= xf if nxt.forward else -xf
+                # unconditional -= like the reference (playback.cpp:449),
+                # which shifts a reverse tail the "wrong" way — parity
+                nxt.start -= xf
     return nxt
 
 

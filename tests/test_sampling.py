@@ -276,3 +276,24 @@ def test_player_reverse_playback_no_loop():
     out = bank.process(40)
     np.testing.assert_array_equal(out[:30], np.arange(29, -1, -1))
     np.testing.assert_array_equal(out[30:], 0.0)
+
+
+def test_player_reverse_stop_during_head_plays_reverse_tail():
+    """Reverse playback stopped during the HEAD batch: the tail continues
+    DOWNWARD from loop_end to 0 (reference playback.cpp:193-201 bReverse
+    branch), not forward from loop_start."""
+    from lsp_dsp_units_tpu.models.sampling import PlaySettings, LoopMode
+    bank = _player_with_ramp()
+    pb = bank.play(PlaySettings(sample_id=0, start=40, reverse=True,
+                                loop_start=10, loop_end=20,
+                                loop_mode=LoopMode.DIRECT))
+    bank.process(5)          # inside the head (descending 39, 38, ...)
+    pb.stop()
+    out = bank.process(60)
+    full = np.concatenate([np.arange(39, 34, -1), out])
+    # head continues down to loop_end (t in [0, 20): values 39..20),
+    # then the tail descends from loop_end to 0 (values 19..0)
+    np.testing.assert_array_equal(full[:20], np.arange(39, 19, -1))
+    np.testing.assert_array_equal(full[20:40], np.arange(19, -1, -1))
+    np.testing.assert_array_equal(full[40:], 0.0)
+    assert not pb.active
