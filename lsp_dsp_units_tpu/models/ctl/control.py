@@ -43,8 +43,12 @@ class Counter:
         (reference Counter::submit)."""
         left = self.current - int(samples)
         if left <= 0:
-            self.current = self.initial + (left % self.initial
-                                           if self.initial else 0)
+            # C-truncated modulo (left <= 0 -> remainder in (-initial, 0]),
+            # so the reload lands in (0, initial] as the reference's
+            # ssize_t arithmetic does; Python's floor modulo would land in
+            # [initial, 2*initial) and drift the timer a full period
+            rem = -((-left) % self.initial) if self.initial else 0
+            self.current = self.initial + rem
             self.fired = True
         else:
             self.current = left

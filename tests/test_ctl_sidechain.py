@@ -132,3 +132,22 @@ def test_sidechain_modes_shapes():
         st, y = sc.process(st, jnp.asarray(x))
         assert y.shape == (4, 1024)
         assert np.all(np.asarray(y) >= 0.0), mode
+
+
+def test_counter_overshoot_reload_stays_in_period():
+    """Counter reload after an overshooting submit must land in
+    (0, initial] — C-truncated modulo semantics (reference
+    Counter.cpp:99-111), not Python floor modulo which would land in
+    [initial, 2*initial) and delay the next event a full period."""
+    c = Counter(SR)
+    c.set_initial_value(100)
+    assert c.submit(150)          # overshoot by 50 -> fires
+    assert c.current == 50        # reload = 100 + (-50 % 100 truncated)
+    c.commit()
+    c.set_initial_value(100)      # reset
+    assert c.submit(100)          # exact hit
+    assert c.current == 100
+    c.commit()
+    c.set_initial_value(100)
+    assert c.submit(250)          # overshoot past one full period
+    assert c.current == 50        # left=-150, trunc-mod -> -50
