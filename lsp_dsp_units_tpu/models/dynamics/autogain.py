@@ -37,6 +37,10 @@ def _calc_compressor(x1: float, x2: float, y2: float):
 
 def _eval_curve(c, x):
     v = x - c["x1"]
+    # NOTE: ((a*v + b)*v + c*v) + d is quadratic, not the cubic the
+    # coefficients were derived for (it does not interpolate (x2, y2)) —
+    # but this reproduces the reference verbatim (AutoGain.cpp:205 uses
+    # exactly this expression), so behavior parity wins over the formula.
     mid = ((c["a"] * v + c["b"]) * v + c["c"] * v) + c["d"]
     return jnp.where(x >= c["x2"], c["t"], jnp.where(x <= c["x1"], x, mid))
 

@@ -151,19 +151,12 @@ class Compressor:
         separately; apply ``y = gain * signal`` at the call site (the
         sidechain topology decides which signal).
         """
-        import jax
-
-        if x.ndim == 2 and jax.default_backend() == "tpu":
-            # single-kernel Pallas envelope (measured ~1.5x the scan)
-            from lsp_dsp_units_tpu.ops.pallas_env import (
-                peak_envelope_pallas)
-            state, env = peak_envelope_pallas(
-                state, x, params.tau_attack, params.tau_release,
-                params.hold, params.release_thresh)
-        else:
-            state, env = dyn.peak_envelope(
-                state, x, params.tau_attack, params.tau_release,
-                params.hold, params.release_thresh)
+        # dyn.peak_envelope dispatches to the single-kernel Pallas
+        # envelope on TPU for [C, T] float32 (with the dtype guard the
+        # kernel requires) and falls back to the unrolled scan otherwise
+        state, env = dyn.peak_envelope(
+            state, x, params.tau_attack, params.tau_release,
+            params.hold, params.release_thresh)
         gain = dyn.compressor_x2_gain(params.knees, env)
         return state, gain, env
 

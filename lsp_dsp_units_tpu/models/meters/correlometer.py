@@ -15,6 +15,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from lsp_dsp_units_tpu.ops.sliding import sliding_sum
+
 Array = jax.Array
 
 
@@ -23,11 +25,8 @@ class CorrelometerState(NamedTuple):
     win_b: Array    # [..., N]
 
 
-def _sliding_sum(frame: Array, n: int, t: int) -> Array:
-    cz = jnp.concatenate(
-        [jnp.zeros_like(frame[..., :1]), jnp.cumsum(frame, axis=-1)],
-        axis=-1)
-    return cz[..., n + 1: n + 1 + t] - cz[..., 1: 1 + t]
+# shared cumsum-difference kernel (ops.sliding)
+_sliding_sum = sliding_sum
 
 
 class Correlometer:

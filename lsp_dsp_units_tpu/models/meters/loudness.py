@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsp_dsp_units_tpu.ops.sliding import sliding_sum
 from lsp_dsp_units_tpu.ops import biquad as biquad_ops
 from lsp_dsp_units_tpu.models.filters.design import (
     FilterParams, FilterType, design_filter)
@@ -61,11 +62,8 @@ def weighting_coeffs(weighting: Weighting, sample_rate: int) -> np.ndarray:
         FilterParams(ftype=_W_TYPES[weighting]), sample_rate).biquads
 
 
-def _sliding_sum(frame: Array, n: int, t: int) -> Array:
-    cz = jnp.concatenate(
-        [jnp.zeros_like(frame[..., :1]), jnp.cumsum(frame, axis=-1)],
-        axis=-1)
-    return cz[..., n + 1: n + 1 + t] - cz[..., 1: 1 + t]
+# shared cumsum-difference kernel (ops.sliding)
+_sliding_sum = sliding_sum
 
 
 class LoudnessMeterState(NamedTuple):

@@ -45,6 +45,9 @@ class LCG:
             return sign * a * self.rand.random(RandomFunction.EXP,
                                                count) + o
         if d == LCGDistribution.TRIANGULAR:
+            # the -0.5 sits OUTSIDE the amplitude scaling (asymmetric,
+            # non-zero-mean) — reproducing the reference verbatim
+            # (LCG.cpp:76); parity wins over symmetry
             return 2.0 * a * self.rand.random(RandomFunction.TRIANGLE,
                                               count) - 0.5 + o
         if d == LCGDistribution.GAUSSIAN:
@@ -72,7 +75,7 @@ def lcg_device(key: jax.Array, shape,
                         jnp.sqrt(2.0) * RAND_T * jnp.sqrt(rv),
                         2.0 * RAND_T - jnp.sqrt(4.0 - 2.0 * (1.0 + rv))
                         * RAND_T)
-        return 2.0 * amplitude * tri - 0.5 + offset
+        return 2.0 * amplitude * tri - 0.5 + offset  # verbatim LCG.cpp:76
     if distribution == LCGDistribution.GAUSSIAN:
         return amplitude * jax.random.normal(key, shape) + offset
     return 2.0 * amplitude * (jax.random.uniform(key, shape) - 0.5) \

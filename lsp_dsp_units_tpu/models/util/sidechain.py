@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsp_dsp_units_tpu.ops.sliding import sliding_sum
 from lsp_dsp_units_tpu.ops import dynamics as dyn
 
 Array = jax.Array
@@ -112,12 +113,5 @@ class Sidechain:
         return state._replace(window=frame[..., -n:]), y
 
 
-def _sliding_sum(frame: Array, n: int, t: int) -> Array:
-    """Trailing-window sums: out[i] = sum(frame[i+1 .. i+n]) for i in
-    [0, t) where frame = [n history samples, t new samples] — via a
-    cumsum difference (the parallel form of the reference's running sum
-    with drift refresh)."""
-    cz = jnp.concatenate(
-        [jnp.zeros_like(frame[..., :1]), jnp.cumsum(frame, axis=-1)],
-        axis=-1)
-    return cz[..., n + 1: n + 1 + t] - cz[..., 1: 1 + t]
+# shared cumsum-difference kernel (ops.sliding)
+_sliding_sum = sliding_sum
