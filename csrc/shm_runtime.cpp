@@ -85,7 +85,6 @@ void* as_create(const char* id, uint32_t channels, uint32_t length) {
     if (mem == MAP_FAILED) return nullptr;
 
     as_header_t* hdr = new (mem) as_header_t();
-    hdr->magic = AS_MAGIC;
     hdr->version = AS_VERSION;
     hdr->flags.store(0);
     hdr->channels = channels;
@@ -93,6 +92,9 @@ void* as_create(const char* id, uint32_t channels, uint32_t length) {
     hdr->max_blk = length / 2;
     hdr->head.store(0);
     hdr->counter.store(0);
+    // publish magic LAST with release ordering: a concurrent as_open
+    // that sees the magic must also see every other header field
+    __atomic_store_n(&hdr->magic, AS_MAGIC, __ATOMIC_RELEASE);
 
     as_handle_t* h = new as_handle_t();
     h->hdr = hdr;
@@ -118,7 +120,8 @@ void* as_open(const char* id) {
     close(fd);
     if (mem == MAP_FAILED) return nullptr;
     as_header_t* hdr = reinterpret_cast<as_header_t*>(mem);
-    if (hdr->magic != AS_MAGIC || hdr->version != AS_VERSION) {
+    if (__atomic_load_n(&hdr->magic, __ATOMIC_ACQUIRE) != AS_MAGIC ||
+        hdr->version != AS_VERSION) {
         munmap(mem, (size_t)st.st_size);
         return nullptr;
     }
@@ -284,7 +287,6 @@ void* cat_open(const char* id, uint32_t max_records) {
     cat_header_t* hdr = reinterpret_cast<cat_header_t*>(mem);
     if (created) {
         new (hdr) cat_header_t();
-        hdr->magic = CAT_MAGIC;
         hdr->version = CAT_VERSION;
         hdr->max_records = max_records;
         hdr->revision.store(0);
@@ -295,7 +297,11 @@ void* cat_open(const char* id, uint32_t max_records) {
         pthread_mutex_init(&hdr->lock, &attr);
         pthread_mutexattr_destroy(&attr);
         memset(hdr + 1, 0, (size_t)max_records * sizeof(cat_record_t));
-    } else if (hdr->magic != CAT_MAGIC) {
+        // publish magic LAST: an opener racing us must not lock the
+        // process-shared mutex before pthread_mutex_init completes
+        __atomic_store_n(&hdr->magic, CAT_MAGIC, __ATOMIC_RELEASE);
+    } else if (__atomic_load_n(&hdr->magic, __ATOMIC_ACQUIRE)
+               != CAT_MAGIC) {
         munmap(mem, size);
         return nullptr;
     }

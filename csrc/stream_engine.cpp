@@ -22,6 +22,7 @@ extern "C" {
 int as_read(void* vh, float* data, uint32_t frames);
 int as_write(void* vh, const float* data, uint32_t frames);
 uint64_t as_avail(void* vh);
+uint32_t as_length(void* vh);
 int as_terminated(void* vh);
 }
 
@@ -57,11 +58,15 @@ void* se_create(uint32_t block, uint32_t rows) {
 }
 
 // Bind a stream pair to rows [row, row+channels).  Either stream may be
-// null.  Returns the slot index, or -1 on range error/overlap.
+// null.  Returns the slot index, or -1 on range error/overlap, or -2 if
+// a stream's ring cannot hold a full engine block (as_write clamps each
+// call to length/2, which would silently truncate every scatter).
 int se_bind(void* ve, void* in_stream, void* out_stream, uint32_t row,
             uint32_t channels) {
     se_engine_t* e = reinterpret_cast<se_engine_t*>(ve);
     if (channels == 0 || row + channels > e->rows) return -1;
+    if (in_stream && as_length(in_stream) / 2 < e->block) return -2;
+    if (out_stream && as_length(out_stream) / 2 < e->block) return -2;
     for (const se_slot_t& s : e->slots) {
         if (row < s.row + s.channels && s.row < row + channels)
             return -1;  // overlapping row range
@@ -108,9 +113,23 @@ int se_gather(void* ve, float* batch) {
     for (const se_slot_t& s : e->slots) {
         if (!s.in_stream) continue;
         if (as_avail(s.in_stream) >= B) {
-            // as_read fills planar [channels, block] — exactly the
-            // layout of rows [s.row, s.row+channels) in the batch
-            as_read(s.in_stream, batch + (size_t)s.row * B, B);
+            // as_read fills planar [channels, got] at stride got —
+            // equal to the batch row layout only when got == B
+            float* dst = batch + (size_t)s.row * B;
+            uint32_t got = (uint32_t)as_read(s.in_stream, dst, B);
+            if (got < B && got > 0 && s.channels > 1) {
+                // writer lapped us between avail and read (overrun
+                // jump): restride channels from packed `got` to `B`,
+                // back to front so sources aren't clobbered
+                for (uint32_t c = s.channels; c-- > 0;) {
+                    memmove(dst + (size_t)c * B, dst + (size_t)c * got,
+                            got * sizeof(float));
+                    memset(dst + (size_t)c * B + got, 0,
+                           (B - got) * sizeof(float));
+                }
+            } else if (got < B) {
+                memset(dst + got, 0, (B - got) * sizeof(float));
+            }
             e->gathered++;
             ++n;
         } else {

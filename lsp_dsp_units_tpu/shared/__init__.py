@@ -154,16 +154,26 @@ class AudioStream:
         data = np.ascontiguousarray(data, np.float32)
         if data.ndim == 1:
             data = data[None]
+        c = self.channels
+        if data.shape[0] != c:
+            # as_write reads channels*frames floats unconditionally — a
+            # short array would make it read past the buffer end
+            raise ValueError(f"write expects {c} channel rows, "
+                             f"got {data.shape[0]}")
         frames = data.shape[1]
         ptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         return self._lib.as_write(self._h, ptr, frames)
 
     def read(self, frames: int) -> np.ndarray:
         c = self.channels
-        out = np.zeros((c, frames), np.float32)
+        # as_read packs channel k at flat offset k*got (got = frames
+        # actually read), so read into a flat buffer and re-stride after
+        # the call — slicing a [C, frames] array would misalign every
+        # channel past the first on a partial read
+        out = np.zeros(c * frames, np.float32)
         ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         got = self._lib.as_read(self._h, ptr, frames)
-        return out[:, :got]
+        return out[: c * got].reshape(c, got)
 
     def avail(self) -> int:
         return self._lib.as_avail(self._h)
@@ -257,6 +267,11 @@ class StreamEngine:
         ih = in_stream._h if in_stream is not None else None
         oh = out_stream._h if out_stream is not None else None
         slot = self._lib.se_bind(self._h, ih, oh, row, channels)
+        if slot == -2:
+            raise ValueError(
+                "stream ring too small for the engine block: as_write "
+                "clamps each call to length/2, so create streams with "
+                "length >= 2*block")
         if slot < 0:
             raise ValueError(
                 f"bad bind: rows [{row}, {row + channels}) out of range "

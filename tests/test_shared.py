@@ -203,3 +203,49 @@ def test_stream_engine_pump():
         eng.close()
         for s in ins + outs + readers:
             s.close()
+
+
+def test_audio_stream_partial_read_multichannel_aligned():
+    """Reading MORE than available from a multi-channel stream must
+    return correctly-strided channel rows (as_read packs at stride=got;
+    the wrapper used to slice a [C, frames] array and smear channels)."""
+    w = AudioStream.create(UID + "_pr", channels=2, length=4096)
+    r = AudioStream.open(UID + "_pr")
+    data = np.stack([np.arange(100, dtype=np.float32),
+                     np.arange(100, 200, dtype=np.float32)])
+    w.write(data)
+    got = r.read(256)                      # ask for more than available
+    assert got.shape == (2, 100)
+    np.testing.assert_array_equal(got, data)
+    for s in (w, r):
+        s.close()
+
+
+def test_audio_stream_write_channel_mismatch_raises():
+    """write() must reject arrays with the wrong channel count instead
+    of letting as_write read past the end of the buffer."""
+    import pytest
+    w = AudioStream.create(UID + "_wc", channels=2, length=1024)
+    with pytest.raises(ValueError, match="channel"):
+        w.write(np.zeros(512, np.float32))          # mono into 2ch
+    with pytest.raises(ValueError, match="channel"):
+        w.write(np.zeros((3, 128), np.float32))     # 3ch into 2ch
+    w.write(np.zeros((2, 128), np.float32))         # correct: ok
+    w.close()
+
+
+def test_stream_engine_rejects_undersized_ring():
+    """Binding a ring that cannot hold one engine block must fail loudly
+    (as_write clamps to length/2, which would silently truncate every
+    scatter)."""
+    import pytest
+    from lsp_dsp_units_tpu.shared import StreamEngine
+    eng = StreamEngine(block=4096, rows=1)
+    small = AudioStream.create(UID + "_sm", channels=1, length=4096)
+    with pytest.raises(ValueError, match="length >= 2\\*block"):
+        eng.bind(out_stream=small, row=0, channels=1)
+    big = AudioStream.create(UID + "_bg", channels=1, length=8192)
+    eng.bind(out_stream=big, row=0, channels=1)     # ok
+    for s in (small, big):
+        s.close()
+    eng.close()
