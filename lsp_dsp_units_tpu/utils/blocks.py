@@ -51,21 +51,28 @@ class BlockStream:
             done += take
             if self._fill == self.block:
                 self.state, y = self.process(self.state, self._in)
-                self._out = np.asarray(y)
+                # np.array (copy) so a host-side processor returning its
+                # input buffer can't alias _out to _in
+                self._out = np.array(y, np.float32)
                 self._fill = 0
         return out
 
     def flush(self) -> np.ndarray:
-        """Process the partial block (zero-padded) and return remaining
-        buffered output — for offline tails."""
+        """Drain the one block of buffered latency: the unemitted tail of
+        the previous block's output plus (if a partial block is pending)
+        the zero-padded partial block's head.  Always returns exactly
+        ``block`` samples — for offline tails."""
+        tail = self._out[..., self._fill:].copy()
         if self._fill:
             self._in[..., self._fill:] = 0.0
             self.state, y = self.process(self.state, self._in)
-            self._out = np.asarray(y)
-            rem = self._out[..., : self._fill].copy()
-            self._fill = 0
-            return rem
-        return np.zeros(self.batch_shape + (0,), self._out.dtype)
+            self._out = np.array(y, np.float32)
+            head = self._out[..., : self._fill].copy()
+        else:
+            head = np.zeros(self.batch_shape + (0,), self._out.dtype)
+        self._fill = 0
+        self._out = np.zeros_like(self._out)
+        return np.concatenate([tail, head], axis=-1)
 
 
 def pad_to_multiple(x: np.ndarray, block: int) -> Tuple[np.ndarray, int]:

@@ -121,3 +121,20 @@ def test_block_stream_rebuffering():
     # y is delayed by `block` samples
     assert snr_db(y[block:], golden[: y.size - block]) > 95.0
     np.testing.assert_allclose(y[:block], 0.0, atol=1e-7)
+
+
+def test_block_stream_flush_drains_full_latency():
+    """flush() must return the full one-block latency tail: identity
+    processor -> push+flush reconstructs the ENTIRE input, including the
+    last (partial or full) block (gap regression: outputs between the
+    partial fill point and the block end used to be dropped)."""
+    from lsp_dsp_units_tpu.utils.blocks import BlockStream
+
+    ident = lambda s, xb: (s, xb)
+    for n in (6, 8, 9, 12):           # partial, exact, 1-over, 1.5 blocks
+        bs = BlockStream(ident, None, block=8)
+        x = np.arange(1, n + 1, dtype=np.float32)
+        got = np.concatenate([bs.push(x), bs.flush()])
+        assert got.size == n + 8
+        np.testing.assert_array_equal(got[8:], x)
+        np.testing.assert_array_equal(got[:8], 0.0)
