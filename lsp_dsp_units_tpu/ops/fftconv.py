@@ -138,10 +138,13 @@ def fdl_process(h_spectra: Spectra, state: FDLState, x: Array,
     idx = (p + jnp.arange(m)[:, None] - jnp.arange(p)[None, :])  # [M, P]
     win_re = jnp.take(seq_re, idx, axis=-2)      # [..., M, P, F]
     win_im = jnp.take(seq_im, idx, axis=-2)
-    acc_re = jnp.einsum("...mpf,pf->...mf", win_re, h_spectra.re) \
-        - jnp.einsum("...mpf,pf->...mf", win_im, h_spectra.im)
-    acc_im = jnp.einsum("...mpf,pf->...mf", win_re, h_spectra.im) \
-        + jnp.einsum("...mpf,pf->...mf", win_im, h_spectra.re)
+    # broadcast-multiply + reduce over P (XLA fuses the contraction);
+    # unlike a fixed "pf" einsum this also accepts batched IR spectra
+    # [..., P, F] (per-channel IRs), matching fdl_step's broadcasting
+    hre = h_spectra.re[..., None, :, :]          # [..., 1, P, F]
+    him = h_spectra.im[..., None, :, :]
+    acc_re = jnp.sum(win_re * hre - win_im * him, axis=-2)
+    acc_im = jnp.sum(win_re * him + win_im * hre, axis=-2)
     y = irfft_sc((acc_re, acc_im), axis=-1)[..., b:]  # [..., M, B]
     y = y.reshape(x.shape).astype(x.dtype)
     # new state: newest P spectra, index 0 = newest (block M-1)

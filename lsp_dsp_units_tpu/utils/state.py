@@ -17,6 +17,7 @@ explicit pytree, so checkpoint/resume is structural:
 from __future__ import annotations
 
 import io
+import os
 from typing import Any, Dict
 
 import jax
@@ -52,6 +53,10 @@ def save_state(path: str, tree: Any) -> None:
 
 def load_state(path: str, like: Any) -> Any:
     """Load a checkpoint into the structure of ``like``."""
+    # np.savez appends '.npz' to extensionless paths; mirror that so
+    # save_state('ckpt') / load_state('ckpt') round-trips
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
     data = np.load(path)
     leaves_p, treedef = jax.tree_util.tree_flatten_with_path(like)
     new_leaves = []

@@ -106,3 +106,38 @@ def test_direct_conv_block():
                                   jnp.asarray(x))
     golden = fftconv.np_convolve_golden(x, h)
     np.testing.assert_allclose(np.asarray(y), golden, rtol=1e-4, atol=1e-5)
+
+
+def test_fdl_process_per_channel_irs():
+    """Batched IR spectra [C, P, F] (one IR per channel) must work for
+    BOTH the single-block (fdl_step) and multi-block (fdl_process)
+    paths, matching per-channel scalar convolution."""
+    rng = np.random.default_rng(9)
+    block = 128
+    irs = rng.normal(size=(2, 300)).astype(np.float32)
+    h = fftconv.parse_ir(jnp.asarray(irs), block)     # [2, P, F]
+    x = rng.normal(size=(2, 4 * block)).astype(np.float32)
+
+    st = fftconv.init_fdl(h, (2,))
+    st, y1 = fftconv.fdl_process(h, st, jnp.asarray(x[:, :block]))  # M=1
+    st, y2 = fftconv.fdl_process(h, st, jnp.asarray(x[:, block:]))  # M=3
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+
+    for c in range(2):
+        golden = fftconv.np_convolve_golden(x[c], irs[c])
+        assert snr_db(golden, got[c]) > 120.0
+
+
+def test_state_checkpoint_extensionless_roundtrip(tmp_path):
+    """save_state('ckpt')/load_state('ckpt') round-trips — np.savez
+    appends .npz and load_state must mirror that."""
+    from lsp_dsp_units_tpu.utils.state import save_state, load_state
+    st = fftconv.init_fdl(
+        fftconv.parse_ir(jnp.ones(64, jnp.float32), 32), (2,))
+    st = st._replace(history=st.history + 1.5)
+    p = str(tmp_path / "ckpt")                        # no extension
+    save_state(p, st)
+    st2 = load_state(p, fftconv.init_fdl(
+        fftconv.parse_ir(jnp.ones(64, jnp.float32), 32), (2,)))
+    np.testing.assert_array_equal(np.asarray(st2.history),
+                                  np.asarray(st.history))
