@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsp_dsp_units_tpu.ops.unroll import unrolled_scan
+
 Array = jax.Array
 
 
@@ -164,25 +166,9 @@ def biquad_cascade_seq(coeffs: Array, state: Array, x: Array,
         return jnp.stack(new_s, axis=-2), y
 
     t = x.shape[-1]
-    u = unroll if (unroll > 1 and t % unroll == 0) else 1
-    if u == 1:
-        xs = jnp.moveaxis(x, -1, 0)
-        state, ys = jax.lax.scan(step, state, xs)
-        return jnp.moveaxis(ys, 0, -1), state
-
-    xc = jnp.moveaxis(x.reshape(x.shape[:-1] + (t // u, u)), (-2, -1),
-                      (0, 1))
-
-    def chunk(s, xu):
-        outs = []
-        for i in range(u):
-            s, y = step(s, xu[i])
-            outs.append(y)
-        return s, jnp.stack(outs, 0)
-
-    state, ys = jax.lax.scan(chunk, state, xc)
-    ys = jnp.moveaxis(ys.reshape((t,) + x.shape[:-1]), 0, -1)
-    return ys, state
+    state, ys = unrolled_scan(step, state, jnp.moveaxis(x, -1, 0), t,
+                              unroll)
+    return jnp.moveaxis(ys, 0, -1), state
 
 
 def dyn_biquad_cascade(coeffs: Array, state: Array, x: Array,
@@ -235,27 +221,10 @@ def dyn_biquad_cascade_seq(coeffs: Array, state: Array, x: Array,
             y = yi
         return jnp.stack(new_s, axis=-2), y
 
-    u = unroll if (unroll > 1 and t % unroll == 0) else 1
     xs = jnp.moveaxis(x, -1, 0)                       # [T, ...]
     cs = jnp.moveaxis(coeffs, -3, 0)                  # [T, ..., K, 5]
-    if u == 1:
-        state, ys = jax.lax.scan(step, state, (xs, cs))
-        return jnp.moveaxis(ys, 0, -1), state
-
-    xc = xs.reshape((t // u, u) + xs.shape[1:])
-    cc = cs.reshape((t // u, u) + cs.shape[1:])
-
-    def chunk(s, inp):
-        xu, cu = inp
-        outs = []
-        for i in range(u):
-            s, y = step(s, (xu[i], cu[i]))
-            outs.append(y)
-        return s, jnp.stack(outs, 0)
-
-    state, ys = jax.lax.scan(chunk, state, (xc, cc))
-    ys = jnp.moveaxis(ys.reshape((t,) + ys.shape[2:]), 0, -1)
-    return ys, state
+    state, ys = unrolled_scan(step, state, (xs, cs), t, unroll)
+    return jnp.moveaxis(ys, 0, -1), state
 
 
 def impulse_response(coeffs: Array, length: int) -> Array:

@@ -289,22 +289,16 @@ def cascade_block_fused(params: FusedCascadeParams, state: Array,
     sv = state.reshape(state.shape[:-2] + (2 * k,))
 
     if m == 1:
-        spec_r = jnp.fft.rfft(x, 2 * b, axis=-1)
-        pr = jnp.real(spec_r) * params.h_re - jnp.imag(spec_r) * params.h_im
-        pi = jnp.real(spec_r) * params.h_im + jnp.imag(spec_r) * params.h_re
-        y_zs = jnp.fft.irfft(jax.lax.complex(pr, pi), 2 * b,
-                             axis=-1)[..., :b]
+        spec = sc_mul(rfft_sc(x, 2 * b), (params.h_re, params.h_im))
+        y_zs = irfft_sc(spec, 2 * b)[..., :b]
         y = y_zs + jnp.einsum("bk,...k->...b", params.g_mat, sv)
         sv2 = (jnp.einsum("kj,...j->...k", params.m_mat, sv)
                + jnp.einsum("kb,...b->...k", params.w_mat, x))
         return y.astype(x.dtype), sv2.reshape(state.shape)
 
     blocks = jnp.moveaxis(x.reshape(x.shape[:-1] + (m, b)), -2, 0)
-    spec = jnp.fft.rfft(blocks, 2 * b, axis=-1)
-    pr = jnp.real(spec) * params.h_re - jnp.imag(spec) * params.h_im
-    pi = jnp.real(spec) * params.h_im + jnp.imag(spec) * params.h_re
-    y_zs = jnp.fft.irfft(jax.lax.complex(pr, pi), 2 * b,
-                         axis=-1)[..., :b]                # [M, ..., B]
+    spec = sc_mul(rfft_sc(blocks, 2 * b), (params.h_re, params.h_im))
+    y_zs = irfft_sc(spec, 2 * b)[..., :b]                 # [M, ..., B]
     wx = jnp.einsum("kb,m...b->m...k", params.w_mat, blocks)
 
     def step(s, inp):

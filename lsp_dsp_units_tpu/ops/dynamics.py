@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsp_dsp_units_tpu.ops.unroll import unrolled_scan
+
 Array = jax.Array
 
 # ---------------------------------------------------------------------------
@@ -100,27 +102,9 @@ def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
         return EnvState(new_e, new_peak, new_hold), new_e
 
     t = x.shape[-1]
-    u = unroll if (unroll > 1 and t % unroll == 0) else 1
-
-    if u == 1:
-        xs = jnp.moveaxis(x, -1, 0)
-        state, es = jax.lax.scan(one, state, xs)
-        return state, jnp.moveaxis(es, 0, -1)
-
-    # [..., T] -> [T/u, u, ...] chunks; unroll u iterations per scan step
-    xc = jnp.moveaxis(x.reshape(x.shape[:-1] + (t // u, u)), (-2, -1),
-                      (0, 1))
-
-    def chunk(s: EnvState, xu):
-        outs = []
-        for i in range(u):
-            s, e = one(s, xu[i])
-            outs.append(e)
-        return s, jnp.stack(outs, 0)
-
-    state, es = jax.lax.scan(chunk, state, xc)   # es: [T/u, u, ...]
-    es = jnp.moveaxis(es.reshape((t,) + x.shape[:-1]), 0, -1)
-    return state, es
+    state, es = unrolled_scan(one, state, jnp.moveaxis(x, -1, 0), t,
+                              unroll)
+    return state, jnp.moveaxis(es, 0, -1)
 
 
 def onepole_lowpass(state: Array, x: Array, k) -> Tuple[Array, Array]:

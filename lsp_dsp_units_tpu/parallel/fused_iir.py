@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from lsp_dsp_units_tpu.ops import biquad_block as bb
+from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc, sc_mul
 
 Array = jax.Array
 
@@ -43,11 +44,8 @@ def fused_cascade_time_sharded(params: bb.FusedCascadeParams,
     # 1. local pass from zero state, keeping per-block incoming states
     sv0 = jnp.zeros(x.shape[:-1] + (k2,), jnp.float32)
     blocks = jnp.moveaxis(x.reshape(x.shape[:-1] + (m_blocks, b)), -2, 0)
-    spec = jnp.fft.rfft(blocks, 2 * b, axis=-1)
-    pr = jnp.real(spec) * params.h_re - jnp.imag(spec) * params.h_im
-    pi = jnp.real(spec) * params.h_im + jnp.imag(spec) * params.h_re
-    y_zs = jnp.fft.irfft(jax.lax.complex(pr, pi), 2 * b,
-                         axis=-1)[..., :b]
+    spec = sc_mul(rfft_sc(blocks, 2 * b), (params.h_re, params.h_im))
+    y_zs = irfft_sc(spec, 2 * b)[..., :b]
     wx = jnp.einsum("kb,m...b->m...k", params.w_mat, blocks)
 
     def step(s, inp):
