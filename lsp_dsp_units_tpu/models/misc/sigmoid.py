@@ -48,7 +48,13 @@ def guidermannian(x):
 
 
 def error(x):
-    """Abramowitz-Stegun erf approximation (reference sigmoid.cpp error)."""
+    """Abramowitz-Stegun erf approximation (reference sigmoid.cpp error).
+
+    NOTE: the exponential uses the scaled argument nx while the rational
+    t uses raw x — so this is NOT erf(nx) to A&S accuracy (~1.5e-2 off
+    at x=1).  That mismatch is the reference's own (sigmoid.cpp:100-110
+    does exactly this); parity wins over the formula.
+    """
     nx = (jnp.sqrt(jnp.pi) / 2.0) * x
     ex = jnp.exp(-nx * nx)
     t_pos = 1.0 / (1.0 + 0.3275911 * x)

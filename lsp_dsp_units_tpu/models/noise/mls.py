@@ -36,6 +36,9 @@ _TAPS = [
 
 MAX_BITS = 64
 
+# (n_bits, start_state) -> uint8 bit sequence of one full period
+_PERIOD_CACHE: dict = {}
+
 
 class MLS:
     def __init__(self, n_bits: int = 16, state: int = 0,
@@ -77,13 +80,41 @@ class MLS:
         return (self.amplitude if self.progress()
                 else -self.amplitude) + self.offset
 
-    def process(self, count: int) -> np.ndarray:
-        """Generate ``count`` bipolar samples."""
-        out = np.empty(count, np.float32)
+    def _run(self, count: int) -> np.ndarray:
+        """Tight-loop LFSR stepping: local bindings + int.bit_count are
+        ~20x the naive per-sample method-call path.  Advances state."""
+        s = self.state
+        taps = self.taps_mask
+        fb_bit = self.feedback_bit
+        keep = self.active_mask >> 1          # bits surviving the shift
+        bits = bytearray(count)
         for i in range(count):
-            out[i] = self.process_single()
-        return out
+            bits[i] = s & 1
+            fb = (s & taps).bit_count() & 1
+            s = ((s >> 1) & keep) | (fb << fb_bit)
+        self.state = s
+        out = np.frombuffer(bytes(bits), np.uint8).astype(np.float32)
+        return out * (2.0 * self.amplitude) - self.amplitude + self.offset
+
+    def process(self, count: int) -> np.ndarray:
+        """Generate ``count`` bipolar samples (serial host loop; for
+        bulk/tiled use prefer :meth:`full_period`, which is cached)."""
+        return self._run(int(count))
 
     def full_period(self) -> np.ndarray:
-        """One full period (only sensible for small n_bits)."""
-        return self.process(self.get_period())
+        """One full period from the current state, cached per
+        (n_bits, amplitude-independent bit sequence, state): the LFSR
+        returns to its starting state after 2^n - 1 steps, so the period
+        is generated once and reused/tiled."""
+        key = (self.n_bits, self.state)
+        cached = _PERIOD_CACHE.get(key)
+        if cached is None:
+            start = self.state
+            seq = self._run(self.get_period())
+            assert self.state == start, "MLS period did not cycle"
+            raw = ((seq - self.offset) > 0.0).astype(np.uint8)
+            _PERIOD_CACHE[key] = raw
+        else:
+            raw = cached
+        return (raw.astype(np.float32) * (2.0 * self.amplitude)
+                - self.amplitude + self.offset)

@@ -11,6 +11,13 @@ the IR bins.  Sources emit icosphere-distributed ray fans with energy
 directivity; captures are point microphones with omni/cardioid/figure-8
 patterns accumulating energy at the propagation delay (reference
 raytrace.h capture/source primitives, rt_audio_capture_t patterns).
+Capture legs are occlusion-tested against the full scene.
+
+Documented simplifications vs the reference's material model
+(rt::material_t): ``Material.diffusion`` and ``transparency`` are
+accepted by :class:`..scene.Material` but not yet applied — reflections
+are specular and blockers are fully opaque; only ``absorption`` (plus
+air absorption and spherical spreading) shapes the energy decay.
 """
 
 from __future__ import annotations
@@ -176,12 +183,24 @@ class RayTrace3D:
                 [self._pattern_gain(c.pattern, cosang[:, ci])
                  for ci, c in enumerate(self.captures)], axis=1)
             delay = (dist[:, None] + cd) / SPEED_OF_SOUND
-            bins = jnp.clip((delay * self.sample_rate).astype(jnp.int32),
-                            0, self.ir_len - 1)
+            raw_bins = (delay * self.sample_rate).astype(jnp.int32)
+            # arrivals past the IR length are DROPPED (zero amplitude),
+            # not clamped — clamping would pile all late reflections
+            # into a spurious energy spike at the final sample
+            in_range = raw_bins < self.ir_len
+            bins = jnp.clip(raw_bins, 0, self.ir_len - 1)
+            # occlusion: the capture leg contributes only with a clear
+            # line of sight (nearest scene hit not closer than the
+            # capture) — same batched Möller-Trumbore as the bounce
+            flat_o = jnp.broadcast_to(
+                origins[:, None, :], seg.shape).reshape(-1, 3)
+            t_occ, _ = _intersect(flat_o, cdirs.reshape(-1, 3), tri)
+            visible = t_occ.reshape(cd.shape) >= cd - 1e-3
             # inverse-square spreading + air absorption on capture leg
-            amp = (energy[:, None] * gains
-                   * jnp.exp(-self.air * cd)
-                   / jnp.maximum(cd * cd, 0.25))
+            amp = jnp.where(
+                jnp.logical_and(in_range, visible),
+                energy[:, None] * gains * jnp.exp(-self.air * cd)
+                / jnp.maximum(cd * cd, 0.25), 0.0)
             return (hit_pt, new_dirs, new_energy, new_dist, bins, amp,
                     hit)
 

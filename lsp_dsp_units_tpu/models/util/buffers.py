@@ -121,9 +121,13 @@ class MeterGraph:
         self._fill = 0
         self.current = 0.0
 
-    def process(self, x) -> None:
+    def process(self, x) -> np.ndarray:
+        """Consume samples; returns the frame values COMPLETED during
+        this call (empty array if none) so cascaded samplers can stay on
+        the sample-count timebase."""
         x = np.atleast_1d(np.asarray(x, np.float32))
         pos = 0
+        done = []
         while pos < x.size:
             take = min(self.period - self._fill, x.size - pos)
             seg = x[pos:pos + take]
@@ -141,8 +145,10 @@ class MeterGraph:
             if self._fill >= self.period:
                 self.ring.push(self._acc)
                 self.current = self._acc
+                done.append(self._acc)
                 self._acc = None
                 self._fill = 0
+        return np.asarray(done, np.float32)
 
     def frames(self, n: int) -> np.ndarray:
         return self.ring.tail(n)
@@ -161,10 +167,12 @@ class ScaledMeterGraph:
         self.method = method
 
     def process(self, x) -> None:
-        self.fast.process(x)
-        # feed completed fast frames into the slow sampler
-        # (simplified: push current fast frame value per call)
-        self.slow.process(np.asarray([self.fast.current], np.float32))
+        # feed every COMPLETED fast frame into the slow sampler, so the
+        # slow timebase counts fast frames (sample count), not calls —
+        # and no intermediate fast peak is dropped
+        done = self.fast.process(x)
+        if done.size:
+            self.slow.process(done)
 
     def frames(self, n: int) -> np.ndarray:
         return self.slow.ring.tail(n)

@@ -127,7 +127,11 @@ class Crossover:
             if chains:
                 band_biquads.append(np.concatenate(chains, 0))
             else:
-                band_biquads.append(np.zeros((0, 5)))
+                # no splits touch this band (e.g. a crossover with zero
+                # active splits): the band gain still applies — encode it
+                # as a gain-scaled identity stage
+                band_biquads.append(np.array(
+                    [[self.band_gains[b], 0.0, 0.0, 0.0, 0.0]]))
 
         # pad all bands to a common stage count with identity biquads so
         # they run as ONE batched cascade

@@ -52,6 +52,11 @@ class Delay:
         """Linearly ramp the delay across the block
         (reference Delay::process_ramping, Delay.cpp:399-460); fractional
         positions round toward the reference's integer stepping."""
+        if not (0 <= delay_from <= self.max_delay
+                and 0 <= delay_to <= self.max_delay):
+            raise ValueError(
+                f"ramp delays ({delay_from}, {delay_to}) out of range "
+                f"[0, {self.max_delay}]")
         frame = jnp.concatenate([state.history, x], axis=-1)
         t = x.shape[-1]
         base = self.max_delay + jnp.arange(t)

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsp_dsp_units_tpu.ops.sliding import sliding_sum
+
 Array = jax.Array
 
 
@@ -92,8 +94,7 @@ class Depopper:
         # sliding RMS (reference calc_rms)
         sq = x * x
         frame = jnp.concatenate([state.rms_win, sq])
-        cz = jnp.concatenate([jnp.zeros(1), jnp.cumsum(frame)])
-        win = cz[self.rms_n + 1:] - cz[1: 1 + t]
+        win = sliding_sum(frame, self.rms_n, t)
         env = jnp.sqrt(jnp.maximum(win / self.rms_n, 0.0))
 
         fin = jnp.float32(self.fade_in_n)
@@ -133,10 +134,13 @@ class Depopper:
             new_dly = jnp.where(fall, jnp.int32(self.fade_out_n),
                                 jnp.where(is_wait, dly - 1, dly2))
 
+            # the sample that (re-)opens the gate starts the ramp at 0 —
+            # cnt may still hold the previous cycle's terminal value
+            eff_cnt = jnp.where(open_now, 0, cnt)
             raw = jnp.where(
                 jnp.logical_or(is_fade, open_now),
                 _shape(self.fade_in_mode,
-                       cnt.astype(jnp.float32) / fin),
+                       eff_cnt.astype(jnp.float32) / fin),
                 jnp.where(is_open, 1.0, 0.0))
             return (new_st.astype(jnp.int32), new_cnt, new_dly), \
                 (raw, fall)
@@ -154,8 +158,21 @@ class Depopper:
                     jnp.clip(dist / self.fade_out_n, 0.0, 1.0))
         gain = raw * fo
 
-        # emit with fade_out lookahead delay
-        full = jnp.concatenate([state.pending, gain])
+        # emit with fade_out lookahead delay; a fall near the block start
+        # must fade out the PENDING gains too (they were computed before
+        # this fall was known): pending index j sits dist = first_fall +
+        # (fade_out_n - j) samples before the fall
+        fon = self.fade_out_n
+        if fon and t:
+            first_fall = next_fall[0].astype(jnp.float32)
+            dist_p = first_fall + (fon - jnp.arange(fon,
+                                                    dtype=jnp.float32))
+            fo_p = _shape(self.fade_out_mode,
+                          jnp.clip(dist_p / fon, 0.0, 1.0))
+            pending = state.pending * fo_p
+        else:
+            pending = state.pending
+        full = jnp.concatenate([pending, gain])
         out = full[:t]
         new_pending = full[t:]
         new_state = DepopperState(

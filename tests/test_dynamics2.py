@@ -205,3 +205,54 @@ def test_gate_pallas_kernel_matches_scan():
                                   np.asarray(st_scan.env.envelope))
     np.testing.assert_array_equal(np.asarray(cur),
                                   np.asarray(st_scan.curve))
+
+
+def test_depopper_streaming_matches_oneshot():
+    """Chunked processing must equal one-shot: the fall's retroactive
+    fade-out has to reach into the PENDING lookahead buffer when the
+    fall lands near a chunk boundary (gap regression: pending used to be
+    emitted at full gain, then gain slammed to zero)."""
+    from lsp_dsp_units_tpu.models.util import Depopper
+
+    x = np.concatenate([np.zeros(1000),
+                        0.5 * np.sin(2 * np.pi * 440 *
+                                     np.arange(5000) / SR),
+                        np.zeros(4096 - 1000 - 5000 + 8192)]
+                       ).astype(np.float32)[:8192]
+
+    def run(chunks):
+        dp = Depopper(SR, fade_in_thresh=0.05, fade_out_thresh=0.02,
+                      fade_in_ms=5.0, fade_out_ms=20.0, rms_ms=2.0)
+        st = dp.init_state()
+        outs = []
+        for c in chunks:
+            st, g, _ = dp.process(st, jnp.asarray(c))
+            outs.append(np.asarray(g))
+        return np.concatenate(outs)
+
+    one = run([x])
+    small = run([x[i:i + 512] for i in range(0, x.size, 512)])
+    np.testing.assert_allclose(small, one, atol=1e-6)
+    # and the fade-out is actually gradual: no single-sample gain drop
+    # larger than a few ramp steps anywhere
+    assert np.max(-np.diff(one)) < 5.0 / (SR * 20.0 / 1000.0) + 1e-6
+
+
+def test_depopper_reopen_has_no_click():
+    """Re-opening after a full open/close cycle must restart the fade-in
+    ramp at 0 (regression: the stale counter emitted one full-gain
+    sample at every re-open)."""
+    from lsp_dsp_units_tpu.models.util import Depopper
+
+    burst = 0.5 * np.sin(2 * np.pi * 440 * np.arange(4000) / SR)
+    x = np.concatenate([np.zeros(1000), burst, np.zeros(3000),
+                        burst, np.zeros(2000)]).astype(np.float32)
+    dp = Depopper(SR, fade_in_thresh=0.05, fade_out_thresh=0.02,
+                  fade_in_ms=5.0, fade_out_ms=5.0, rms_ms=2.0)
+    st = dp.init_state()
+    st, gain, _ = dp.process(st, jnp.asarray(x))
+    gain = np.asarray(gain)
+    # no upward gain jump bigger than a few fade-in steps anywhere
+    # (a stale-counter click is a 0 -> 1.0 jump)
+    step = 1.0 / (SR * 5.0 / 1000.0)
+    assert np.max(np.diff(gain)) < 5.0 * step + 1e-6

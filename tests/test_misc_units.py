@@ -340,3 +340,23 @@ def test_profiling_helpers(tmp_path):
     sec, rate = profiling.time_fn(f, x, iters=3, windows=2,
                                   samples_per_call=8 * 256)
     assert sec > 0 and rate > 0
+
+
+def test_scaled_meter_graph_timebase_is_sample_count():
+    """Slow-graph frames complete every period*... SAMPLES regardless of
+    the caller's block size (regression: one slow input per CALL made
+    the slow timebase block-size dependent and dropped fast peaks)."""
+    from lsp_dsp_units_tpu.models.util.buffers import ScaledMeterGraph
+
+    def run(chunk):
+        g = ScaledMeterGraph(frames=32, period=1000, subsampling=10)
+        x = np.zeros(10000, np.float32)
+        x[7777] = 1.0                     # single peak
+        for i in range(0, x.size, chunk):
+            g.process(x[i:i + chunk])
+        return g.frames(10)
+
+    big = run(10000)
+    small = run(100)
+    np.testing.assert_array_equal(big, small)
+    assert big.max() == 1.0               # the peak survives both paths

@@ -74,3 +74,58 @@ def test_obj_roundtrip(tmp_path):
     tri, mat, nrm = scene.flatten()
     assert tri.shape == (2, 3, 3)      # quad fan-triangulated
     np.testing.assert_allclose(np.abs(nrm[:, 2]), 1.0)
+
+
+def test_capture_behind_wall_receives_nothing():
+    """Occlusion: a capture separated from the source by a solid wall
+    must receive (essentially) no energy, while an unobstructed capture
+    in the same scene receives plenty."""
+    from lsp_dsp_units_tpu.models.threed.scene import (
+        Material, Object3D, box_room)
+    from lsp_dsp_units_tpu.models.threed.raytrace import (
+        RayTrace3D, Source, Capture, MicPattern)
+
+    absorb = Material(absorption=0.9)
+    sc = box_room(size=(8.0, 4.0, 3.0), material=absorb)
+    # dividing wall at x=4 splitting the box into two rooms (both
+    # triangle windings so it blocks from either side)
+    wv = np.array([[4, 0, 0], [4, 4, 0], [4, 4, 3], [4, 0, 3]],
+                  np.float32)
+    wall_faces = np.asarray(
+        [(0, 1, 2), (0, 2, 3), (2, 1, 0), (3, 2, 0)], np.int32)
+    sc.add_object(Object3D("wall", wv, wall_faces, absorb))
+
+    rt = RayTrace3D(sc, sample_rate=8000, ir_length_s=0.25, rays=512,
+                    max_bounces=4, seed=3)
+    rt.add_source(Source(np.array([2.0, 2.0, 1.5], np.float32)))
+    rt.add_capture(Capture(np.array([6.0, 2.0, 1.5], np.float32),
+                           pattern=MicPattern.OMNI))       # behind wall
+    rt.add_capture(Capture(np.array([1.0, 2.0, 1.5], np.float32),
+                           pattern=MicPattern.OMNI))       # same room
+    smp = rt.process()
+    ir = np.asarray(smp.data)
+    blocked = float(np.abs(ir[0]).sum())
+    open_ = float(np.abs(ir[1]).sum())
+    assert open_ > 0.0
+    # the walled-off capture gets only multi-bounce leakage around the
+    # wall edges (the wall spans the full cross-section here: none)
+    assert blocked < 0.05 * open_, (blocked, open_)
+
+
+def test_late_arrivals_dropped_not_clamped():
+    """Reflections arriving after the IR window must be dropped, not
+    piled into the final bin."""
+    from lsp_dsp_units_tpu.models.threed.scene import Material, box_room
+    from lsp_dsp_units_tpu.models.threed.raytrace import (
+        RayTrace3D, Source, Capture, MicPattern)
+
+    sc = box_room(size=(60.0, 60.0, 60.0),
+                  material=Material(absorption=0.05))
+    rt = RayTrace3D(sc, sample_rate=8000, ir_length_s=0.05, rays=256,
+                    max_bounces=12, seed=1)    # window << path lengths
+    rt.add_source(Source(np.array([10.0, 30.0, 30.0], np.float32)))
+    rt.add_capture(Capture(np.array([50.0, 30.0, 30.0], np.float32),
+                           pattern=MicPattern.OMNI))
+    ir = np.asarray(rt.process().data)[0]
+    # the final bin must not be an outlier energy spike
+    assert np.abs(ir[-1]) <= np.abs(ir).max() * 0.5 + 1e-12
