@@ -23,6 +23,7 @@ int as_read(void* vh, float* data, uint32_t frames);
 int as_write(void* vh, const float* data, uint32_t frames);
 uint64_t as_avail(void* vh);
 uint32_t as_length(void* vh);
+uint32_t as_channels(void* vh);
 int as_terminated(void* vh);
 }
 
@@ -60,13 +61,19 @@ void* se_create(uint32_t block, uint32_t rows) {
 // Bind a stream pair to rows [row, row+channels).  Either stream may be
 // null.  Returns the slot index, or -1 on range error/overlap, or -2 if
 // a stream's ring cannot hold a full engine block (as_write clamps each
-// call to length/2, which would silently truncate every scatter).
+// call to length/2, which would silently truncate every scatter), or -3
+// if a stream's channel count differs from the slot's `channels`
+// (as_read/as_write copy stream_channels*frames floats based on the
+// stream's own header — a mismatch would read/write past the slot's
+// row range in the batch buffer).
 int se_bind(void* ve, void* in_stream, void* out_stream, uint32_t row,
             uint32_t channels) {
     se_engine_t* e = reinterpret_cast<se_engine_t*>(ve);
     if (channels == 0 || row + channels > e->rows) return -1;
     if (in_stream && as_length(in_stream) / 2 < e->block) return -2;
     if (out_stream && as_length(out_stream) / 2 < e->block) return -2;
+    if (in_stream && as_channels(in_stream) != channels) return -3;
+    if (out_stream && as_channels(out_stream) != channels) return -3;
     for (const se_slot_t& s : e->slots) {
         if (row < s.row + s.channels && s.row < row + channels)
             return -1;  // overlapping row range

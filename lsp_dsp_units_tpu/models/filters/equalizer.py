@@ -203,11 +203,18 @@ class Equalizer:
         if self.mode == EqMode.IIR:
             if params.coeffs.shape[0] == 0:
                 return state, x
-            if (params.fused is not None
-                    and x.shape[-1] % self.iir_block == 0):
+            if params.fused is not None:
                 from lsp_dsp_units_tpu.ops import biquad_block
-                y, iir = biquad_block.cascade_block_fused(
-                    params.fused, state.iir, x)
+                # state.iir is carried in the fused (balanced) basis
+                # whenever a fused kernel exists — see FusedCascadeParams
+                if x.shape[-1] % self.iir_block == 0:
+                    y, iir = biquad_block.cascade_block_fused(
+                        params.fused, state.iir, x)
+                    return state._replace(iir=iir), y
+                # non-aligned fallback: convert basis around the scan
+                st = biquad_block.state_from_fused(params.fused, state.iir)
+                y, st = biquad_ops.biquad_cascade_seq(params.coeffs, st, x)
+                iir = biquad_block.state_to_fused(params.fused, st)
                 return state._replace(iir=iir), y
             # sequential scan: multi-band cascades can include low
             # frequency poles where the f32 assoc scan loses ~40 dB

@@ -272,6 +272,12 @@ class StreamEngine:
                 "stream ring too small for the engine block: as_write "
                 "clamps each call to length/2, so create streams with "
                 "length >= 2*block")
+        if slot == -3:
+            raise ValueError(
+                "stream channel count does not match the slot's "
+                f"channels={channels}: gather/scatter copy "
+                "stream_channels*block floats, so a mismatch would "
+                "overflow the slot's row range")
         if slot < 0:
             raise ValueError(
                 f"bad bind: rows [{row}, {row + channels}) out of range "

@@ -17,6 +17,7 @@ explicit pytree, so checkpoint/resume is structural:
 from __future__ import annotations
 
 import io
+import warnings
 import os
 from typing import Any, Dict
 
@@ -57,15 +58,22 @@ def load_state(path: str, like: Any) -> Any:
     # save_state('ckpt') / load_state('ckpt') round-trips
     if not path.endswith(".npz") and not os.path.exists(path):
         path = path + ".npz"
-    data = np.load(path)
     leaves_p, treedef = jax.tree_util.tree_flatten_with_path(like)
     new_leaves = []
-    for p, leaf in leaves_p:
-        key = _path_str(p)
-        if key not in data:
-            raise KeyError(f"checkpoint missing state leaf: {key}")
-        arr = data[key]
-        new_leaves.append(jax.numpy.asarray(arr, np.asarray(leaf).dtype))
+    with np.load(path) as data:
+        keys = set(data.files)
+        for p, leaf in leaves_p:
+            key = _path_str(p)
+            if key not in keys:
+                raise KeyError(f"checkpoint missing state leaf: {key}")
+            keys.discard(key)
+            arr = data[key]
+            new_leaves.append(
+                jax.numpy.asarray(arr, np.asarray(leaf).dtype))
+        if keys:
+            warnings.warn(
+                f"checkpoint keys unused by this state structure: "
+                f"{sorted(keys)}", stacklevel=2)
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), new_leaves)
 

@@ -220,11 +220,44 @@ def test_sharded_chain_streaming_matches_step():
     for k, (x, ref) in enumerate(zip(xs, refs)):
         st_sh, y = step_sh(st_sh, jax.device_put(x, spec))
         got = np.asarray(y)
-        # the floor at this tiny block size (256) is the sharded EQ's
-        # f32 zero-state+correction rounding (~60 dB; ~120 dB at the
-        # production block 8192).  Before the FDL carry fix, calls 2+
-        # collapsed to ~13 dB — this guards the history path.
-        assert snr_db(ref, got) > 55.0, (k, snr_db(ref, got))
+        # the balanced-realization fused cascade keeps sharded == local
+        # agreement >120 dB even at tiny blocks (was ~60 dB with raw
+        # DF2T state coordinates).  Before the FDL carry fix, calls 2+
+        # collapsed to ~13 dB — this also guards the history path.
+        assert snr_db(ref, got) > 95.0, (k, snr_db(ref, got))
+
+
+def test_sharded_chain_driver_dryrun_shape():
+    """The exact driver dryrun_multichip(8) configuration — rank 8
+    (block 128), 2 time shards x 2 blocks each, DC input — must keep
+    sharded == single-device agreement >= 95 dB over 3 consecutive
+    steps.  Guards the recorded round-1 failure (MULTICHIP_r01.json:
+    f32 matrix-power/correction rounding at tiny blocks)."""
+    from lsp_dsp_units_tpu.pipeline import FilterConvChain
+
+    chain = FilterConvChain(48000, channels=8, rank=8, ir_seconds=0.02)
+    params = chain.build()
+    mesh = pmesh.make_mesh(chan=4, time=2)
+    t = chain.block * 2 * 2
+    x = jnp.ones((8, t), jnp.float32) * 0.1
+
+    st_ref = chain.init_state(params)
+    step_ref = jax.jit(chain.step)
+    refs = []
+    for _ in range(3):
+        st_ref, y = step_ref(params, st_ref, x)
+        refs.append(np.asarray(y))
+
+    step_sh = chain.sharded_step(mesh, params)
+    st_sh = chain.init_state(params)
+    spec = jax.NamedSharding(mesh, P("chan", "time"))
+    for k, ref in enumerate(refs):
+        st_sh, y = step_sh(st_sh, jax.device_put(x, spec))
+        got = np.asarray(y)
+        assert snr_db(ref, got) > 95.0, (k, snr_db(ref, got))
+        # and the driver's own absolute criterion, with margin
+        err = np.abs(got - ref).max()
+        assert err <= 1e-4 * max(np.abs(ref).max(), 1e-3), (k, err)
 
 
 def test_time_sharded_fir_streaming_carry_exact():

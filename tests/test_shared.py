@@ -249,3 +249,21 @@ def test_stream_engine_rejects_undersized_ring():
     for s in (small, big):
         s.close()
     eng.close()
+
+
+def test_stream_engine_rejects_channel_mismatch():
+    """Binding a stream whose own channel count differs from the slot's
+    `channels` must fail loudly: as_read/as_write copy
+    stream_channels*block floats based on the stream's header, so a
+    mismatch would read/write past the slot's row range (heap overflow)."""
+    import pytest
+    from lsp_dsp_units_tpu.shared import StreamEngine
+    eng = StreamEngine(block=128, rows=4)
+    three = AudioStream.create(UID + "_c3", channels=3, length=1024)
+    with pytest.raises(ValueError, match="channel count"):
+        eng.bind(in_stream=three, row=0, channels=2)
+    with pytest.raises(ValueError, match="channel count"):
+        eng.bind(out_stream=three, row=0, channels=4)
+    eng.bind(in_stream=three, row=0, channels=3)    # exact match ok
+    three.close()
+    eng.close()
