@@ -96,12 +96,24 @@ class Limiter:
     #    Limiter.cpp:278-395) ------------------------------------------------
     def _patch_shape(self) -> Tuple[np.ndarray, int]:
         la = self.lookahead
-        attack = int(np.clip(self.sample_rate * self.attack_ms / 1000.0,
-                             8, la))
-        release = int(np.clip(self.sample_rate * self.release_ms / 1000.0,
-                              8, la * 2))
+        attack = int(np.clip(int(self.sample_rate * self.attack_ms
+                                 / 1000.0), 8, la))
         name = self.mode.value
         kind, shape = name.split("_")
+        # reference-verbatim quirks (do not "fix"):
+        # * init_sat derives release from the CLAMPED ATTACK count
+        #   (`release = lsp_limit(attack, 8, nLookahead*2)`,
+        #   Limiter.cpp:284) — so herm modes always have release==attack;
+        # * init_exp's shape if-chain tests LM_HERM_* (Limiter.cpp:327-
+        #   346), which never matches an exp mode — exp modes always take
+        #   the WIDE branch.
+        if kind == "herm":
+            release = attack
+        else:
+            release = int(np.clip(int(self.sample_rate * self.release_ms
+                                      / 1000.0), 8, la * 2))
+        if kind == "exp":
+            shape = "wide"
         if shape == "thin":
             n_att, n_plane = attack, attack
         elif shape == "tail":

@@ -73,13 +73,16 @@ class Equalizer:
 
     def __init__(self, sample_rate: int = 48000, filters: int = 8,
                  mode: EqMode = EqMode.IIR, fir_rank: int = 12,
-                 iir_block: Optional[int] = None):
-        """``iir_block``: when set (IIR mode), build() additionally
-        precomputes the fused whole-cascade block kernel
-        (ops.biquad_block) and process() uses it whenever the input
-        length is a multiple of the block — one FFT conv + MXU matmuls
-        instead of a sequential scan, and ~40 dB MORE accurate than the
-        reference's own f32 recurrence (NUMERICS.md)."""
+                 iir_block: Optional[int] = 256):
+        """``iir_block``: block size of the fused whole-cascade kernel
+        (ops.biquad_block) that IIR mode uses BY DEFAULT — one FFT conv
+        + MXU matmuls instead of a sequential scan, and ~40-70 dB MORE
+        accurate than the reference's own f32 recurrence (NUMERICS.md;
+        the ≥95 dB north star holds through this path).  Inputs that
+        are not block-multiples run the aligned head through the fused
+        kernel and the remainder through the sequential scan.  Pass
+        ``iir_block=None`` to disable and use the sequential scan only
+        (the reference's numerical behavior class)."""
         self.sample_rate = int(sample_rate)
         self.mode = mode
         self.fir_rank = int(fir_rank)
@@ -207,14 +210,24 @@ class Equalizer:
                 from lsp_dsp_units_tpu.ops import biquad_block
                 # state.iir is carried in the fused (balanced) basis
                 # whenever a fused kernel exists — see FusedCascadeParams
-                if x.shape[-1] % self.iir_block == 0:
-                    y, iir = biquad_block.cascade_block_fused(
-                        params.fused, state.iir, x)
-                    return state._replace(iir=iir), y
-                # non-aligned fallback: convert basis around the scan
-                st = biquad_block.state_from_fused(params.fused, state.iir)
-                y, st = biquad_ops.biquad_cascade_seq(params.coeffs, st, x)
-                iir = biquad_block.state_to_fused(params.fused, st)
+                t = x.shape[-1]
+                n_full = t // self.iir_block
+                head = n_full * self.iir_block
+                iir = state.iir
+                parts = []
+                if head:
+                    y_h, iir = biquad_block.cascade_block_fused(
+                        params.fused, iir, x[..., :head])
+                    parts.append(y_h)
+                if head < t:
+                    # remainder: sequential scan with basis conversion
+                    st = biquad_block.state_from_fused(params.fused, iir)
+                    y_t, st = biquad_ops.biquad_cascade_seq(
+                        params.coeffs, st, x[..., head:])
+                    iir = biquad_block.state_to_fused(params.fused, st)
+                    parts.append(y_t)
+                y = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=-1)
                 return state._replace(iir=iir), y
             # sequential scan: multi-band cascades can include low
             # frequency poles where the f32 assoc scan loses ~40 dB

@@ -34,13 +34,27 @@ def test_config2_eq_plus_oversampler():
         eq.set_params(i, p)
     params = eq.build()
 
+    # golden is the float64 DESIGN (what the fused default path
+    # implements), not the f32-rounded coefficient copy
+    coeffs64 = np.concatenate([d.biquads for d in eq._active_designs()], 0)
+
+    # aligned input: the default fused block path must hold the ≥95 dB
+    # north star (BASELINE.md; measured ~138 dB)
+    x = _stereo(24576)
+    st = eq.init_state(params, (2,))
+    st, y_eq = eq.process(params, st, jnp.asarray(x))
+    golden = np.stack([biquad.np_biquad_cascade_f64(coeffs64, x[c])
+                       for c in range(2)])
+    assert snr_db(np.asarray(y_eq), golden) > 95.0
+
+    # non-block-multiple input: fused head + sequential tail still beats
+    # the plain f32 sequential chain (~60 dB)
     x = _stereo(SR // 2)
     st = eq.init_state(params, (2,))
     st, y_eq = eq.process(params, st, jnp.asarray(x))
-
-    golden = np.stack([biquad.np_biquad_cascade_f64(
-        np.asarray(params.coeffs), x[c]) for c in range(2)])
-    assert snr_db(np.asarray(y_eq), golden) > 60.0  # 16-stage f32 chain
+    golden = np.stack([biquad.np_biquad_cascade_f64(coeffs64, x[c])
+                       for c in range(2)])
+    assert snr_db(np.asarray(y_eq), golden) > 80.0
 
     for ratio in (2, 4):
         ovs = Oversampler(SR, ratio=ratio, quality="x3", filtering=True)
@@ -85,10 +99,12 @@ def test_config3_convolver_plus_fft_crossover():
     xst, yb = xo.process(xst, jnp.asarray(np.asarray(y)[:t]))
     yb = np.asarray(yb)
     assert yb.shape == (4, t)
-    # band sum reconstructs the delayed convolver output
+    # band sum reconstructs the delayed convolver output: the analytic
+    # hipass/lopass masks are complementary (sum == 1 to ~1e-6) and the
+    # COLA spectral engine is exact, so reconstruction is >100 dB
     lat = xo.latency()
     total = yb.sum(0)
-    assert snr_db(total[lat:], np.asarray(y)[: t - lat]) > 20.0
+    assert snr_db(total[lat:], np.asarray(y)[: t - lat]) > 100.0
 
 
 def test_config4_dynamics_chain_64ch():

@@ -24,17 +24,31 @@ def _setup(mode, fir_rank=8):
 
 
 def test_iir_mode_equals_cascade():
+    """The default IIR path (fused block kernel) must implement the same
+    cascade as the sequential scan — compared via the float64 golden,
+    since the fused path is MORE accurate than the f32 scan."""
     eq = _setup(EqMode.IIR)
     p = eq.build()
     rng = np.random.default_rng(0)
     x = rng.normal(size=1024).astype(np.float32)
     st = eq.init_state(p)
     st, y = eq.process(p, st, jnp.asarray(x))
-    y2, _ = biquad_ops.biquad_cascade_seq(
-        p.coeffs, biquad_ops.init_state(p.coeffs.shape[0]), jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6,
-                               atol=1e-7)
+    golden = biquad_ops.np_biquad_cascade_f64(
+        np.concatenate([d.biquads for d in eq._active_designs()], 0), x)
+    np.testing.assert_allclose(np.asarray(y), golden, atol=2e-5)
     assert eq.latency() == 0
+
+    # with the fused path disabled, IIR mode IS the sequential scan
+    eq2 = _setup(EqMode.IIR)
+    eq2.iir_block = None
+    p2 = eq2.build()
+    st2 = eq2.init_state(p2)
+    st2, y2 = eq2.process(p2, st2, jnp.asarray(x))
+    y3, _ = biquad_ops.biquad_cascade_seq(
+        p2.coeffs, biquad_ops.init_state(p2.coeffs.shape[0]),
+        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y3), rtol=1e-6,
+                               atol=1e-7)
 
 
 @pytest.mark.parametrize("mode", [EqMode.FIR, EqMode.FFT, EqMode.SPM])

@@ -134,7 +134,45 @@ def test_fft_crossover_split():
     f = np.fft.rfftfreq(x.size, 1 / SR)
     i330 = int(np.argmin(np.abs(f - 330)))
     assert lo_spec[i330] > 10 * hi_spec[i330]
-    # sum of bands ~ delayed input at the crossover points' -6 dB dips
+    # sum of bands == delayed input: complementary masks + COLA engine
     total = y.sum(0)
     lat = xo.latency()
-    assert snr_db(total[lat:], x[:x.size - lat]) > 20.0
+    assert snr_db(total[lat:], x[:x.size - lat]) > 100.0
+
+
+def test_fft_crossover_passband_ripple():
+    """Measured per-band transfer functions must match the analytic
+    hipass/lopass curves: passband ripple < 0.5 dB, and the -6 dB
+    crossover points land on the split frequencies (reference
+    misc/fft_crossover.cpp crossover-level contract)."""
+    from lsp_dsp_units_tpu.models.util.fft_crossover_unit import (
+        FFTCrossover, FFTCrossoverBand)
+
+    bands = [
+        FFTCrossoverBand(True, None, 500.0, -48.0, 0.0, 1.0),
+        FFTCrossoverBand(True, 500.0, 4000.0, -48.0, 0.0, 1.0),
+        FFTCrossoverBand(True, 4000.0, None, -48.0, 0.0, 1.0),
+    ]
+    xo = FFTCrossover(SR, rank=11, bands=bands)
+    # measure the band impulse responses through the streaming engine
+    t = xo.block * 12
+    x = np.zeros(t, np.float32)
+    x[0] = 1.0
+    st = xo.init_state()
+    st, y = xo.process(st, jnp.asarray(x))
+    y = np.asarray(y)                      # [3, T]
+    h = np.fft.rfft(y, axis=-1)
+    f = np.fft.rfftfreq(t, 1.0 / SR)
+    mag_db = 20 * np.log10(np.maximum(np.abs(h), 1e-12))
+
+    # passbands: an octave inside the splits
+    pb = [(f > 20) & (f < 250), (f > 1000) & (f < 2000), (f > 8000) &
+          (f < 20000)]
+    for b, m in enumerate(pb):
+        ripple = mag_db[b][m]
+        assert ripple.max() < 0.5 and ripple.min() > -0.5, (
+            b, ripple.min(), ripple.max())
+    # -6 dB at each split, both adjacent bands
+    for b, f0 in ((0, 500.0), (1, 500.0), (1, 4000.0), (2, 4000.0)):
+        i = int(np.argmin(np.abs(f - f0)))
+        assert abs(mag_db[b][i] + 6.02) < 0.3, (b, f0, mag_db[b][i])
