@@ -72,12 +72,22 @@ def test_oversampler_roundtrip_identity(ratio):
 
 def test_oversampler_latency_contract():
     """Latency values match the reference table
-    (Oversampler.cpp:955-1010)."""
+    (Oversampler.cpp:955-1010), and the MEASURED group delay of an
+    impulse through up->down equals the reported latency for every
+    (quality, ratio) pair — so chain alignment against the reference is
+    sample-exact."""
     expect = {"x2": 2, "x3": 3, "x4": 4, "12bit": 4, "16bit": 10,
               "24bit": 62}
     for q, lat in expect.items():
-        ovs = Oversampler(SR, ratio=2, quality=q, filtering=False)
-        assert ovs.latency() == lat
+        for ratio in (2, 3, 4, 6, 8):
+            ovs = Oversampler(SR, ratio=ratio, quality=q, filtering=False)
+            assert ovs.latency() == lat, (q, ratio)
+            st = ovs.init_state(())
+            x = np.zeros(256, np.float32)
+            x[100] = 1.0
+            st, y = ovs.process(st, jnp.asarray(x))
+            d = int(np.argmax(np.abs(np.asarray(y)))) - 100
+            assert d == lat, (q, ratio, d, lat)
 
 
 def test_oversampler_callback_runs_at_high_rate():
