@@ -61,6 +61,48 @@ def run_variant(name: str, blocks: int, iters: int):
         q = jnp.clip(y * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
         return state, q
 
+    # dithered 16-bit delivery variants: threefry jax.random (i16d),
+    # rbg hardware RNG (i16r), precomputed TPDF table slice (i16t — the
+    # closest analogue of the reference's table-seeded Randomizer)
+    base_key = jax.random.PRNGKey(0)
+    delta_half = 0.5 / 32768.0
+
+    def step_i16d(params, state, x, k):
+        state, y = chain.step(params, state, x)
+        kk = jax.random.fold_in(base_key, k)
+        k1, k2 = jax.random.split(kk)
+        tpdf = (jax.random.uniform(k1, y.shape)
+                + jax.random.uniform(k2, y.shape) - 1.0)
+        y = y + tpdf * delta_half
+        q = jnp.clip(y * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+        return state, q
+
+    rbg_key = jax.random.key(0, impl="rbg")
+
+    def step_i16r(params, state, x, k):
+        state, y = chain.step(params, state, x)
+        kk = jax.random.fold_in(rbg_key, k)
+        k1, k2 = jax.random.split(kk)
+        tpdf = (jax.random.uniform(k1, y.shape)
+                + jax.random.uniform(k2, y.shape) - 1.0)
+        y = y + tpdf * delta_half
+        q = jnp.clip(y * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+        return state, q
+
+    rng_t = np.random.default_rng(7)
+    table_np = ((rng_t.random((channels, t + 65536))
+                 + rng_t.random((channels, t + 65536)) - 1.0)
+                * delta_half).astype(np.float32)
+    table = jnp.asarray(table_np)
+
+    def step_i16t(params, state, x, k):
+        state, y = chain.step(params, state, x)
+        noise = jax.lax.dynamic_slice(
+            table, (jnp.uint32(0), k & 65535), (channels, y.shape[-1]))
+        q = jnp.clip((y + noise) * 32767.0,
+                     -32768.0, 32767.0).astype(jnp.int16)
+        return state, q
+
     def step_bf16(params, state, x):
         state, y = chain.step(params, state, x)
         return state, y.astype(jnp.bfloat16)
@@ -70,19 +112,44 @@ def run_variant(name: str, blocks: int, iters: int):
         return state, jnp.sum(y)
 
     fn = {"f32": step_f32, "i16": step_i16, "bf16": step_bf16,
-          "scalar": step_scalar}[name]
-    step = jax.jit(fn)
+          "scalar": step_scalar, "i16d": step_i16d, "i16r": step_i16r,
+          "i16t": step_i16t}[name.rstrip("p")]
+    keyed = name.rstrip("p") in ("i16d", "i16r", "i16t")
+    raw = jax.jit(fn)
+    if keyed:
+        def step(params, state, x, _c=[0]):
+            _c[0] += 1
+            return raw(params, state, x, jnp.uint32(_c[0]))
+    else:
+        step = raw
 
     state, y = step(params, state, x)
     y_host = np.asarray(y)
     assert np.all(np.isfinite(np.asarray(y_host, np.float32))), "non-finite"
 
+    # "p" suffix = pipelined delivery: keep DEPTH dispatches in flight
+    # and fetch lagging outputs, so the D2H copy of block k overlaps the
+    # dispatch+compute of k+1.. (jax dispatch is async; np.asarray on an
+    # older output blocks only on that transfer)
+    pipelined = name.endswith("p")
+    depth = 2
+
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, y = step(params, state, x)
-        np.asarray(y)
+        if pipelined:
+            pending = []
+            for _ in range(iters):
+                state, y = step(params, state, x)
+                pending.append(y)
+                if len(pending) > depth:
+                    np.asarray(pending.pop(0))
+            for y in pending:
+                np.asarray(y)
+        else:
+            for _ in range(iters):
+                state, y = step(params, state, x)
+            np.asarray(y)
         elapsed = time.perf_counter() - t0
         best = max(best, channels * t * iters / elapsed)
     return {"variant": name, "blocks": blocks,
@@ -96,9 +163,8 @@ def main():
         print(json.dumps(run_variant(name, blocks, iters)))
         return
 
-    plan = [("f32", 1, 20), ("i16", 1, 20), ("bf16", 1, 20),
-            ("i16", 2, 20), ("i16", 4, 10), ("f32", 4, 10),
-            ("scalar", 1, 40)]
+    plan = [("i16", 1, 30), ("i16d", 1, 30), ("i16r", 1, 30),
+            ("i16t", 1, 30), ("scalar", 1, 40)]
     results = []
     for name, blocks, iters in plan:
         try:

@@ -1,49 +1,75 @@
 """RayTrace3D — geometric-acoustics ray tracer producing impulse
-responses (reference: src/main/3d/RayTrace3D.cpp, rt/*.cpp, raytrace.cpp).
+responses (reference: src/main/3d/RayTrace3D.cpp, rt/*.cpp,
+raytrace.cpp).
 
-TPU-native redesign: the reference pipelines ray GROUPS through worker
-threads with view-frustum culling, triangle splitting and BSP ordering
-(RayTrace3D.cpp:87-222) — CPU machinery for keeping per-ray work small.
-Here a whole GENERATION of rays tests against ALL triangles at once
-(Möller-Trumbore, batched [R, T] on the VPU/MXU); bounces iterate on the
-host with device-side energy capture accumulation via scatter-add into
-the IR bins.  Sources emit icosphere-distributed ray fans with energy
-directivity; captures are point microphones with omni/cardioid/figure-8
-patterns accumulating energy at the propagation delay (reference
-raytrace.h capture/source primitives, rt_audio_capture_t patterns).
-Capture legs are occlusion-tested against the full scene.
+TPU-native redesign: the reference pipelines beam-group contexts through
+worker threads with view-frustum culling, triangle splitting and BSP
+ordering (RayTrace3D.cpp:87-222) — CPU machinery for keeping per-beam
+work small.  Here a whole GENERATION of rays tests against ALL triangles
+at once (Möller-Trumbore, batched [R, T] on the VPU/MXU); bounces
+iterate on the host with device-side deposits into the IR bins.
 
-Documented simplifications vs the reference's material model
-(rt::material_t): ``Material.diffusion`` and ``transparency`` are
-accepted by :class:`..scene.Material` but not yet applied — reflections
-are specular and blockers are fully opaque; only ``absorption`` (plus
-air absorption and spherical spreading) shapes the energy decay.
+Physics follows the reference's interface model exactly
+(RayTrace3D.cpp:641-832 reflect_view):
+
+* each ray transports a VIRTUAL SOURCE point (the beam apex ``sv.s``);
+* at a surface hit the signed apex-to-plane distance ``d`` yields
+  - reflected apex  = apex - (1 + 1/diffusion) * d * n   (diffusion 1.0
+    = exact mirror; larger values pull the apex toward the surface and
+    spread the reflection — RayTrace3D.cpp:759-764, 778-783)
+  - refracted apex  = apex + (permeability/dispersion - 1) * d * n with
+    the sound speed scaled by the permeability (765-771, 785-791);
+* amplitudes are SIGNED pressure: after absorbing (1 - absorption),
+  the reflection carries ``a * (transparency - 1)`` (polarity inverted)
+  and the transmission ``a * transparency`` (757-767), using the
+  outer/inner material side the wave actually hit;
+* both branches continue: the 2R candidate rays are compacted back to R
+  by keeping the largest |amplitude| (lax.top_k) — the TPU analogue of
+  the reference's energy-threshold task queue (795-812).
+
+Capture model: the reference integrates beam-triangle areas against a
+capture icosphere (capture(), RayTrace3D.cpp:834-990).  Rays here use a
+detection-CONE estimator: a ray deposits into a capture when its travel
+direction points at the capture within the cone containing an expected
+``K_GATE`` rays; the deposit is ``amp * gain * comp / distance`` with
+``comp = 2/(1 - cos(gate))`` so a full wavefront sums to the correct
+1/r pressure amplitude independent of the gate width.  Capture legs are
+occlusion-tested against every triangle, scaled by the product of the
+transparencies along the leg (opaque = blocked).  Directivity gains are
+the reference's six patterns (captures.pattern_gain).
 """
 
 from __future__ import annotations
 
-import enum
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.models.threed.scene import Scene3D
+from lsp_dsp_units_tpu.models.threed.sources import (
+    SourceSettings, SourceShape, source_rays)
+from lsp_dsp_units_tpu.models.threed.captures import (
+    CapturePattern, CaptureSettings, pattern_gain)
 from lsp_dsp_units_tpu.models.sampling.sample import Sample
 
 SPEED_OF_SOUND = 340.0   # m/s (reference sound speed constant)
 
+# expected number of rays inside a capture's detection cone
+K_GATE = 8
 
-class MicPattern(enum.Enum):
-    OMNI = "omni"
-    CARDIOID = "cardioid"
-    FIGURE8 = "figure8"
+# legacy alias: round-1 exposed MicPattern with OMNI/CARDIOID/FIGURE8;
+# CapturePattern carries the reference's six types (CARDIOID and
+# FIGURE8 are value-aliases of CARDIO and EIGHT)
+MicPattern = CapturePattern
 
 
 @dataclass
 class Source:
+    """Simple omni point-ish source (an ICOSPHERE of 1 cm radius);
+    use SourceSettings directly for the full shape/directivity set."""
     position: np.ndarray             # [3]
     energy: float = 1.0
 
@@ -51,24 +77,12 @@ class Source:
 @dataclass
 class Capture:
     position: np.ndarray             # [3]
-    pattern: MicPattern = MicPattern.OMNI
+    pattern: CapturePattern = CapturePattern.OMNI
     direction: np.ndarray = None     # [3] look direction for patterns
 
     def __post_init__(self):
         if self.direction is None:
             self.direction = np.array([1.0, 0.0, 0.0], np.float32)
-
-
-def _fibonacci_sphere(n: int) -> np.ndarray:
-    """Quasi-uniform ray directions (the reference tessellates an
-    icosphere — raytrace.cpp icosphere generation; a Fibonacci sphere
-    gives the same uniformity as a closed form)."""
-    i = np.arange(n, dtype=np.float64) + 0.5
-    phi = np.arccos(1.0 - 2.0 * i / n)
-    theta = np.pi * (1.0 + 5.0 ** 0.5) * i
-    return np.stack([np.cos(theta) * np.sin(phi),
-                     np.sin(theta) * np.sin(phi),
-                     np.cos(phi)], -1).astype(np.float32)
 
 
 def _intersect(origins, dirs, tri, eps=1e-6):
@@ -97,6 +111,31 @@ def _intersect(origins, dirs, tri, eps=1e-6):
     return t_hit, idx
 
 
+def _segment_transmission(origins, dirs, seg_len, tri, trans, eps=1e-6):
+    """Amplitude transmission factor of each segment [L] from ``origins``
+    along ``dirs`` up to ``seg_len``: the product of the transparencies
+    of every triangle the segment crosses (1.0 = clear line of sight,
+    0.0 = an opaque blocker).  ``trans`` is [T, 2] (outer, inner);
+    the side is picked from the crossing direction."""
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - v0
+    e2 = tri[:, 2] - v0
+    pvec = jnp.cross(dirs[:, None, :], e2[None, :, :])
+    det = jnp.sum(pvec * e1[None, :, :], -1)
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    tvec = origins[:, None, :] - v0[None, :, :]
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.sum(dirs[:, None, :] * qvec, -1) * inv_det
+    t = jnp.sum(e2[None, :, :] * qvec, -1) * inv_det
+    crossed = ((jnp.abs(det) > eps) & (u >= -eps) & (v >= -eps)
+               & (u + v <= 1.0 + eps) & (t > 1e-4)
+               & (t < seg_len[:, None] * (1.0 - 1e-3)))
+    # det > 0 <=> the segment crosses the front (outer) face
+    tr = jnp.where(det > 0.0, trans[None, :, 0], trans[None, :, 1])
+    return jnp.prod(jnp.where(crossed, tr, 1.0), axis=-1)   # [L]
+
+
 class RayTrace3D:
     """Host-orchestrated, device-batched acoustic ray tracer."""
 
@@ -111,124 +150,168 @@ class RayTrace3D:
         self.max_bounces = int(max_bounces)
         self.energy_floor = float(energy_floor)
         self.air = float(air_absorption)
-        self.sources: List[Source] = []
-        self.captures: List[Capture] = []
+        self.sources: List[SourceSettings] = []
+        self.captures: List[Union[Capture, CaptureSettings]] = []
         self.seed = seed
         self.progress: float = 0.0
         self._cancelled = False
         self.stats = {"rays_traced": 0, "bounces": 0, "captured": 0}
 
-    def add_source(self, src: Source) -> None:
+    def add_source(self, src: Union[Source, SourceSettings]) -> None:
+        if isinstance(src, Source):
+            src = SourceSettings(shape=SourceShape.ICOSPHERE, size=0.01,
+                                 amplitude=src.energy,
+                                 position=np.asarray(src.position))
         self.sources.append(src)
 
-    def add_capture(self, cap: Capture) -> None:
+    def add_capture(self, cap: Union[Capture, CaptureSettings]) -> None:
         self.captures.append(cap)
 
     def cancel(self) -> None:
         """Cooperative cancellation (reference bCancelled flag)."""
         self._cancelled = True
 
-    # -- capture weighting --------------------------------------------------
-    @staticmethod
-    def _pattern_gain(pattern: MicPattern, cos_angle):
-        if pattern == MicPattern.OMNI:
-            return jnp.ones_like(cos_angle)
-        if pattern == MicPattern.CARDIOID:
-            return 0.5 * (1.0 + cos_angle)
-        return jnp.abs(cos_angle)     # figure-8
-
     def process(self) -> Sample:
         """Trace all sources; returns a Sample with one channel per
-        capture holding the energy impulse response (reference
-        RayTrace3D::process binds captures to Sample channels)."""
+        capture holding the (signed pressure) impulse response
+        (reference RayTrace3D::process binds captures to Sample
+        channels)."""
         tri_np, mat_np, nrm_np = self.scene.flatten()
         assert tri_np.shape[0] > 0, "empty scene"
         tri = jnp.asarray(tri_np)
-        absorption = jnp.asarray(mat_np[:, 0])
+        # material rows: [abs0, abs1, dif0, dif1, disp0, disp1,
+        #                 tr0, tr1, perm] (scene.Material.row)
+        mat = jnp.asarray(mat_np)
         nrm = jnp.asarray(nrm_np)
         cap_pos = jnp.asarray(
             np.stack([c.position for c in self.captures]).astype(
                 np.float32))
         cap_dir = jnp.asarray(
-            np.stack([c.direction / np.linalg.norm(c.direction)
+            np.stack([np.asarray(c.direction, np.float32)
+                      / np.linalg.norm(c.direction)
                       for c in self.captures]).astype(np.float32))
 
         irs = np.zeros((len(self.captures), self.ir_len), np.float32)
 
         @jax.jit
-        def bounce(origins, dirs, energy, dist):
-            t_hit, idx = _intersect(origins, dirs, tri)
-            hit = jnp.isfinite(t_hit)
-            t_safe = jnp.where(hit, t_hit, 0.0)
-            hit_pt = origins + dirs * t_safe[:, None]
-            n = nrm[idx]
-            # reflect: d' = d - 2 (d.n) n
-            dn = jnp.sum(dirs * n, -1, keepdims=True)
-            new_dirs = dirs - 2.0 * dn * n
-            absorb = absorption[idx]
-            new_energy = jnp.where(
-                hit, energy * (1.0 - absorb)
-                * jnp.exp(-self.air * t_safe), 0.0)
-            new_dist = dist + t_safe
-
-            # capture contributions from the segment start (direct line
-            # of sight from the ray's current position to each capture,
-            # deposited at total distance + capture distance)
-            # [R, C]
-            seg = cap_pos[None, :, :] - origins[:, None, :]
+        def bounce(origins, dirs, vsrc, amp, speed, when):
+            # ---- capture deposits from the segment start ------------
+            seg = cap_pos[None, :, :] - origins[:, None, :]     # [R,C,3]
             cd = jnp.linalg.norm(seg, axis=-1)
             cdirs = seg / jnp.maximum(cd[..., None], 1e-9)
-            cosang = jnp.sum(cdirs * (-cap_dir[None, :, :]), -1)
+            # detection cone: ray direction within the gate of the
+            # direction to the capture
+            R = origins.shape[0]
+            cos_gate = 1.0 - 2.0 * K_GATE / R
+            comp = 2.0 / (1.0 - cos_gate)
+            aligned = jnp.sum(dirs[:, None, :] * cdirs, -1) >= cos_gate
+            # directivity: kcos = propagation dir . capture look dir
+            kcos = jnp.sum(cdirs * cap_dir[None, :, :], -1)
             gains = jnp.stack(
-                [self._pattern_gain(c.pattern, cosang[:, ci])
+                [pattern_gain(self._pattern_of(c), kcos[:, ci])
                  for ci, c in enumerate(self.captures)], axis=1)
-            delay = (dist[:, None] + cd) / SPEED_OF_SOUND
+            delay = when[:, None] + cd / SPEED_OF_SOUND
             raw_bins = (delay * self.sample_rate).astype(jnp.int32)
             # arrivals past the IR length are DROPPED (zero amplitude),
             # not clamped — clamping would pile all late reflections
             # into a spurious energy spike at the final sample
             in_range = raw_bins < self.ir_len
             bins = jnp.clip(raw_bins, 0, self.ir_len - 1)
-            # occlusion: the capture leg contributes only with a clear
-            # line of sight (nearest scene hit not closer than the
-            # capture) — same batched Möller-Trumbore as the bounce
+            # occlusion with transparency: the leg is scaled by the
+            # product of transparencies of every crossed triangle
             flat_o = jnp.broadcast_to(
                 origins[:, None, :], seg.shape).reshape(-1, 3)
-            t_occ, _ = _intersect(flat_o, cdirs.reshape(-1, 3), tri)
-            visible = t_occ.reshape(cd.shape) >= cd - 1e-3
-            # inverse-square spreading + air absorption on capture leg
-            amp = jnp.where(
-                jnp.logical_and(in_range, visible),
-                energy[:, None] * gains * jnp.exp(-self.air * cd)
-                / jnp.maximum(cd * cd, 0.25), 0.0)
-            return (hit_pt, new_dirs, new_energy, new_dist, bins, amp,
-                    hit)
+            leg_tr = _segment_transmission(
+                flat_o, cdirs.reshape(-1, 3), cd.reshape(-1), tri,
+                mat[:, 6:8]).reshape(cd.shape)
+            dep = jnp.where(
+                aligned & in_range,
+                amp[:, None] * comp * gains * leg_tr
+                * jnp.exp(-self.air * cd)
+                / jnp.maximum(cd, 0.05), 0.0)
 
-        rng = np.random.default_rng(self.seed)
+            # ---- surface interaction --------------------------------
+            t_hit, idx = _intersect(origins, dirs, tri)
+            hit = jnp.isfinite(t_hit)
+            t_safe = jnp.where(hit, t_hit, 0.0)
+            hit_pt = origins + dirs * t_safe[:, None]
+            n = nrm[idx]
+            m = mat[idx]                                  # [R, 9]
+            # side 0 (outer) when the ray hits the front face
+            outer = jnp.sum(dirs * n, -1) < 0.0
+            sel = lambda i0, i1: jnp.where(outer, m[:, i0], m[:, i1])
+            absorb = sel(0, 1)
+            diff = jnp.maximum(sel(2, 3), 1e-6)
+            disp = jnp.maximum(sel(4, 5), 1e-6)
+            trans = sel(6, 7)
+            perm = jnp.maximum(m[:, 8], 1e-6)
+
+            new_when = when + t_safe / speed
+            a1 = jnp.where(hit, amp * (1.0 - absorb)
+                           * jnp.exp(-self.air * t_safe), 0.0)
+
+            # signed apex->plane distance (reference `distance`)
+            d_pl = jnp.sum((vsrc - tri[idx, 0]) * n, -1)
+
+            def continue_dir(apex, fallback_specular):
+                to = hit_pt - apex
+                ln = jnp.linalg.norm(to, axis=-1, keepdims=True)
+                ok = ln[:, 0] > 1e-6
+                safe = to / jnp.maximum(ln, 1e-9)
+                return jnp.where(ok[:, None], safe, fallback_specular)
+
+            dn = jnp.sum(dirs * n, -1, keepdims=True)
+            specular = dirs - 2.0 * dn * n
+            # reflected branch (RayTrace3D.cpp:759-764 / 778-783)
+            kd_r = (1.0 + 1.0 / diff) * d_pl
+            vsrc_r = vsrc - kd_r[:, None] * n
+            dir_r = continue_dir(vsrc_r, specular)
+            amp_r = a1 * (trans - 1.0)            # sign negated
+            # refracted branch (765-771 / 785-791)
+            kd_t = jnp.where(outer, perm / disp - 1.0,
+                             1.0 / (disp * perm) - 1.0) * d_pl
+            vsrc_t = vsrc + kd_t[:, None] * n
+            dir_t = continue_dir(vsrc_t, dirs)
+            amp_t = a1 * trans
+            speed_t = jnp.where(outer, speed * perm, speed / perm)
+
+            # ---- compaction: keep the strongest R of the 2R ---------
+            c_orig = jnp.concatenate([hit_pt, hit_pt], 0)
+            c_dir = jnp.concatenate([dir_r, dir_t], 0)
+            c_vsrc = jnp.concatenate([vsrc_r, vsrc_t], 0)
+            c_amp = jnp.concatenate([amp_r, amp_t], 0)
+            c_speed = jnp.concatenate([speed, speed_t], 0)
+            c_when = jnp.concatenate([new_when, new_when], 0)
+            _, top = jax.lax.top_k(jnp.abs(c_amp), R)
+            return (c_orig[top], c_dir[top], c_vsrc[top], c_amp[top],
+                    c_speed[top], c_when[top], bins, dep)
+
         n_src = max(len(self.sources), 1)
         for si, src in enumerate(self.sources):
             if self._cancelled:
                 break
-            dirs = jnp.asarray(_fibonacci_sphere(self.rays))
-            origins = jnp.broadcast_to(
-                jnp.asarray(src.position, jnp.float32), (self.rays, 3))
-            energy = jnp.full((self.rays,),
-                              src.energy / self.rays, jnp.float32)
-            dist = jnp.zeros((self.rays,), jnp.float32)
-            self.stats["rays_traced"] += self.rays
+            o_np, d_np, s_np, a_np = source_rays(src, self.rays)
+            origins = jnp.asarray(o_np)
+            dirs = jnp.asarray(d_np)
+            vsrc = jnp.asarray(s_np)
+            amp = jnp.asarray(a_np)
+            speed = jnp.full((origins.shape[0],), SPEED_OF_SOUND,
+                             jnp.float32)
+            when = jnp.zeros((origins.shape[0],), jnp.float32)
+            self.stats["rays_traced"] += int(origins.shape[0])
 
             for b in range(self.max_bounces):
                 if self._cancelled:
                     break
-                origins, dirs, energy, dist, bins, amp, hit = bounce(
-                    origins, dirs, energy, dist)
-                amp_np = np.asarray(amp)
+                (origins, dirs, vsrc, amp, speed, when, bins,
+                 dep) = bounce(origins, dirs, vsrc, amp, speed, when)
+                dep_np = np.asarray(dep)
                 bins_np = np.asarray(bins)
                 for ci in range(len(self.captures)):
-                    np.add.at(irs[ci], bins_np[:, ci], amp_np[:, ci])
+                    np.add.at(irs[ci], bins_np[:, ci], dep_np[:, ci])
                 self.stats["bounces"] += 1
-                self.stats["captured"] += int(np.count_nonzero(amp_np))
-                if float(jnp.max(energy)) < self.energy_floor:
+                self.stats["captured"] += int(np.count_nonzero(dep_np))
+                if float(jnp.max(jnp.abs(amp))) < self.energy_floor:
                     break
                 self.progress = (si + (b + 1) / self.max_bounces) / n_src
 
@@ -236,3 +319,7 @@ class RayTrace3D:
         out = Sample(len(self.captures), self.ir_len, self.sample_rate)
         out.data = irs
         return out
+
+    @staticmethod
+    def _pattern_of(cap) -> CapturePattern:
+        return getattr(cap, "pattern", CapturePattern.OMNI)

@@ -15,12 +15,50 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+def _pair(v) -> Tuple[float, float]:
+    """Scalar -> (outer, inner); 2-sequence passed through."""
+    if np.isscalar(v):
+        return (float(v), float(v))
+    a, b = v
+    return (float(a), float(b))
+
+
 @dataclass
 class Material:
-    """Acoustic surface material (reference rt::material_t semantics)."""
-    absorption: float = 0.1     # energy fraction absorbed per bounce
-    diffusion: float = 0.0      # fraction scattered (vs specular)
-    transparency: float = 0.0   # fraction passing through
+    """Acoustic surface material (reference rt::material_t,
+    include/.../3d/rt/types.h:77-85).
+
+    Each of ``absorption`` / ``diffusion`` / ``dispersion`` /
+    ``transparency`` is a per-side (outer, inner) pair — index 0 applies
+    when the wave hits the face from outside (along the normal's
+    positive side), index 1 from inside; a scalar sets both sides.
+
+    Semantics (reference RayTrace3D.cpp:755-788):
+      absorption    amplitude fraction removed at the interface
+      diffusion     virtual-source pullback for the REFLECTED wave:
+                    1.0 = specular mirror, larger = more diffuse spread
+      dispersion    virtual-source pullback for the REFRACTED wave
+      transparency  amplitude fraction passing through the material
+      permeability  inner/outer sound-speed ratio for the refracted wave
+    """
+    absorption: object = 0.1
+    diffusion: object = 1.0
+    dispersion: object = 1.0
+    transparency: object = 0.0
+    permeability: float = 1.0
+
+    def __post_init__(self):
+        self.absorption = _pair(self.absorption)
+        self.diffusion = _pair(self.diffusion)
+        self.dispersion = _pair(self.dispersion)
+        self.transparency = _pair(self.transparency)
+        self.permeability = float(self.permeability)
+
+    def row(self) -> np.ndarray:
+        """Flat parameter row [9] for Scene3D.flatten()."""
+        return np.array([*self.absorption, *self.diffusion,
+                         *self.dispersion, *self.transparency,
+                         self.permeability], np.float32)
 
 
 @dataclass
@@ -75,20 +113,18 @@ class Scene3D:
         return scene
 
     def flatten(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """All triangles as [T, 3, 3] with per-triangle
-        (absorption, diffusion, transparency) [T, 3]."""
+        """All triangles as [T, 3, 3] with per-triangle material rows
+        [T, 9] (absorption pair, diffusion pair, dispersion pair,
+        transparency pair, permeability — see Material.row)."""
         tris = []
         mats = []
         for obj in self.objects:
             t = obj.vertices[obj.triangles]      # [T, 3, 3]
             tris.append(t)
-            m = np.tile([obj.material.absorption, obj.material.diffusion,
-                         obj.material.transparency],
-                        (t.shape[0], 1))
-            mats.append(m)
+            mats.append(np.tile(obj.material.row(), (t.shape[0], 1)))
         if not tris:
             return (np.zeros((0, 3, 3), np.float32),
-                    np.zeros((0, 3), np.float32),
+                    np.zeros((0, 9), np.float32),
                     np.zeros((0, 3), np.float32))
         tri = np.concatenate(tris, 0).astype(np.float32)
         mat = np.concatenate(mats, 0).astype(np.float32)
