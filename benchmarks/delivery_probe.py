@@ -163,8 +163,8 @@ def main():
         print(json.dumps(run_variant(name, blocks, iters)))
         return
 
-    plan = [("i16", 1, 30), ("i16d", 1, 30), ("i16r", 1, 30),
-            ("i16t", 1, 30), ("scalar", 1, 40)]
+    plan = [("i16", 1, 30), ("i16p", 1, 30), ("i16", 2, 20),
+            ("i16p", 2, 20), ("i16", 4, 12), ("scalar", 1, 40)]
     results = []
     for name, blocks, iters in plan:
         try:

@@ -7,3 +7,5 @@ from lsp_dsp_units_tpu.models.threed.sources import (  # noqa: F401
 from lsp_dsp_units_tpu.models.threed.captures import (  # noqa: F401
     CapturePattern, CaptureConfig, CaptureSettings, RoomCaptureConfig,
     configure_capture, bformat_captures, pattern_gain)
+from lsp_dsp_units_tpu.models.threed.bsp import (  # noqa: F401
+    BspContext)

@@ -178,7 +178,88 @@ class ScaledMeterGraph:
         return self.slow.ring.tail(n)
 
 
-# RawRingBuffer is RingBuffer with caller-managed positions; alias the
-# storage class (reference RawRingBuffer.cpp adds placement read/write
-# which numpy slicing already provides).
-RawRingBuffer = RingBuffer
+class RawRingBuffer:
+    """Ring buffer with caller-managed head: placement write at the head
+    without advancing, explicit ``advance``, and reads at an offset
+    BEHIND the head (reference RawRingBuffer.cpp:83-196 — ``write`` does
+    not move the head, ``push`` does; ``read(offset, n)`` starts
+    ``offset`` samples behind the current head).
+
+    Counts larger than the capacity are clamped to the capacity, as in
+    the reference (RawRingBuffer.cpp:85,107).
+    """
+
+    def __init__(self, size: int):
+        self.data = np.zeros(int(size), np.float32)
+        self.head = 0
+
+    @property
+    def size(self) -> int:
+        return self.data.size
+
+    def clear(self) -> None:
+        self.data[:] = 0.0
+        self.head = 0
+
+    def reset(self) -> None:
+        """Reset the head without clearing contents."""
+        self.head = 0
+
+    def fill(self, value: float) -> None:
+        self.data[:] = np.float32(value)
+
+    def position(self) -> int:
+        return self.head
+
+    def _place(self, x: np.ndarray) -> int:
+        n = min(x.size, self.size)
+        idx = (self.head + np.arange(n)) % self.size
+        self.data[idx] = x[:n]
+        return n
+
+    def write(self, x) -> int:
+        """Write at the current head WITHOUT advancing; returns the
+        number of samples written (clamped to capacity)."""
+        x = np.atleast_1d(np.asarray(x, np.float32))
+        return self._place(x)
+
+    def push(self, x) -> int:
+        """Write at the current head and advance it past the data."""
+        x = np.atleast_1d(np.asarray(x, np.float32))
+        n = self._place(x)
+        self.head = (self.head + n) % self.size
+        return n
+
+    def read(self, offset: int, count: int = 1) -> np.ndarray:
+        """Read ``count`` samples starting ``offset`` samples behind the
+        current head (wrapping forward)."""
+        count = min(int(count), self.size)
+        tail = (self.head - int(offset)) % self.size
+        idx = (tail + np.arange(count)) % self.size
+        return self.data[idx].copy()
+
+    def read_one(self, offset: int) -> float:
+        return float(self.data[(self.head - int(offset)) % self.size])
+
+    def advance(self, count: int) -> int:
+        """Advance the head; returns the new head index (the reference
+        returns the new head pointer, RawRingBuffer.cpp:157-161)."""
+        self.head = (self.head + int(count)) % self.size
+        return self.head
+
+    def tail(self, offset: int) -> int:
+        """Index of the sample ``offset`` behind the head."""
+        return (self.head - int(offset)) % self.size
+
+    def head_remaining(self) -> int:
+        """Samples before the head wraps (reference
+        RawRingBuffer.h:181)."""
+        return self.size - self.head
+
+    def tail_remaining(self, offset: int) -> int:
+        """Samples before the tail at ``offset`` wraps."""
+        return self.size - self.tail(offset)
+
+    def remaining(self, offset: int) -> int:
+        """Samples before either the head or the tail wraps."""
+        return min(self.head_remaining(), self.tail_remaining(offset))

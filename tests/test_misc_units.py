@@ -143,6 +143,47 @@ def test_ring_and_shift_buffers():
     assert sb.avail == 16
 
 
+def test_raw_ring_buffer_placement_api():
+    """Placement semantics of reference RawRingBuffer.cpp:83-196:
+    write leaves the head in place, push advances, read is offset
+    BEHIND the head, advance wraps."""
+    from lsp_dsp_units_tpu.models.util import RawRingBuffer
+
+    rb = RawRingBuffer(8)
+    assert rb.size == 8 and rb.position() == 0
+
+    # write does NOT advance; a second write overwrites the same cells
+    assert rb.write(np.arange(1, 4, dtype=np.float32)) == 3
+    assert rb.position() == 0
+    np.testing.assert_array_equal(rb.data[:3], [1, 2, 3])
+    rb.write(np.asarray([9.0, 8.0]))
+    np.testing.assert_array_equal(rb.data[:3], [9, 8, 3])
+
+    # push advances and wraps across the end
+    rb.clear()
+    rb.advance(6)
+    assert rb.push(np.arange(4, dtype=np.float32)) == 4  # wraps 6,7->0,1
+    assert rb.position() == 2
+    np.testing.assert_array_equal(rb.data[6:], [0, 1])
+    np.testing.assert_array_equal(rb.data[:2], [2, 3])
+
+    # read offset counts BACK from the head
+    np.testing.assert_array_equal(rb.read(4, 4), [0, 1, 2, 3])
+    assert rb.read_one(1) == 3.0
+    # oversize counts clamp to capacity (RawRingBuffer.cpp:85,107)
+    assert rb.read(2, 100).size == 8
+    assert rb.write(np.zeros(100, np.float32)) == 8
+
+    # flip-distance helpers
+    rb.reset()
+    rb.advance(5)
+    assert rb.head_remaining() == 3
+    assert rb.tail_remaining(4) == 7   # tail at index 1
+    assert rb.remaining(4) == 3
+    rb.fill(2.5)
+    assert float(rb.data.min()) == 2.5
+
+
 def test_meter_graph():
     from lsp_dsp_units_tpu.models.util import MeterGraph, MeterMethod
 
