@@ -9,10 +9,17 @@ and channels vectorized across lanes.
 Layout: x is processed as [T, C_pad] (time on sublanes, channels on
 lanes, C padded to 128); parameters arrive via SMEM so knob changes do
 not recompile the kernel.
+
+When T is a multiple of 8 the loop runs U=8 time-steps per iteration:
+one (8, 128) tile-aligned VMEM load/store per iteration instead of 8
+single-sublane row accesses, and 1/8th the loop-bookkeeping — the
+arithmetic per step (and therefore the result, bit for bit) is
+unchanged, only the access pattern is.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -22,9 +29,31 @@ import numpy as np
 Array = jax.Array
 
 _LANES = 128
+_UNROLL = 8
 
 
-def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref):
+def _env_step(xt, e, peak, hold, ta, tr, rt, nh, use_rt):
+    """One envelope step (reference Compressor.cpp:231-256 recurrence)."""
+    d = xt - e
+    falling = d < 0.0
+    holding = hold > 0.0
+    tau_dn = jnp.where(use_rt > 0.5,
+                       jnp.where(e > rt, tr, ta), tr)
+    e_fall = e + tau_dn * d
+    e_rise = e + ta * d
+    new_e = jnp.where(falling, jnp.where(holding, e, e_fall), e_rise)
+    rise_peaked = jnp.logical_and(~falling, e_rise >= peak)
+    new_peak = jnp.where(falling, jnp.where(holding, peak, e_fall),
+                         jnp.where(rise_peaked, e_rise, peak))
+    new_hold = jnp.where(falling,
+                         jnp.where(holding, hold - 1.0, hold),
+                         jnp.where(rise_peaked, nh, hold))
+    return new_e, new_peak, new_hold
+
+
+def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref, *, unroll):
+    from jax.experimental import pallas as pl
+
     ta = params_ref[0, 0]
     tr = params_ref[0, 1]
     rt = params_ref[0, 2]
@@ -32,36 +61,67 @@ def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref):
     use_rt = params_ref[0, 4]
     t_total = x_ref.shape[0]
 
-    def body(t, carry):
-        e, peak, hold = carry
-        xt = x_ref[t, :]
-        d = xt - e
-        falling = d < 0.0
-        holding = hold > 0.0
-        tau_dn = jnp.where(use_rt > 0.5,
-                           jnp.where(e > rt, tr, ta), tr)
-        e_fall = e + tau_dn * d
-        e_rise = e + ta * d
-        new_e = jnp.where(falling, jnp.where(holding, e, e_fall), e_rise)
-        rise_peaked = jnp.logical_and(~falling, e_rise >= peak)
-        new_peak = jnp.where(falling, jnp.where(holding, peak, e_fall),
-                             jnp.where(rise_peaked, e_rise, peak))
-        new_hold = jnp.where(falling,
-                             jnp.where(holding, hold - 1.0, hold),
-                             jnp.where(rise_peaked, nh, hold))
-        env_ref[t, :] = new_e
-        return new_e, new_peak, new_hold
+    if unroll == 1:
+        def body(t, carry):
+            e, peak, hold = carry
+            e, peak, hold = _env_step(x_ref[t, :], e, peak, hold,
+                                      ta, tr, rt, nh, use_rt)
+            env_ref[t, :] = e
+            return e, peak, hold
 
-    init = (s_ref[0, :], s_ref[1, :], s_ref[2, :])
-    e, p, h = jax.lax.fori_loop(0, t_total, body, init)
-    sout_ref[0, :] = e
-    sout_ref[1, :] = p
-    sout_ref[2, :] = h
+        init = (s_ref[0, :], s_ref[1, :], s_ref[2, :])
+        e, p, h = jax.lax.fori_loop(0, t_total, body, init)
+        sout_ref[0, :] = e
+        sout_ref[1, :] = p
+        sout_ref[2, :] = h
+    else:
+        # all values stay 2D [1, lanes] — Mosaic's vector layout
+        # inference rejects mixed 1D/2D elementwise chains
+        def body(k, carry):
+            e, peak, hold = carry
+            xt8 = x_ref[pl.ds(k * unroll, unroll), :]
+            rows = []
+            for j in range(unroll):
+                e, peak, hold = _env_step(xt8[j:j + 1, :], e, peak,
+                                          hold, ta, tr, rt, nh, use_rt)
+                rows.append(e)
+            env_ref[pl.ds(k * unroll, unroll), :] = jnp.concatenate(
+                rows, axis=0)
+            return e, peak, hold
+
+        init = (s_ref[0:1, :], s_ref[1:2, :], s_ref[2:3, :])
+        e, p, h = jax.lax.fori_loop(0, t_total // unroll, body, init)
+        sout_ref[0:1, :] = e
+        sout_ref[1:2, :] = p
+        sout_ref[2:3, :] = h
 
 
-def _gate_kernel(params_ref, x_ref, s_ref, env_ref, cur_ref, sout_ref):
-    """Gate envelope + hysteresis curve switch in one Mosaic loop
-    (reference Gate.cpp:267-367; see models/dynamics/gate.py)."""
+def _gate_step(xt, e, peak, hold, cur, ta, tr, nh, k0_end, k1_start):
+    """One gate envelope + hysteresis step (reference Gate.cpp:267-367;
+    see models/dynamics/gate.py)."""
+    d = xt - e
+    falling = d < 0.0
+    holding = hold > 0.0
+    e_fall = e + tr * d
+    e_rise = e + ta * d
+    new_e = jnp.where(falling, jnp.where(holding, e, e_fall), e_rise)
+    rise_peaked = jnp.logical_and(~falling, e_rise >= peak)
+    new_peak = jnp.where(falling, jnp.where(holding, peak, e_fall),
+                         jnp.where(rise_peaked, e_rise, peak))
+    new_hold = jnp.where(falling,
+                         jnp.where(holding, hold - 1.0, hold),
+                         jnp.where(rise_peaked, nh, hold))
+    switch_up = jnp.logical_and(cur < 0.5, new_e > k0_end)
+    switch_dn = jnp.logical_and(cur > 0.5, new_e < k1_start)
+    new_cur = jnp.where(switch_up, 1.0,
+                        jnp.where(switch_dn, 0.0, cur))
+    return new_e, new_peak, new_hold, new_cur
+
+
+def _gate_kernel(params_ref, x_ref, s_ref, env_ref, cur_ref, sout_ref,
+                 *, unroll):
+    from jax.experimental import pallas as pl
+
     ta = params_ref[0, 0]
     tr = params_ref[0, 1]
     nh = params_ref[0, 2]
@@ -69,35 +129,47 @@ def _gate_kernel(params_ref, x_ref, s_ref, env_ref, cur_ref, sout_ref):
     k1_start = params_ref[0, 4]
     t_total = x_ref.shape[0]
 
-    def body(t, carry):
-        e, peak, hold, cur = carry
-        xt = x_ref[t, :]
-        d = xt - e
-        falling = d < 0.0
-        holding = hold > 0.0
-        e_fall = e + tr * d
-        e_rise = e + ta * d
-        new_e = jnp.where(falling, jnp.where(holding, e, e_fall), e_rise)
-        rise_peaked = jnp.logical_and(~falling, e_rise >= peak)
-        new_peak = jnp.where(falling, jnp.where(holding, peak, e_fall),
-                             jnp.where(rise_peaked, e_rise, peak))
-        new_hold = jnp.where(falling,
-                             jnp.where(holding, hold - 1.0, hold),
-                             jnp.where(rise_peaked, nh, hold))
-        switch_up = jnp.logical_and(cur < 0.5, new_e > k0_end)
-        switch_dn = jnp.logical_and(cur > 0.5, new_e < k1_start)
-        new_cur = jnp.where(switch_up, 1.0,
-                            jnp.where(switch_dn, 0.0, cur))
-        env_ref[t, :] = new_e
-        cur_ref[t, :] = new_cur
-        return new_e, new_peak, new_hold, new_cur
+    if unroll == 1:
+        def body(t, carry):
+            e, peak, hold, cur = carry
+            e, peak, hold, cur = _gate_step(
+                x_ref[t, :], e, peak, hold, cur, ta, tr, nh, k0_end,
+                k1_start)
+            env_ref[t, :] = e
+            cur_ref[t, :] = cur
+            return e, peak, hold, cur
 
-    init = (s_ref[0, :], s_ref[1, :], s_ref[2, :], s_ref[3, :])
-    e, p, h, c = jax.lax.fori_loop(0, t_total, body, init)
-    sout_ref[0, :] = e
-    sout_ref[1, :] = p
-    sout_ref[2, :] = h
-    sout_ref[3, :] = c
+        init = (s_ref[0, :], s_ref[1, :], s_ref[2, :], s_ref[3, :])
+        e, p, h, c = jax.lax.fori_loop(0, t_total, body, init)
+        sout_ref[0, :] = e
+        sout_ref[1, :] = p
+        sout_ref[2, :] = h
+        sout_ref[3, :] = c
+    else:
+        # 2D [1, lanes] values throughout (see _kernel)
+        def body(k, carry):
+            e, peak, hold, cur = carry
+            xt8 = x_ref[pl.ds(k * unroll, unroll), :]
+            e_rows, c_rows = [], []
+            for j in range(unroll):
+                e, peak, hold, cur = _gate_step(
+                    xt8[j:j + 1, :], e, peak, hold, cur, ta, tr, nh,
+                    k0_end, k1_start)
+                e_rows.append(e)
+                c_rows.append(cur)
+            env_ref[pl.ds(k * unroll, unroll), :] = jnp.concatenate(
+                e_rows, axis=0)
+            cur_ref[pl.ds(k * unroll, unroll), :] = jnp.concatenate(
+                c_rows, axis=0)
+            return e, peak, hold, cur
+
+        init = (s_ref[0:1, :], s_ref[1:2, :], s_ref[2:3, :],
+                s_ref[3:4, :])
+        e, p, h, c = jax.lax.fori_loop(0, t_total // unroll, body, init)
+        sout_ref[0:1, :] = e
+        sout_ref[1:2, :] = p
+        sout_ref[2:3, :] = h
+        sout_ref[3:4, :] = c
 
 
 def gate_envelope_pallas(env_state, curve, x: Array, tau_attack,
@@ -129,8 +201,9 @@ def gate_envelope_pallas(env_state, curve, x: Array, tau_attack,
         jnp.asarray(k1_start, jnp.float32),
         zero, zero, zero]).reshape(1, 8)
 
+    unroll = _UNROLL if t % _UNROLL == 0 else 1
     env_t, cur_t, s_out = pl.pallas_call(
-        _gate_kernel,
+        functools.partial(_gate_kernel, unroll=unroll),
         out_shape=(jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
                    jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, c_pad), jnp.float32)),
@@ -180,8 +253,9 @@ def peak_envelope_pallas(env_state, x: Array, tau_attack, tau_release,
         jnp.float32(0.0 if release_thresh is None else 1.0),
         zero, zero, zero]).reshape(1, 8)
 
+    unroll = _UNROLL if t % _UNROLL == 0 else 1
     env_t, s_out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, unroll=unroll),
         out_shape=(jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, c_pad), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -256,3 +256,32 @@ def test_depopper_reopen_has_no_click():
     # (a stale-counter click is a 0 -> 1.0 jump)
     step = 1.0 / (SR * 5.0 / 1000.0)
     assert np.max(np.diff(gain)) < 5.0 * step + 1e-6
+
+
+def test_peak_envelope_pallas_matches_scan_unrolled_and_ragged():
+    """The Mosaic envelope kernel (interpreter mode) is bit-exact vs the
+    lax.scan path, both on the 8-step-unrolled layout (T % 8 == 0) and
+    on the row-at-a-time fallback (ragged T)."""
+    from lsp_dsp_units_tpu.ops import dynamics as dyn
+    from lsp_dsp_units_tpu.ops.pallas_env import peak_envelope_pallas
+
+    rng = np.random.default_rng(11)
+    for t_len in (512, 509):            # unrolled vs ragged
+        x = jnp.asarray(np.abs(rng.standard_normal((5, t_len)))
+                        .astype(np.float32))
+        st = dyn.env_init((5,))
+        # release_thresh exercises the two-rate release branch
+        for rt in (None, 0.2):
+            st_scan, env_scan = dyn.peak_envelope(
+                st, x, 0.05, 0.01, 8, release_thresh=rt)
+            st_pl, env_pl = peak_envelope_pallas(
+                st, x, 0.05, 0.01, 8, release_thresh=rt, interpret=True)
+            np.testing.assert_allclose(np.asarray(env_pl),
+                                       np.asarray(env_scan),
+                                       rtol=0, atol=0)
+            np.testing.assert_array_equal(
+                np.asarray(st_pl.envelope), np.asarray(st_scan.envelope))
+            np.testing.assert_array_equal(
+                np.asarray(st_pl.peak), np.asarray(st_scan.peak))
+            np.testing.assert_array_equal(
+                np.asarray(st_pl.hold), np.asarray(st_scan.hold))
