@@ -114,6 +114,12 @@ class SyncChirpProcessor:
         self._fade_out_s = float(fade_out_s)
         self._sweep: Optional[np.ndarray] = None
         self._inverse: Optional[np.ndarray] = None
+        # background-noise fields are zero-initialized like the
+        # reference's crpostproc_t (SyncChirpProcessor.cpp:117-118) so
+        # calibrate_backwards_integration_limit works without a prior
+        # profile_background_noise call
+        self.noise_level = 0.0
+        self.noise_value = 0.0
         self.update_settings()
 
     # -- setters (reference SyncChirpProcessor.h:513-633) -------------------
@@ -166,8 +172,13 @@ class SyncChirpProcessor:
         if f1 == f2:
             f1, f2 = DFL_INITIAL_FREQ, DFL_FINAL_FREQ
 
-        # final frequency becomes an integer harmonic of the initial
-        self.order = int(f2 / f1)
+        # final frequency becomes an integer harmonic of the initial;
+        # clamped to >= 2: with f2 < 2*f1 the reference's integer
+        # division yields order 1, making min_duration = ln(1)/f1 = 0
+        # and its rounding loop below non-terminating
+        # (SyncChirpProcessor.cpp:2026-2046) — we take the first usable
+        # harmonic instead of hanging
+        self.order = max(int(f2 / f1), 2)
         self.f_start = f2 / self.order
         self.f_end = f2
         self.beta = 2.0 * np.pi * self.f_start
@@ -176,6 +187,11 @@ class SyncChirpProcessor:
         if dur <= 0.0:
             dur = DFL_DURATION
         self.duration_coarse = dur
+        # NOTE reference-verbatim: the LIM_DURATION clamp is applied to
+        # the pre-rounding value only; the rounding loop compares
+        # against the UNCLAMPED coarse duration and therefore overrides
+        # the cap (SyncChirpProcessor.cpp:2034-2046 has the identical
+        # structure) — kept for parity
         dur = min(dur, LIM_DURATION)
         # duration rounds UP to a multiple of ln(order)/f1 so that
         # gamma = n / f1 (the synchronization condition)
@@ -280,14 +296,31 @@ class SyncChirpProcessor:
                 inv = self._inverse_values(self.sample_rate, v, idx)[::-1]
         # unit normalization: the reference's partitioned-convolution
         # pipeline carries its own FFT scaling; here the equivalent
-        # contract is enforced directly — conv(unit sweep, inverse)
-        # peaks at exactly 1 (one FFT, done once per configuration)
+        # contract is enforced directly — conv(unit sweep, inverse) has
+        # unit SPECTRAL gain across the sweep band (one FFT, done once
+        # per configuration).  Normalizing by the time-domain peak
+        # instead would bias every measured frequency response upward
+        # by ~1-2 dB, because a band-limited delta's peak is below its
+        # in-band magnitude (out-of-band energy is missing by design).
         nfft = 1
         while nfft < 2 * self.n:
             nfft <<= 1
-        ref = np.fft.irfft(np.fft.rfft(sw, nfft)
-                           * np.fft.rfft(inv, nfft), nfft)
-        inv = inv / np.abs(ref).max()
+        REF = np.fft.rfft(sw, nfft) * np.fft.rfft(inv, nfft)
+        freqs = np.fft.rfftfreq(nfft, 1.0 / self.sample_rate)
+        band = (freqs >= 1.5 * self.f_start) & (freqs <= 0.75 * self.f_end)
+        if not band.any():
+            band = slice(None)
+        inv = inv / np.median(np.abs(REF[band]))
+        ref = np.fft.irfft(REF, nfft)
+        # measured deconvolution origin: the band-limited methods pass
+        # the sweep (and for BANDLIMITED the inverse too) through the
+        # Oversampler's AA filter, whose group delay shifts the
+        # deconvolved peak a few samples past the analytic n-1 (the
+        # reference has the same uncompensated shift,
+        # SyncChirpProcessor.cpp:1153-1240); analysis methods anchor on
+        # the measured origin so harmonic windows stay centered
+        self._deconv_offset = int(np.argmax(np.abs(ref[: 2 * self.n]))
+                                  ) - (self.n - 1)
         self._sweep = (self.amplitude * sw).astype(np.float32)
         self._inverse = inv.astype(np.float32)
 
@@ -297,8 +330,9 @@ class SyncChirpProcessor:
 
     def inverse_filter(self) -> np.ndarray:
         """Time-reversed analytically-scaled inverse filter; convolving
-        sweep (at unit amplitude) with it gives a unit impulse at index
-        n-1."""
+        sweep (at unit amplitude) with it gives a band-limited impulse
+        at ``deconv_origin`` with unit spectral gain across the sweep
+        band."""
         self._synthesize()
         return self._inverse
 
@@ -324,11 +358,29 @@ class SyncChirpProcessor:
         out = jnp.fft.irfft(cmul(X, I), nfft)
         return np.asarray(out)[: n] / self.amplitude
 
+    @property
+    def deconv_origin(self) -> int:
+        """Time zero of the linear response within deconvolve() output:
+        n-1 plus the measured AA-filter group delay of the band-limited
+        synthesis methods (0 for CHIRP_SIMPLE)."""
+        self._synthesize()
+        return self.n - 1 + self._deconv_offset
+
     def linear_ir(self, response: np.ndarray,
-                  length: Optional[int] = None) -> np.ndarray:
-        """Extract the linear impulse response."""
+                  length: Optional[int] = None,
+                  pre: int = 8) -> np.ndarray:
+        """Extract the linear impulse response.
+
+        The window starts ``pre`` samples before time zero: the
+        measurement kernel (a band-limited delta with a fractional-
+        sample peak) carries real in-band energy just before the
+        origin, and dropping it biases every measured magnitude
+        response ~1 dB low.  Index ``pre`` of the returned array is
+        lag 0; a system with pure delay d peaks at index ``pre + d``.
+        Pass ``pre=0`` for the strictly-causal window.
+        """
         full = self.deconvolve(response)
-        start = self.n - 1
+        start = max(0, self.deconv_origin - pre)
         length = length or (full.size - start)
         return full[start: start + length]
 
@@ -340,7 +392,7 @@ class SyncChirpProcessor:
     def nonlinear_ir(self, response: np.ndarray, k: int,
                      length: int) -> np.ndarray:
         full = self.deconvolve(response)
-        center = self.n - 1 - self.harmonic_offset(k)
+        center = self.deconv_origin - self.harmonic_offset(k)
         start = max(0, center - length // 2)
         return full[start: start + length]
 
@@ -477,7 +529,7 @@ class SyncChirpProcessor:
         win = 1 << win_rank
         half = win / 2.0
         x = np.asarray(conv_result, np.float64)
-        origin = self.n - 1          # time zero of the linear response
+        origin = self.deconv_origin  # time zero of the linear response
         out = np.zeros((order, win), np.complex128)
         if window_fn is None:
             from lsp_dsp_units_tpu.models.misc import windows as W
