@@ -43,9 +43,11 @@ _PP_MODES = {LoopMode.DIRECT_HALF_PP, LoopMode.REVERSE_HALF_PP,
              LoopMode.DIRECT_SMART_PP, LoopMode.REVERSE_SMART_PP}
 _DIRECT_FIRST = {LoopMode.DIRECT, LoopMode.DIRECT_HALF_PP,
                  LoopMode.DIRECT_FULL_PP, LoopMode.DIRECT_SMART_PP}
-# leave-the-loop permission (playback.cpp:280-335): after which batch
-# direction may a TAIL follow? None = any.
-_LEAVE_AFTER_REVERSE = {LoopMode.DIRECT_FULL_PP, LoopMode.REVERSE_HALF_PP}
+# leave-the-loop permission (playback.cpp:272-335): after which batch
+# direction may a TAIL follow?  HALF_PP modes leave in ANY direction
+# (playback.cpp:317-334 groups them with plain DIRECT/REVERSE); only
+# the FULL/SMART ping-pongs schedule one more opposite pass.
+_LEAVE_AFTER_REVERSE = {LoopMode.DIRECT_FULL_PP}
 _LEAVE_AFTER_DIRECT = {LoopMode.REVERSE_FULL_PP, LoopMode.DIRECT_SMART_PP,
                        LoopMode.REVERSE_SMART_PP}
 
@@ -116,14 +118,20 @@ class Playback:
         return self.state != _DONE
 
     def stop(self, delay: int = 0) -> None:
-        """Leave the loop gracefully: finish per the loop mode's leave
-        rule, then play the tail (reference Playback::stop)."""
+        """Leave the loop gracefully at timestamp ``clock + delay``:
+        loop passes keep scheduling while the stop point lies beyond
+        the end of the batch being planned, then the mode's leave rule
+        applies and the tail plays (reference playback.cpp:732-741
+        stop_playback sets nCancelTime = nTimestamp + delay;
+        loop_not_allowed at :42-63 compares it with the batch end)."""
         if self.state == _PLAY:
             self.state = _STOP
+            self.cancel_at = self.clock + int(delay)
 
     def cancel(self, fadeout: int = 0, delay: int = 0) -> None:
-        """Fade out over ``fadeout`` samples and deactivate
-        (reference Playback::cancel / apply_fade_out)."""
+        """Fade out over ``fadeout`` samples starting at
+        ``clock + delay`` and deactivate (reference
+        playback.cpp:744-765 cancel_playback / apply_fade_out)."""
         if self.state in (_PLAY, _STOP):
             self.state = _CANCEL
             self.cancel_at = self.clock + int(delay)
@@ -208,7 +216,15 @@ def _compute_next(pb: Playback, cur: _Batch,
     fades are FINAL only once its successor has been computed."""
     if cur is None or cur.btype == _TAIL:
         return None
-    loop_allowed = pb.state == _PLAY
+    # stop/cancel do not kill the loop outright: passes keep scheduling
+    # while the cancellation point lies strictly beyond the end of the
+    # batch whose successor is being planned (playback.cpp:42-63
+    # loop_not_allowed: nCancelTime <= nTimestamp + batch_len).  The
+    # length is the pre-extension one — the reference plans successors
+    # before applying the head's crossfade extension.
+    base_len = cur.length - (pb.xfade if cur.extended else 0)
+    loop_allowed = (pb.state == _PLAY
+                    or pb.cancel_at > cur.ts + base_len)
     if cur.btype == _HEAD and not loop_allowed:
         # after-head tail skips the loop; in reverse the head ends at
         # loop_end and the tail continues DOWN to 0 (playback.cpp:193-201)
@@ -223,7 +239,6 @@ def _compute_next(pb: Playback, cur: _Batch,
 
     # timestamp from the UNextended length (reference computes it before
     # the head extension, playback.cpp:431)
-    base_len = cur.length - (pb.xfade if cur.extended else 0)
     nxt.ts = cur.ts + base_len
     cur.fade_out = 0
     nxt.fade_in = 0
@@ -370,16 +385,9 @@ class SamplePlayer:
                     _mix_batch(buf, data, b, t0, vol,
                                pb.settings.xfade_type)
 
-            # drop batches fully behind the window
-            while pb.chain and pb.chain[0].ts + pb.chain[0].length <= t1:
-                if len(pb.chain) == 1:
-                    if pb.chain[0].btype == _TAIL:
-                        pb.chain.clear()
-                        pb.state = _DONE
-                    break
-                pb.chain.pop(0)
-
-            # cancel fadeout envelope (reference apply_fade_out)
+            # cancel fadeout envelope (reference apply_fade_out) — must
+            # run BEFORE completion bookkeeping or a fade that ends on
+            # the same block as the tail would be skipped
             if pb.state == _CANCEL:
                 t = np.arange(t0, t1)
                 if pb.cancel_len > 0:
@@ -390,6 +398,16 @@ class SamplePlayer:
                 buf *= env.astype(np.float32)
                 if t1 >= pb.cancel_at + pb.cancel_len:
                     pb.state = _DONE
+
+            # drop batches fully behind the window
+            while pb.chain and pb.chain[0].ts + pb.chain[0].length <= t1:
+                if len(pb.chain) == 1:
+                    if pb.chain[0].btype == _TAIL:
+                        pb.chain.clear()
+                        pb.state = _DONE
+                    break
+                pb.chain.pop(0)
+
             out += buf
             pb.clock = t1
             if pb.active:
