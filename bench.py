@@ -135,10 +135,15 @@ def main() -> None:
         if best is not None and delivery != "i16":
             break       # fallbacks only matter if i16 never succeeded
         try:
+            # 560 s: after hours of tunnel idle the first process can
+            # spend 400+ s re-warming dispatch even with a full compile
+            # cache (observed 2x420 s timeouts then a 480 s success);
+            # completed configs return early so the extra headroom is
+            # free in the common case
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--config", f"{delivery},{rank},{blocks},{iters}"],
-                capture_output=True, text=True, timeout=420,
+                capture_output=True, text=True, timeout=560,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():
                 line = line.strip()
