@@ -183,6 +183,7 @@ def main():
                       flush=True)
         except subprocess.TimeoutExpired:
             print(f"# {name} x{blocks} timed out", flush=True)
+    os.makedirs(os.path.join(ROOT, ".scratch"), exist_ok=True)
     with open(os.path.join(ROOT, ".scratch", "delivery_probe.json"),
               "w") as f:
         json.dump(results, f, indent=1)

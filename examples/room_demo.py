@@ -29,9 +29,11 @@ def main() -> None:
     x, sr = read_wav(src)
     print(f"{src}: {x.shape[0]} ch, {x.shape[1]} samples @ {sr} Hz")
 
-    # a 6 x 4 x 3 m room with moderately absorbent walls
+    # a 6 x 4 x 3 m room with moderately absorbent walls; diffusion
+    # follows the reference's virtual-source pullback convention
+    # (1.0 = exact mirror, larger values spread the reflection)
     scene = box_room(size=(6.0, 4.0, 3.0),
-                     material=Material(absorption=0.25, diffusion=0.3))
+                     material=Material(absorption=0.25, diffusion=3.0))
     rt = RayTrace3D(scene, sample_rate=sr, ir_length_s=0.7, rays=8192,
                     max_bounces=40)
     rt.add_source(Source(position=np.array([1.5, 1.2, 1.4])))
@@ -41,11 +43,9 @@ def main() -> None:
     ir_sample = rt.process()
     print(f"traced {rt.stats['rays_traced']} rays, "
           f"{rt.stats['captured']} arrivals")
+    # the tracer emits a SIGNED pressure IR (polarity-inverted
+    # reflections included) — use it directly
     ir = np.asarray(ir_sample.data[0], np.float32)
-    # energy IR -> pressure-ish IR: sqrt + random-phase decorrelation
-    rng = np.random.default_rng(0)
-    ir = np.sqrt(np.maximum(ir, 0.0)) * rng.choice(
-        [-1.0, 1.0], ir.size).astype(np.float32)
     peak = np.abs(ir).max()
     if peak > 0:
         ir *= 0.5 / peak

@@ -123,7 +123,12 @@ class Playback:
         the end of the batch being planned, then the mode's leave rule
         applies and the tail plays (reference playback.cpp:732-741
         stop_playback sets nCancelTime = nTimestamp + delay;
-        loop_not_allowed at :42-63 compares it with the batch end)."""
+        loop_not_allowed at :42-63 compares it with the batch end).
+
+        NOTE reference-verbatim: a second stop() while already in the
+        STOP state is IGNORED (playback.cpp:735-736 guards
+        ``enState != STATE_PLAY``) — a pending stop time cannot be
+        shortened or extended; use cancel() to override it."""
         if self.state == _PLAY:
             self.state = _STOP
             self.cancel_at = self.clock + int(delay)

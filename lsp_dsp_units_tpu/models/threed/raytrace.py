@@ -29,14 +29,20 @@ Physics follows the reference's interface model exactly
 
 Capture model: the reference integrates beam-triangle areas against a
 capture icosphere (capture(), RayTrace3D.cpp:834-990).  Rays here use a
-detection-CONE estimator: a ray deposits into a capture when its travel
-direction points at the capture within the cone containing an expected
-``K_GATE`` rays; the deposit is ``amp * gain * comp / distance`` with
+detection-CONE estimator anchored at the ray's VIRTUAL SOURCE: a ray
+deposits into a capture when its direction points at the capture (as
+seen from vsrc) within the cone containing an expected
+``max(K_GATE, sqrt(R))`` rays; the deposit is
+``amp * gain * comp / |capture - vsrc|`` with
 ``comp = 2/(1 - cos(gate))`` so a full wavefront sums to the correct
-1/r pressure amplitude independent of the gate width.  Capture legs are
-occlusion-tested against every triangle, scaled by the product of the
-transparencies along the leg (opaque = blocked).  Directivity gains are
-the reference's six patterns (captures.pattern_gain).
+1/r pressure amplitude independent of the gate width, family size and
+ray budget (the estimator is unbiased per beam family; its relative
+error shrinks as R grows because the in-cone count scales as sqrt(R)).
+Delay, air absorption and occlusion use the physical leg from the
+segment start.  Capture legs are occlusion-tested against every
+triangle, scaled by the product of the transparencies along the leg
+(opaque = blocked).  Directivity gains are the reference's six
+patterns (captures.pattern_gain).
 """
 
 from __future__ import annotations
@@ -199,14 +205,30 @@ class RayTrace3D:
             seg = cap_pos[None, :, :] - origins[:, None, :]     # [R,C,3]
             cd = jnp.linalg.norm(seg, axis=-1)
             cdirs = seg / jnp.maximum(cd[..., None], 1e-9)
+            # alignment and 1/r spreading are measured from the ray's
+            # VIRTUAL SOURCE: the wavefront expands from vsrc (the
+            # segment origin is merely where it currently is), so the
+            # cone estimator's solid-angle accounting and the pressure
+            # law both anchor there.  Using the segment origin instead
+            # under-deposits every reflection by ~cd/L and makes late
+            # reverb decay like 1/L^2.
+            vseg = cap_pos[None, :, :] - vsrc[:, None, :]       # [R,C,3]
+            vL = jnp.linalg.norm(vseg, axis=-1)
+            vdirs = vseg / jnp.maximum(vL[..., None], 1e-9)
             # detection cone: ray direction within the gate of the
-            # direction to the capture
+            # vsrc->capture direction.  The expected in-cone ray count
+            # grows as sqrt(R) so the per-arrival amplitude estimate
+            # CONVERGES as the ray budget rises (a fixed count would
+            # pin the relative error at ~1/sqrt(K) forever).
             R = origins.shape[0]
-            cos_gate = 1.0 - 2.0 * K_GATE / R
+            k_gate = jnp.maximum(float(K_GATE), jnp.sqrt(float(R)))
+            cos_gate = 1.0 - 2.0 * k_gate / R
             comp = 2.0 / (1.0 - cos_gate)
-            aligned = jnp.sum(dirs[:, None, :] * cdirs, -1) >= cos_gate
+            ahead = jnp.sum(seg * dirs[:, None, :], -1) > 0.0
+            aligned = (jnp.sum(dirs[:, None, :] * vdirs, -1)
+                       >= cos_gate) & ahead
             # directivity: kcos = propagation dir . capture look dir
-            kcos = jnp.sum(cdirs * cap_dir[None, :, :], -1)
+            kcos = jnp.sum(vdirs * cap_dir[None, :, :], -1)
             gains = jnp.stack(
                 [pattern_gain(self._pattern_of(c), kcos[:, ci])
                  for ci, c in enumerate(self.captures)], axis=1)
@@ -228,7 +250,7 @@ class RayTrace3D:
                 aligned & in_range,
                 amp[:, None] * comp * gains * leg_tr
                 * jnp.exp(-self.air * cd)
-                / jnp.maximum(cd, 0.05), 0.0)
+                / jnp.maximum(vL, 0.05), 0.0)
 
             # ---- surface interaction --------------------------------
             t_hit, idx = _intersect(origins, dirs, tri)

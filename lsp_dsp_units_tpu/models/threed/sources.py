@@ -295,16 +295,19 @@ def source_rays(cfg: SourceSettings, total_rays: int,
     Returns (origins [R,3], dirs [R,3], vsrc [R,3], amp [R]) in WORLD
     frame (position + yaw/pitch/roll applied, rt_configure_source
     raytrace.cpp:748-775).  Per-ray amplitude weights sum to
-    ``cfg.amplitude``: each group gets weight proportional to its
-    triangle area (the reference's capture integral normalizes beam
-    amplitude by area, RayTrace3D.cpp:842 — equal area = equal weight),
-    split evenly over its rays.
+    ``cfg.amplitude`` and are proportional to each ray's LOCAL SOLID
+    ANGLE as seen from its group apex (``dA·cosα/d²``): flat-triangle
+    area sampling alone is up to ~30% denser (per steradian) near face
+    centers than near vertices, which would bias the tracer's
+    detection-cone amplitude estimator by whichever patch a capture
+    cone lands on.  Solid-angle weighting makes an ICOSPHERE source
+    exactly isotropic and keeps the cone estimator unbiased for every
+    shape.
     """
     groups = source_groups(cfg)
     areas = np.array([0.5 * np.linalg.norm(
         np.cross(p[1] - p[0], p[2] - p[0])) for _, p in groups])
-    total_area = float(areas.sum())
-    if total_area <= 0.0:
+    if float(areas.sum()) <= 0.0:
         raise ValueError("degenerate source geometry")
     n_g = len(groups)
     per = max(1, int(np.ceil(total_rays / n_g)))
@@ -318,19 +321,25 @@ def source_rays(cfg: SourceSettings, total_rays: int,
     rot = _rotation(cfg.yaw, cfg.pitch, cfg.roll)
     pos = np.asarray(cfg.position, np.float64)
 
-    origins, dirs, vsrcs, amps = [], [], [], []
+    origins, dirs, vsrcs, weights = [], [], [], []
     for (s, p), area in zip(groups, areas):
         pts = (b0[:, None] * p[0] + b1[:, None] * p[1]
                + b2[:, None] * p[2])                       # [per, 3]
         d = pts - s[None, :]
         ln = np.linalg.norm(d, axis=-1, keepdims=True)
         d = d / np.maximum(ln, 1e-12)
+        # per-ray solid angle: dA * cos(angle to face normal) / d^2
+        n_face = np.cross(p[1] - p[0], p[2] - p[0])
+        n_face = n_face / max(np.linalg.norm(n_face), 1e-12)
+        cos_a = np.abs(d @ n_face)
+        omega = (area / per) * cos_a / np.maximum(ln[:, 0], 1e-12) ** 2
         origins.append(pts @ rot.T + pos)
         dirs.append(d @ rot.T)
         vsrcs.append(np.tile(s @ rot.T + pos, (per, 1)))
-        amps.append(np.full(per,
-                            cfg.amplitude * (area / total_area) / per))
+        weights.append(omega)
+    w = np.concatenate(weights)
+    amps = cfg.amplitude * w / w.sum()
     return (np.concatenate(origins).astype(np.float32),
             np.concatenate(dirs).astype(np.float32),
             np.concatenate(vsrcs).astype(np.float32),
-            np.concatenate(amps).astype(np.float32))
+            amps.astype(np.float32))

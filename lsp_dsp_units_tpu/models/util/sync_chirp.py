@@ -662,7 +662,9 @@ class SyncChirpProcessor:
             f_start=self.f_start, f_end=self.f_end, order=self.order,
             duration=self.duration, gamma=self.gamma, beta=self.beta,
             delta=self.delta, amplitude=self.amplitude,
-            method=self.method.value,
+            method=self.method.value, fade_method=self.fade_method.value,
+            fade_in_s=self._fade_in_s, fade_out_s=self._fade_out_s,
+            oversampling=self.oversampling,
             conv_result=np.asarray(conv_result, np.float32))
 
     @classmethod
@@ -671,11 +673,40 @@ class SyncChirpProcessor:
         """Restore a processor (matching chirp parameters) and the
         stored deconvolved result (load_from_lspc analogue)."""
         with np.load(path) as d:
+            kw = {}
+            if "fade_in_s" in d:        # absent in older profiles
+                kw = dict(fade_in_s=float(d["fade_in_s"]),
+                          fade_out_s=float(d["fade_out_s"]),
+                          oversampling=int(d["oversampling"]),
+                          fade_method=FadeMethod(str(d["fade_method"])))
             scp = cls(int(d["sample_rate"]),
-                      duration_s=float(d["duration"]) - 1e-9,
+                      duration_s=float(d["duration"]),
                       f_start=float(d["f_start"]),
                       f_end=float(d["f_end"]),
                       amplitude=float(d["amplitude"]),
-                      method=ChirpMethod(str(d["method"])))
+                      method=ChirpMethod(str(d["method"])), **kw)
+            # restore the EXACT saved chirp parameters rather than
+            # trusting update_settings to re-derive them: int(f2/f1)
+            # truncates to order-1 for about half of the non-exact
+            # f2/f1 ratios, and the stored conv_result is only
+            # meaningful against the chirp it was measured with
+            scp.order = int(d["order"])
+            scp.f_start = float(d["f_start"])
+            scp.f_end = float(d["f_end"])
+            scp.beta = float(d["beta"])
+            scp.gamma = float(d["gamma"])
+            scp.delta = float(d["delta"])
+            scp.duration = float(d["duration"])
+            scp.duration_coarse = scp.duration
+            scp.n = int(round(scp.sample_rate * scp.duration))
+            scp.n_time_lags = min(scp.order, LIM_LAG)
+            fi = min(max(scp._fade_in_s, 0.0),
+                     scp.duration * FADEIN_FRACTION)
+            fo = min(max(scp._fade_out_s, 0.0),
+                     scp.duration * FADEOUT_FRACTION)
+            scp._fade_in = int(round(scp.sample_rate * fi))
+            scp._fade_out = int(round(scp.sample_rate * fo))
+            scp._sweep = None
+            scp._inverse = None
             conv = np.asarray(d["conv_result"])
         return scp, conv

@@ -113,6 +113,33 @@ def test_first_reflection_polarity_inverted():
     assert refl < 0.0, (direct, refl)
 
 
+def test_image_source_amplitudes_converge():
+    """Direct and first-reflection amplitudes must match the analytic
+    image-source solution (1/r pressure law measured from the virtual
+    source) and IMPROVE with the ray budget — the detection cone holds
+    ~sqrt(R) rays, so the estimator converges instead of pinning its
+    error at a fixed per-arrival variance."""
+    v = np.array([[-40, -40, 0], [40, -40, 0], [40, 40, 0],
+                  [-40, 40, 0]], np.float32)
+    sc = Scene3D()
+    sc.add_object(Object3D(
+        "floor", v, np.asarray([(0, 1, 2), (0, 2, 3)], np.int32),
+        Material(absorption=0.0, transparency=0.0)))
+    src = np.array([0.0, 0.0, 2.0], np.float32)
+    cap = np.array([3.0, 0.0, 2.0], np.float32)
+    ir = _trace(sc, [Source(src)], [Capture(cap)], ir_length_s=0.1,
+                rays=160000, max_bounces=2, air_absorption=0.0)[0]
+    from lsp_dsp_units_tpu.models.threed.raytrace import SPEED_OF_SOUND
+    w = 4
+    db = int(3.0 / SPEED_OF_SOUND * SR)
+    rb = int(5.0 / SPEED_OF_SOUND * SR)
+    direct = ir[db - w: db + w + 1].sum()
+    refl = ir[rb - w: rb + w + 1].sum()
+    # direct: 1/3 m^-1; mirror: polarity-inverted 1/5 m^-1
+    assert direct == pytest.approx(1.0 / 3.0, rel=0.05), direct
+    assert refl == pytest.approx(-1.0 / 5.0, rel=0.08), refl
+
+
 # ---------------------------------------------------------------------------
 # diffusion
 

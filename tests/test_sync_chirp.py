@@ -261,6 +261,44 @@ def test_profile_roundtrip(tmp_path):
                                atol=1e-6)
 
 
+def test_profile_roundtrip_truncating_ratio(tmp_path):
+    # f2/f1 ratios whose float division lands just below the integer
+    # harmonic used to reload as order-1 (int() truncation), shifting
+    # every harmonic window thousands of samples; the profile now
+    # stores and restores the exact derived parameters
+    scp = SyncChirpProcessor(SR, duration_s=1.0, f_start=41.0,
+                             f_end=20000.0)
+    resp = scp.sweep()
+    full = scp.deconvolve(resp)
+    p = str(tmp_path / "profile.npz")
+    scp.save_profile(p, full)
+    scp2, _ = SyncChirpProcessor.load_profile(p)
+    assert scp2.order == scp.order
+    assert scp2.n == scp.n
+    assert scp2.gamma == scp.gamma
+    assert scp2.harmonic_offset(2) == scp.harmonic_offset(2)
+
+
+def test_profile_roundtrip_restores_fades_and_oversampling(tmp_path):
+    scp = SyncChirpProcessor(SR, duration_s=0.3, f_start=50.0,
+                             f_end=10000.0,
+                             method=ChirpMethod.CHIRP_BANDLIMITED,
+                             fade_in_s=0.05, fade_out_s=0.01,
+                             oversampling=2)
+    full = scp.deconvolve(scp.sweep())
+    p = str(tmp_path / "profile.npz")
+    scp.save_profile(p, full)
+    scp2, _ = SyncChirpProcessor.load_profile(p)
+    assert scp2.oversampling == 2
+    assert scp2._fade_in == scp._fade_in
+    assert scp2._fade_out == scp._fade_out
+    assert scp2.method is ChirpMethod.CHIRP_BANDLIMITED
+    # the resynthesized sweep (and therefore the measured deconvolution
+    # anchor) must match the one the profile was measured with
+    np.testing.assert_allclose(scp2.sweep(), scp.sweep(), atol=1e-7)
+    assert scp2.deconv_origin == scp.deconv_origin
+
+
 def test_save_linear_convolution_window(tmp_path):
     scp = SyncChirpProcessor(SR, duration_s=0.2)
     ir = np.zeros(1000, np.float32)
