@@ -19,24 +19,52 @@ class Counter:
         self.initial = max(1, int(sample_rate / frequency))
         self.current = self.initial
         self.fired = False
+        # which quantity survives a sample-rate change (reference
+        # F_INITIAL flag, Counter.h:37): set_initial_value pins the
+        # COUNT (frequency recomputed); set_frequency / the
+        # preserve_* methods flip the mode
+        self._preserve_initial = False
 
     def set_sample_rate(self, sr: int, reset: bool = True) -> None:
+        """On a rate change the pinned quantity survives: in
+        initial-value mode the count stays and the frequency is
+        recomputed; in frequency mode the count is recomputed
+        (reference Counter.cpp:52-63)."""
         self.sample_rate = int(sr)
-        self.initial = max(1, int(sr / self.frequency))
+        if self._preserve_initial:
+            self.frequency = self.sample_rate / float(self.initial)
+        else:
+            self.initial = max(1, int(sr / self.frequency))
         if reset:
             self.current = self.initial
 
     def set_frequency(self, freq: float, reset: bool = True) -> None:
+        self._preserve_initial = False
         self.frequency = float(freq)
         self.initial = max(1, int(self.sample_rate / freq))
         if reset:
             self.current = self.initial
 
     def set_initial_value(self, value: int, reset: bool = True) -> None:
+        self._preserve_initial = True
         self.initial = int(value)
         self.frequency = self.sample_rate / float(value)
         if reset:
             self.current = self.initial
+
+    def preserve_frequency(self) -> None:
+        """Future sample-rate changes keep the frequency
+        (reference Counter.h:143-145)."""
+        self._preserve_initial = False
+
+    def preserve_initial_value(self) -> None:
+        """Future sample-rate changes keep the initial count
+        (reference Counter.h:151-153)."""
+        self._preserve_initial = True
+
+    def pending(self) -> int:
+        """Samples left until the next event (reference Counter.h)."""
+        return self.current
 
     def submit(self, samples: int) -> bool:
         """Advance by ``samples``; returns (and latches) the fired flag

@@ -348,8 +348,16 @@ class SamplePlayer:
         return n
 
     # -- mixing (reference SamplePlayer::process + process_playback) -------
-    def process(self, count: int) -> np.ndarray:
-        """Mix ``count`` output samples of all active playbacks (mono)."""
+    def process(self, count: int,
+                src: Optional[np.ndarray] = None) -> np.ndarray:
+        """Mix ``count`` output samples of all active playbacks (mono).
+
+        With ``src`` given, the playbacks are mixed ON TOP of it — the
+        reference's ``process(dst, src, count)`` passthrough form
+        (SamplePlayer.cpp process with dst != src)."""
+        if src is not None:
+            src = np.asarray(src, np.float32)
+            assert src.size == count
         out = np.zeros(count, np.float32)
         keep: List[Playback] = []
         for pb in self.playbacks:
@@ -418,4 +426,4 @@ class SamplePlayer:
             if pb.active:
                 keep.append(pb)
         self.playbacks = keep
-        return out
+        return out if src is None else out + src

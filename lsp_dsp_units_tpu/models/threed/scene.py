@@ -101,7 +101,11 @@ class Scene3D:
                     continue
                 if parts[0] == "o" or parts[0] == "g":
                     flush()
-                    name = parts[1] if len(parts) > 1 else "default"
+                    # the object name is the REST OF THE LINE — names
+                    # with spaces ("o Quad 1") are legal and preserved
+                    # (reference utest/3d/scene_load.cpp pins this)
+                    rest = line.strip().split(None, 1)
+                    name = rest[1] if len(rest) > 1 else "default"
                 elif parts[0] == "v":
                     verts.append((float(parts[1]), float(parts[2]),
                                   float(parts[3])))

@@ -58,6 +58,73 @@ class RingBuffer:
         out[n - take:] = self.data[idx]
         return out
 
+    # -- reference API surface (RingBuffer.cpp:76-209) ------------------
+    def append(self, x) -> int:
+        """Reference append: scalar or buffer; a buffer larger than the
+        capacity keeps only its LAST ``size`` samples
+        (RingBuffer.cpp:76-106)."""
+        return self.push(x)
+
+    def fill(self, value: float) -> None:
+        """Fill the whole buffer and reset the head
+        (RingBuffer.cpp:115-120)."""
+        self.data[:] = np.float32(value)
+        self.head = 0
+        self.count = self.size
+
+    def get(self, offset: int) -> float:
+        """Sample ``offset`` steps back in time (0 = most recently
+        appended); offsets outside the capacity read 0
+        (RingBuffer.cpp:122-129)."""
+        offset = int(offset)
+        if offset < 0 or offset >= self.size:
+            return 0.0
+        return float(self.data[(self.head - offset - 1) % self.size])
+
+    def get_range(self, offset: int, count: int,
+                  ) -> Tuple[np.ndarray, int]:
+        """``count`` samples at offsets ``offset, offset-1, ...``
+        (oldest first); out-of-capacity offsets (too old, or negative =
+        not yet written) read 0.  Returns (values, n) where n is the
+        number of in-capacity samples actually read — the reference's
+        ``get(float *dst, offset, count)`` return value
+        (RingBuffer.cpp:147-183)."""
+        offset, count = int(offset), int(count)
+        offs = offset - np.arange(count)
+        valid = (offs >= 0) & (offs < self.size)
+        idx = (self.head - offs - 1) % self.size
+        out = np.where(valid, self.data[idx], 0.0).astype(np.float32)
+        return out, int(valid.sum())
+
+    def lerp_get(self, offset: float) -> float:
+        """Linear interpolation between get(floor(offset)) and
+        get(floor(offset)+1) (RingBuffer.cpp:131-138)."""
+        off = int(np.floor(offset))
+        s1 = self.get(off)
+        s2 = self.get(off + 1)
+        return s1 + (s2 - s1) * (float(offset) - off)
+
+    def tail_position(self, offset: int) -> int:
+        """Raw index of the sample ``offset`` behind the head; the head
+        itself for out-of-capacity offsets (RingBuffer.cpp:140-145)."""
+        offset = int(offset)
+        if offset >= self.size:
+            return self.head
+        return (self.head - offset - 1) % self.size
+
+    def read(self, position: int, count: Optional[int] = None):
+        """Raw positional read: a single sample at ``position`` (0 when
+        out of range), or ``count`` samples starting there, wrapping
+        around the capacity (RingBuffer.cpp:185-209)."""
+        position = int(position)
+        if count is None:
+            return (float(self.data[position])
+                    if 0 <= position < self.size else 0.0)
+        if position >= self.size:
+            return np.zeros(0, np.float32)
+        idx = (position + np.arange(int(count))) % self.size
+        return self.data[idx].copy()
+
 
 class ShiftBuffer:
     """Contiguous FIFO with linear storage and head shifting

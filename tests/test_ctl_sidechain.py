@@ -151,3 +151,60 @@ def test_counter_overshoot_reload_stays_in_period():
     c.set_initial_value(100)
     assert c.submit(250)          # overshoot past one full period
     assert c.current == 50        # left=-150, trunc-mod -> -50
+
+
+def test_counter_reference_utest_sequence():
+    """Exact port of the reference Counter unit test
+    (src/test/utest/util/counter.cpp:28-98): the pinned quantity
+    (frequency vs initial count) survives a sample-rate change."""
+    c = Counter(SR)                      # default frequency 1.0
+    c.set_sample_rate(SR, True)
+    c.set_frequency(100.0, False)
+    init = SR // 100
+    freq = SR / 200.0
+
+    assert c.sample_rate == SR
+    assert c.pending() == SR
+    assert c.frequency == 100.0
+    assert c.initial == init
+    assert not c.fired
+
+    assert c.submit(SR)
+    assert c.pending() == init
+    assert c.commit()
+    assert not c.fired
+
+    c.submit(init * 2 + (init >> 1))
+    assert c.fired
+    assert c.pending() == init - (init >> 1)
+    assert c.commit()
+
+    c.set_initial_value(200, True)
+    assert c.pending() == 200
+    assert c.frequency == pytest.approx(freq, rel=1e-4)
+    assert c.initial == 200
+    assert not c.fired
+
+    assert not c.submit(100)
+    assert c.pending() == 100
+    assert c.submit(200)
+    assert c.pending() == 100
+    assert c.commit()
+
+    # initial-value mode: halving the rate keeps the count, halves
+    # the frequency
+    c.set_sample_rate(SR >> 1, True)
+    assert c.sample_rate == SR >> 1
+    assert c.pending() == 200
+    assert c.frequency == pytest.approx(freq * 0.5, rel=1e-4)
+    assert c.initial == 200
+    assert not c.fired
+
+    # frequency mode: restoring the rate now doubles the count
+    c.preserve_frequency()
+    c.set_sample_rate(SR, True)
+    assert c.sample_rate == SR
+    assert c.pending() == 400
+    assert c.frequency == pytest.approx(freq * 0.5, rel=1e-4)
+    assert c.initial == 400
+    assert not c.fired

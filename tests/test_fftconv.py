@@ -141,3 +141,35 @@ def test_state_checkpoint_extensionless_roundtrip(tmp_path):
         fftconv.parse_ir(jnp.ones(64, jnp.float32), 32), (2,)))
     np.testing.assert_array_equal(np.asarray(st2.history),
                                   np.asarray(st.history))
+
+
+def test_convolver_odd_chunk_streaming_matches_direct():
+    """Port of the reference convolver utest's small case
+    (utest/util/convolver.cpp:87-125): a 31-tap ramp IR against a
+    sparse impulse train, streamed in ODD 31-sample chunks (the
+    reference Convolver accepts any count; here BlockStream provides
+    the arbitrary-chunk push over the block-granular device kernel)."""
+    from lsp_dsp_units_tpu.utils.blocks import BlockStream
+
+    ir = np.arange(1.0, 32.0, dtype=np.float32)        # 0x1f taps
+    n = 0x2000
+    src = np.zeros(n + ir.size, np.float32)
+    j = np.arange(0, n, 5)
+    src[j] = np.where(np.arange(j.size) % 3 == 0, 1.0,
+                      np.where(np.arange(j.size) % 3 == 1, 0.1, 0.01)
+                      ).astype(np.float32)
+
+    conv = Convolver(ir, rank=9)
+    bs = BlockStream(lambda st, x: conv.process(st, jnp.asarray(x)),
+                     conv.init_state(), conv.block)
+    out = []
+    for i in range(0, src.size, 31):
+        out.append(bs.push(src[i:i + 31]))
+    out.append(bs.flush())
+    y = np.concatenate(out)[conv.block:]               # drop latency
+
+    golden = np.convolve(src.astype(np.float64),
+                         ir.astype(np.float64))[: src.size]
+    err = np.abs(y[: src.size] - golden).max()
+    scale = np.abs(golden).max()
+    assert err < 1e-3 * scale, err

@@ -162,3 +162,42 @@ def test_limiter_iteration_counts_headroom():
             worst = max(worst, iters)
     # measured worst over 15 corpora; the jit cap is 1024
     assert worst < 512, worst
+
+
+def test_limiter_triangle_peak_reference_utest():
+    """Port of the reference limiter utest's triangle-peak scenario
+    (utest/dynamics/limiter.cpp:34-100): a 0->1->0 triangle through
+    HERM_THIN at threshold 0.5 with 5 ms lookahead.  Pins the same
+    invariants: limited peak < 0.6, output non-negative, gain within
+    [0, 1] ending at unity on both edges, and the output peak shifted
+    by exactly the reported latency."""
+    lim = Limiter(SR, mode=LimiterMode.HERM_THIN, threshold=0.5,
+                  knee=1.0, attack_ms=1.5, release_ms=1.5,
+                  lookahead_ms=5.0)
+    x = np.zeros(4096, np.float32)
+    i, s, step = 0, 0.0, 0.05
+    while s < 0.999:
+        x[i] = s
+        s += step
+        i += 1
+    while s > 0.001:
+        x[i] = s
+        s -= step
+        i += 1
+
+    p = lim.build()
+    st = lim.init_state()
+    st, gain = lim.process(p, st, jnp.asarray(x))
+    gain = np.asarray(gain)
+    la = lim.latency()
+    assert la == int(5.0 * SR * 0.001)
+    delayed = np.concatenate([np.zeros(la, np.float32), x])[: x.size]
+    out = delayed * gain
+
+    assert out.max() < 0.6
+    assert out.min() >= 0.0
+    assert gain.max() >= 1.0 or np.isclose(gain.max(), 1.0)
+    assert gain.min() >= 0.0
+    assert gain[0] == pytest.approx(1.0)
+    assert gain[-1] == pytest.approx(1.0)
+    assert int(np.argmax(out)) - int(np.argmax(x)) == la

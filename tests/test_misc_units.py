@@ -143,6 +143,71 @@ def test_ring_and_shift_buffers():
     assert sb.avail == 16
 
 
+def test_ring_buffer_reference_utest_sequence():
+    """Exact port of the reference's RingBuffer unit test
+    (src/test/utest/util/ringbuffer.cpp:28-192): offset-indexed get
+    with zero reads outside the capacity, descending-offset block get
+    returning the in-capacity sample count, and oversize append
+    keeping the last ``size`` samples."""
+    from lsp_dsp_units_tpu.models.util import RingBuffer
+
+    rb = RingBuffer(8)
+    assert rb.size == 8
+
+    for v in (1.0, 2.0, 3.0, 4.0):
+        rb.append(v)
+    assert [rb.get(o) for o in range(8, -1, -1)] == [
+        0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 2.0, 3.0, 4.0]
+
+    assert rb.append(np.array([5.0, 6.0], np.float32)) == 2
+    assert [rb.get(o) for o in range(8, -1, -1)] == [
+        0.0, 0.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+    out, n = rb.get_range(9, 10)
+    assert n == 8
+    np.testing.assert_array_equal(
+        out, [0, 0, 0, 0, 1, 2, 3, 4, 5, 6])
+
+    assert rb.append(np.array([7.0, 8.0, 9.0, 10.0], np.float32)) == 4
+    assert [rb.get(o) for o in range(8, -1, -1)] == [
+        0.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+
+    out, n = rb.get_range(7, 10)
+    assert n == 8
+    np.testing.assert_array_equal(
+        out, [3, 4, 5, 6, 7, 8, 9, 10, 0, 0])
+
+    # oversize append keeps only the last `size` samples
+    big = -np.arange(1.0, 13.0, dtype=np.float32)
+    assert rb.append(big) == 8
+    assert [rb.get(o) for o in range(8, -1, -1)] == [
+        0.0, -5.0, -6.0, -7.0, -8.0, -9.0, -10.0, -11.0, -12.0]
+
+    out, n = rb.get_range(16, 8)
+    assert n == 0
+    np.testing.assert_array_equal(out, np.zeros(8))
+
+    out, n = rb.get_range(7, 8)
+    assert n == 8
+    np.testing.assert_array_equal(
+        out, [-5, -6, -7, -8, -9, -10, -11, -12])
+
+    out, n = rb.get_range(12, 16)
+    assert n == 8
+    np.testing.assert_array_equal(
+        out, [0, 0, 0, 0, 0, -5, -6, -7, -8, -9, -10, -11, -12, 0, 0, 0])
+
+    # partial windows straddling both edges
+    pieces = [rb.get_range(off, 2) for off in (8, 6, 4, 2, 0)]
+    assert [n for _, n in pieces] == [1, 2, 2, 2, 1]
+    np.testing.assert_array_equal(
+        np.concatenate([v for v, _ in pieces]),
+        [0, -5, -6, -7, -8, -9, -10, -11, -12, 0])
+
+    # lerp_get interpolates between adjacent offsets
+    assert rb.lerp_get(0.5) == pytest.approx(-11.5)
+
+
 def test_raw_ring_buffer_placement_api():
     """Placement semantics of reference RawRingBuffer.cpp:83-196:
     write leaves the head in place, push advances, read is offset
@@ -401,3 +466,21 @@ def test_scaled_meter_graph_timebase_is_sample_count():
     small = run(100)
     np.testing.assert_array_equal(big, small)
     assert big.max() == 1.0               # the peak survives both paths
+
+
+def test_mls_circular_autocorrelation_reference_utest():
+    """Port of the reference MLS unit test (utest/noise/MLS.cpp): the
+    circular autocorrelation of one full +-1 MLS period is exactly 1 at
+    lag 0 and -1/P at every other lag, for every register width."""
+    from lsp_dsp_units_tpu.models.noise import MLS
+
+    for n_bits in range(2, 15):
+        mls = MLS(n_bits=n_bits)
+        seq = np.asarray(mls.full_period(), np.float64)
+        p = seq.size
+        assert p == (1 << n_bits) - 1
+        # FFT circular autocorrelation (the utest's O(P^2) loop)
+        spec = np.fft.rfft(seq)
+        ac = np.fft.irfft(spec * np.conj(spec), p) / p
+        assert abs(ac[0] - 1.0) < 1e-6, n_bits
+        assert np.abs(ac[1:] + 1.0 / p).max() < 1e-6, n_bits

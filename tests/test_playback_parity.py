@@ -262,3 +262,44 @@ def test_stop_mid_stream_matches_pre_stop():
     out.append(player.process(14))
     b = np.concatenate(out)
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_player_four_voice_mix_reference_utest():
+    """Port of the reference SamplePlayer unit test
+    (utest/sampling/player.cpp:28-117): four 8-sample one-shots played
+    with per-voice gain (i+1)*1.1 and delay (i+1)*11, processed over a
+    nonzero passthrough source in 16-sample chunks; the result must be
+    the analytic fmadd mix."""
+    from lsp_dsp_units_tpu.models.sampling import (Sample, SamplePlayer,
+                                                   PlaySettings)
+
+    voices = np.array([
+        [1, -1, 1, -1, 1, 1, -1, -1],
+        [1, 2, 3, 5, 7, 11, 13, 17],
+        [4, 3, 2, 1, 1, 2, 3, 4],
+        [1, 2, 3, 2, 2, 3, 2, 1]], np.float32)
+
+    sp = SamplePlayer()
+    for i in range(4):
+        s = Sample(1, 8, 48000)
+        s.data[0] = voices[i]
+        sp.bind(i, s)
+
+    n = 0x100
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal(n).astype(np.float32) * 0.1
+
+    golden = src.copy()
+    for i in range(4):
+        d = (i + 1) * 11
+        golden[d: d + 8] += voices[i] * (i + 1) * 1.1
+
+    for i in range(4):
+        pb = sp.play(PlaySettings(sample_id=i, volume=(i + 1) * 1.1,
+                                  delay=(i + 1) * 11))
+        assert pb is not None
+
+    out = np.concatenate([
+        sp.process(min(16, n - off), src=src[off: off + 16])
+        for off in range(0, n, 16)])
+    np.testing.assert_allclose(out, golden, rtol=1e-6, atol=1e-6)

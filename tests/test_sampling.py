@@ -297,3 +297,58 @@ def test_player_reverse_stop_during_head_plays_reverse_tail():
     np.testing.assert_array_equal(full[20:40], np.arange(19, -1, -1))
     np.testing.assert_array_equal(full[40:], 0.0)
     assert not pb.active
+
+
+def _utest_sample():
+    """The reference utest's 2-channel test sample
+    (utest/sampling/sample.cpp:36-51): 440 Hz sine + linear ramp."""
+    s = Sample(2, SR, SR)
+    w = 2.0 * np.pi * 440.0 / SR
+    i = np.arange(SR)
+    s.data[0] = (0.5 * np.sin(w * i)).astype(np.float32)
+    s.data[1] = (i / (SR - 1)).astype(np.float32)
+    return s
+
+
+@pytest.mark.parametrize("fade", [SampleCrossfade.LINEAR,
+                                  SampleCrossfade.CONST_POWER])
+def test_stretch_reference_utest_length_contract(fade):
+    """Port of the reference stretch utest's validation and length
+    assertions (utest/sampling/sample.cpp:92-215): stretched length is
+    always old_length + new_region - old_region, including the
+    degenerate 0/1-sample regions, single-crossfade, short-region,
+    widening, shortening, cutoff and auto-chunk cases."""
+    s = _utest_sample()
+
+    # invalid regions are rejected
+    for start, end in ((SR // 2, SR // 2 - 1024),
+                       (SR + 1, SR + 1024),
+                       (0, SR + 1024)):
+        ss = Sample(2, SR, SR)
+        ss.data = s.data.copy()
+        with pytest.raises(ValueError):
+            ss.stretch(256, 1024, fade, 0.5, start, end)
+
+    cases = [   # (new_len, chunk, fade_size, start, end)
+        (256, 1024, 0.5, SR // 2, SR // 2),          # 0-sample region
+        (256, 1024, 0.5, SR // 2 + 72, SR // 2 + 73),  # 1-sample region
+        (3072, 2048, 0.25, SR // 2, SR // 2 + 8192),   # single crossfade
+        (1630, 2048, 0.25, SR // 2, SR // 2 + 64),     # short region
+        (1630, 2048, 1.0, SR // 2, SR // 2 + 64),      # full-fade short
+        (16200, 1024, 0.25, SR // 2, SR // 2 + 4000),  # widening
+        (4200, 1024, 0.25, SR // 2, SR // 2 + 16000),  # shortening
+        (0, 1024, 0.25, SR // 2, SR // 2 + 16000),     # cutoff
+        (6200, 1024, 1.0, SR // 2, SR // 2 + 2),       # tiny region
+        (16300, 0, 0.25, SR // 2, SR // 2 + 2048),     # auto chunk size
+    ]
+    for new_len, chunk, fsz, start, end in cases:
+        ss = Sample(2, SR, SR)
+        ss.data = s.data.copy()
+        ss.stretch(new_len, chunk, fade, fsz, start, end)
+        assert ss.length == SR + new_len - (end - start), (
+            new_len, chunk, fsz, start, end)
+        # untouched prefix is bit-exact; output stays finite and bounded
+        np.testing.assert_array_equal(ss.data[:, :start],
+                                      s.data[:, :start])
+        assert np.all(np.isfinite(ss.data))
+        assert float(np.abs(ss.data).max()) < 1.6

@@ -130,3 +130,31 @@ def test_late_arrivals_dropped_not_clamped():
     ir = np.asarray(rt.process().data)[0]
     # the final bin must not be an outlier energy spike
     assert np.abs(ir[-1]) <= np.abs(ir).max() * 0.5 + 1e-12
+
+
+def test_obj_two_objects_reference_utest(tmp_path):
+    """Port of the reference scene-load utest (utest/3d/scene_load.cpp):
+    two named quad objects with shared-index faces fan-triangulate into
+    2 triangles each, names preserved."""
+    p = str(tmp_path / "quads.obj")
+    with open(p, "w") as fh:
+        fh.write(
+            "# Quad test\n"
+            "o Quad 1\n"
+            "v -2 -2 -1\nv 2 -2 -1\nv 2 2 -1\nv -2 2 -1\n"
+            "vn 0 0 1\n"
+            "f 1//1 2//1 3//1 4//1\n"
+            "\n"
+            "o Quad 2\n"
+            "v -2 -2 -2\nv 2 -2 -2\nv 2 2 -2\nv -2 2 -2\n"
+            "vn 0 0 1\n"
+            "f 5//2 6//2 7//2 8//2\n")
+    scene = Scene3D.load_obj(p)
+    assert len(scene.objects) == 2
+    assert scene.objects[0].name == "Quad 1"
+    assert scene.objects[1].name == "Quad 2"
+    assert all(o.triangles.shape[0] == 2 for o in scene.objects)
+    tri, mat, nrm = scene.flatten()
+    assert tri.shape == (4, 3, 3)
+    # both quads lie in z-planes: unit z normals
+    np.testing.assert_allclose(np.abs(nrm[:, 2]), 1.0)
