@@ -258,7 +258,6 @@ class StreamEngine:
             raise RuntimeError("se_create failed")
         self.block = int(block)
         self.rows = int(rows)
-        self._batch = np.zeros((rows, block), np.float32)
         self._bound = []          # keep stream objects alive
 
     def bind(self, in_stream: Optional[AudioStream] = None,
@@ -294,12 +293,18 @@ class StreamEngine:
                                  int(timeout_ms * 1000))
 
     def gather(self) -> np.ndarray:
-        """One block from every ready input into the [rows, block]
-        batch; underruns and unbound rows are zeroed."""
+        """One block from every ready input into a fresh [rows, block]
+        batch; underruns and unbound rows are zeroed.
+
+        A NEW array is returned each call: callers hand the batch to
+        jnp.asarray / jit, and JAX's CPU backend may alias the numpy
+        buffer zero-copy — re-gathering into a shared buffer would
+        retroactively corrupt the block the device is still reading."""
+        batch = np.zeros((self.rows, self.block), np.float32)
         self._lib.se_gather(
             self._h,
-            self._batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-        return self._batch
+            batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return batch
 
     def scatter(self, batch: np.ndarray) -> int:
         batch = np.ascontiguousarray(batch, np.float32)

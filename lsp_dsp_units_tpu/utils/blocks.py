@@ -54,6 +54,12 @@ class BlockStream:
                 # np.array (copy) so a host-side processor returning its
                 # input buffer can't alias _out to _in
                 self._out = np.array(y, np.float32)
+                # fresh input buffer: jnp.asarray / device_put on the CPU
+                # backend may alias the numpy buffer ZERO-COPY, so
+                # refilling the old `_in` in place would retroactively
+                # corrupt the block the processor is still reading
+                # (observed as flaky one-sample skips at block seams)
+                self._in = np.zeros_like(self._in)
                 self._fill = 0
         return out
 
@@ -64,7 +70,10 @@ class BlockStream:
         ``block`` samples — for offline tails."""
         tail = self._out[..., self._fill:].copy()
         if self._fill:
-            self._in[..., self._fill:] = 0.0
+            # fresh buffer for the same zero-copy-aliasing reason as push
+            pad = np.zeros_like(self._in)
+            pad[..., : self._fill] = self._in[..., : self._fill]
+            self._in = pad
             self.state, y = self.process(self.state, self._in)
             self._out = np.array(y, np.float32)
             head = self._out[..., : self._fill].copy()

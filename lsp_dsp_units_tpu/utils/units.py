@@ -33,7 +33,9 @@ def db_to_gain(db):
 
 
 def gain_to_db(gain):
-    return 20.0 * np.log10(np.asarray(gain))
+    # zero gain maps to -inf dB without tripping a RuntimeWarning
+    with np.errstate(divide="ignore"):
+        return 20.0 * np.log10(np.asarray(gain))
 
 
 def db_to_power(db):
@@ -41,7 +43,8 @@ def db_to_power(db):
 
 
 def power_to_db(pwr):
-    return 10.0 * np.log10(np.asarray(pwr))
+    with np.errstate(divide="ignore"):
+        return 10.0 * np.log10(np.asarray(pwr))
 
 
 # --- LUFS / LU (EBU R128 anchors, units.h:167-264) ---------------------
