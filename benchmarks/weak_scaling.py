@@ -74,9 +74,16 @@ def main() -> None:
         if "host_platform_device_count" not in os.environ.get(
                 "XLA_FLAGS", ""):
             jax.config.update("jax_num_cpu_devices", 8)
+    # per-device work knobs (efficiency rises with local work because
+    # the halo exchange + carried-state reconciliation is a fixed cost
+    # per step — see docs/SCALING.md)
+    chan_per_dev = int(os.environ.get("WS_CHAN_PER_DEV", "4"))
+    blocks_per_dev = int(os.environ.get("WS_BLOCKS_PER_DEV", "2"))
+    rank = int(os.environ.get("WS_RANK", "10"))
     n = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8) if s <= n]
-    results = [measure(s) for s in sizes]
+    results = [measure(s, chan_per_dev, blocks_per_dev, rank)
+               for s in sizes]
     base = results[0]["samples_per_s_per_dev"]
     for r in results:
         r["efficiency_vs_1dev"] = round(
