@@ -88,7 +88,15 @@ def main() -> None:
     n = 2
     if "--workers" in sys.argv:
         n = int(sys.argv[sys.argv.index("--workers") + 1])
-    port = 29873
+    # bind an ephemeral port for the coordinator so concurrent
+    # instances (CI shards, pytest next to a manual run) can't collide
+    # or cross-talk; the race window between close() and the
+    # coordinator's bind is harmless — worst case the launch fails and
+    # the caller retries
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = []
     for pid in range(n):
         env = dict(os.environ,

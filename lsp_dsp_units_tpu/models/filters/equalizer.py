@@ -220,11 +220,12 @@ class Equalizer:
                         params.fused, iir, x[..., :head])
                     parts.append(y_h)
                 if head < t:
-                    # remainder: sequential scan with basis conversion
-                    st = biquad_block.state_from_fused(params.fused, iir)
-                    y_t, st = biquad_ops.biquad_cascade_seq(
-                        params.coeffs, st, x[..., head:])
-                    iir = biquad_block.state_to_fused(params.fused, st)
+                    # remainder: per-sample scan IN the balanced basis
+                    # (no t_mat/t_inv round-trip — misaligned streams
+                    # stay in one basis, so no per-call conversion
+                    # drift)
+                    y_t, iir = biquad_block.cascade_seq_fused(
+                        params.fused, iir, x[..., head:])
                     parts.append(y_t)
                 y = parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=-1)

@@ -22,7 +22,11 @@ from lsp_dsp_units_tpu.models.threed.sources import _rotation
 
 class CapturePattern(enum.Enum):
     """rt_audio_capture_t (raytrace.h:50-58).  CARDIOID and FIGURE8 are
-    round-1 legacy aliases of CARDIO and EIGHT."""
+    round-1 legacy aliases of CARDIO and EIGHT.  NOTE the alias changed
+    FIGURE8's gain law: round 1 used |cos(a)|, the reference's
+    RT_AC_EIGHT is cos(a)^2 (RayTrace3D.cpp:867) — -3 dB narrower at
+    45 degrees; the closest reference law to |cos| is RT_AC_BIDIR's
+    signed cos(a) (RayTrace3D.cpp:863, use BIDIR)."""
     CARDIO = "cardio"
     CARDIOID = "cardio"
     SCARDIO = "scardio"

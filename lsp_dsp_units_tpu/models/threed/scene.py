@@ -16,8 +16,9 @@ import numpy as np
 
 
 def _pair(v) -> Tuple[float, float]:
-    """Scalar -> (outer, inner); 2-sequence passed through."""
-    if np.isscalar(v):
+    """Scalar (incl. 0-d arrays) -> (outer, inner); 2-sequence passed
+    through."""
+    if np.ndim(v) == 0:
         return (float(v), float(v))
     a, b = v
     return (float(a), float(b))
@@ -53,6 +54,17 @@ class Material:
         self.dispersion = _pair(self.dispersion)
         self.transparency = _pair(self.transparency)
         self.permeability = float(self.permeability)
+        # diffusion/dispersion enter the reflection geometry as
+        # kd = (1 + 1/diffusion)*distance (RayTrace3D.cpp:759-788):
+        # values <= 0 would silently fling the virtual source to
+        # infinity (0.0 was also an earlier meaning of "no scattering"
+        # in this package — under the reference semantics that is 1.0)
+        for name in ("diffusion", "dispersion"):
+            pair = getattr(self, name)
+            if min(pair) <= 0.0:
+                raise ValueError(
+                    f"Material.{name} must be > 0 (1.0 = specular "
+                    f"mirror, larger = more diffuse); got {pair}")
 
     def row(self) -> np.ndarray:
         """Flat parameter row [9] for Scene3D.flatten()."""

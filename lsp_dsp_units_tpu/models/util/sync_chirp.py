@@ -196,12 +196,20 @@ class SyncChirpProcessor:
         # duration rounds UP to a multiple of ln(order)/f1 so that
         # gamma = n / f1 (the synchronization condition)
         min_duration = np.log(self.order) / self.f_start
-        n = 1.0
-        self.duration = dur
-        while self.duration <= self.duration_coarse:
-            self.duration = n * min_duration
-            self.gamma = n / self.f_start
+        # closed form of the reference's round-up loop (smallest n >= 1
+        # with n*min_duration > duration_coarse; the entry value is
+        # always <= duration_coarse so the loop body always runs) — the
+        # iterative form is O(duration/min_duration) Python steps,
+        # ~720k for a 50 s sweep at f_start 10 kHz.  The +-1 correction
+        # loops replicate the iterative float comparisons exactly at
+        # quotient boundaries.
+        n = max(1.0, np.floor(self.duration_coarse / min_duration) + 1.0)
+        while n * min_duration <= self.duration_coarse:
             n += 1.0
+        while n > 1.0 and (n - 1.0) * min_duration > self.duration_coarse:
+            n -= 1.0
+        self.duration = n * min_duration
+        self.gamma = n / self.f_start
         self.n = int(round(self.sample_rate * self.duration))
         self.delta = self.beta * self.gamma
         self.n_time_lags = min(self.order, LIM_LAG)
@@ -344,7 +352,8 @@ class SyncChirpProcessor:
     # -- analysis -----------------------------------------------------------
     def deconvolve(self, response: np.ndarray) -> np.ndarray:
         """Full deconvolved response scaled by 1/amplitude (the
-        reference fConvScale): linear IR begins at index ``self.n - 1``;
+        reference fConvScale): linear IR begins at ``self.deconv_origin``
+        (n-1 plus the synthesis method's measured AA group delay);
         harmonic k's IR is centered ``harmonic_offset(k)`` samples
         earlier."""
         response = np.asarray(response, np.float32)

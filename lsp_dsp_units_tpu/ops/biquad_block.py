@@ -199,6 +199,15 @@ class FusedCascadeParams(NamedTuple):
     m_mat: Array      # [2K, 2K] state -> state (balanced basis)
     t_mat: Array      # [2K, 2K] DF2T -> balanced state basis
     t_inv: Array      # [2K, 2K] balanced -> DF2T
+    # one-SAMPLE composite state-space in the same balanced basis, for
+    # remainder chunks shorter than the block (cascade_seq_fused): a
+    # stream of misaligned calls then never leaves the balanced basis,
+    # avoiding the t_mat/t_inv f32 round-trip per call (t@t_inv != I
+    # exactly in f32, so repeated conversion random-walks the state)
+    a1_mat: Array     # [2K, 2K] per-sample state transition
+    b1_vec: Array     # [2K] input -> state
+    c1_vec: Array     # [2K] state -> output
+    d1: Array         # [] input feedthrough
 
 
 def _balance_f64(g: np.ndarray, w: np.ndarray, m: np.ndarray):
@@ -311,14 +320,48 @@ def _fused_mats_f64(coeffs: np.ndarray, block: int):
     return h_total, g_mat, w_mat, m_mat
 
 
+def _sample_ss_f64(coeffs: np.ndarray):
+    """Composite ONE-sample state-space (A1, B1, C1, D1) of the DF2T
+    cascade in f64, stage-major state layout [s1_0, s2_0, s1_1, ...]
+    (the same vec layout as _fused_mats_f64).  Per stage
+    (_run_stage recurrence): y = b0 x + s1; s1' = b1 x + a1 y + s2;
+    s2' = b2 x + a2 y."""
+    coeffs = np.asarray(coeffs, np.float64)
+    k = coeffs.shape[0]
+    a1m = np.zeros((2 * k, 2 * k))
+    b1v = np.zeros(2 * k)
+    # output of stages 0..i-1 as a function of (full state, input):
+    # y_prefix = c_pre @ s + d_pre * x
+    c_pre = np.zeros(2 * k)
+    d_pre = 1.0
+    for i, (b0, b1, b2, a1, a2) in enumerate(coeffs):
+        A = np.array([[a1, 1.0], [a2, 0.0]])
+        B = np.array([b1 + a1 * b0, b2 + a2 * b0])
+        sl = slice(2 * i, 2 * i + 2)
+        a1m[sl, :] += np.outer(B, c_pre)
+        a1m[sl, sl] += A
+        b1v[sl] = B * d_pre
+        # y_i = b0 * (stage input) + s1_i
+        c_new = b0 * c_pre
+        c_new[2 * i] += 1.0
+        c_pre, d_pre = c_new, b0 * d_pre
+    return a1m, b1v, c_pre, d_pre
+
+
 def precompute_fused(coeffs: np.ndarray, block: int,
                      balance: bool = True) -> FusedCascadeParams:
     b = int(block)
     h_total, g_mat, w_mat, m_mat = _fused_mats_f64(coeffs, b)
+    a1m, b1v, c1v, d1 = _sample_ss_f64(coeffs)
     if balance:
         g_mat, w_mat, m_mat, t, t_inv = _balance_f64(g_mat, w_mat, m_mat)
     else:
         t = t_inv = np.eye(m_mat.shape[0])
+    # the one-sample system rides the same similarity transform so the
+    # block and per-sample paths share one carried-state basis
+    a1m = t @ a1m @ t_inv
+    b1v = t @ b1v
+    c1v = c1v @ t_inv
     hs = np.fft.rfft(h_total, 2 * b)
     return FusedCascadeParams(
         h_re=jnp.asarray(hs.real, jnp.float32),
@@ -327,7 +370,11 @@ def precompute_fused(coeffs: np.ndarray, block: int,
         w_mat=jnp.asarray(w_mat, jnp.float32),
         m_mat=jnp.asarray(m_mat, jnp.float32),
         t_mat=jnp.asarray(t, jnp.float32),
-        t_inv=jnp.asarray(t_inv, jnp.float32))
+        t_inv=jnp.asarray(t_inv, jnp.float32),
+        a1_mat=jnp.asarray(a1m, jnp.float32),
+        b1_vec=jnp.asarray(b1v, jnp.float32),
+        c1_vec=jnp.asarray(c1v, jnp.float32),
+        d1=jnp.asarray(d1, jnp.float32))
 
 
 def state_to_fused(params: FusedCascadeParams, state: Array) -> Array:
@@ -348,6 +395,28 @@ def state_from_fused(params: FusedCascadeParams, state: Array) -> Array:
 
 def fused_block_size(params: FusedCascadeParams) -> int:
     return params.h_re.shape[-1] - 1
+
+
+def cascade_seq_fused(params: FusedCascadeParams, state: Array,
+                      x: Array) -> Tuple[Array, Array]:
+    """Per-sample cascade execution IN the balanced basis: x [..., T]
+    (any T, no block alignment), state [..., K, 2] -> (y, state').
+
+    For remainder chunks shorter than the fused block size — keeps the
+    carried state in the one balanced basis instead of round-tripping
+    through t_mat/t_inv every call."""
+    k2 = params.m_mat.shape[0]
+    sv = state.reshape(state.shape[:-2] + (k2,))
+
+    def step(s, xn):
+        y = jnp.einsum("k,...k->...", params.c1_vec, s) + params.d1 * xn
+        s2 = (jnp.einsum("kj,...j->...k", params.a1_mat, s)
+              + params.b1_vec * xn[..., None])
+        return s2, y
+
+    sv2, ys = jax.lax.scan(step, sv, jnp.moveaxis(x, -1, 0))
+    y = jnp.moveaxis(ys, 0, -1).astype(x.dtype)
+    return y, sv2.reshape(state.shape)
 
 
 def cascade_block_fused(params: FusedCascadeParams, state: Array,

@@ -210,3 +210,50 @@ def test_iir_fused_block_mode():
     st2, y2 = eq.process(params, st2, jnp.asarray(x[2048:2048 + 500]))
     y_mix = np.concatenate([np.asarray(y1), np.asarray(y2)])
     assert snr_db(y_mix, golden[:2548]) > 80.0
+
+
+def test_iir_fused_seq_remainder_basis():
+    """Remainder chunks run per-sample IN the balanced basis
+    (cascade_seq_fused): a long stream of block-misaligned calls never
+    round-trips through t_mat/t_inv, so it holds the same accuracy
+    class as the aligned path instead of random-walking."""
+    from lsp_dsp_units_tpu.pipeline import default_eq_params
+    from lsp_dsp_units_tpu.ops import biquad as bq
+    from lsp_dsp_units_tpu.ops import biquad_block as bb
+
+    eq = Equalizer(SR, filters=8, mode=EqMode.IIR, iir_block=256)
+    for i, p in enumerate(default_eq_params(SR)):
+        eq.set_params(i, p)
+    params = eq.build()
+    coeffs = np.asarray(params.coeffs, np.float64)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(128 * 400).astype(np.float32)
+    golden = bq.np_biquad_cascade_f64(coeffs, x)
+
+    # 400 consecutive 128-sample calls: head == 0 on every call (128 <
+    # iir_block 256), the pre-fix round-trip path would convert basis
+    # 800 times.  The per-sample balanced f32 scan holds ~88 dB for
+    # this 16-stage cascade (vs ~75-80 dB for the DF2T seq scan; the
+    # aligned block path holds >=95 dB) with no drift over the stream.
+    st = eq.init_state(params)
+    outs = []
+    for i in range(0, x.size, 128):
+        st, y = eq.process(params, st, jnp.asarray(x[i:i + 128]))
+        outs.append(np.asarray(y))
+    assert snr_db(np.concatenate(outs), golden) > 85.0
+
+    # the per-sample balanced kernel agrees with the block kernel's
+    # carried state: 256 samples as one block vs as 2x128 per-sample
+    st_a = bb.init_state(coeffs.shape[0])
+    y_a, st_a = bb.cascade_block_fused(params.fused, st_a,
+                                       jnp.asarray(x[:256]))
+    st_b = bb.init_state(coeffs.shape[0])
+    y_b1, st_b = bb.cascade_seq_fused(params.fused, st_b,
+                                      jnp.asarray(x[:128]))
+    y_b2, st_b = bb.cascade_seq_fused(params.fused, st_b,
+                                      jnp.asarray(x[128:256]))
+    y_b = np.concatenate([np.asarray(y_b1), np.asarray(y_b2)])
+    assert snr_db(y_b, np.asarray(y_a)) > 90.0
+    assert snr_db(np.asarray(st_b).ravel(),
+                  np.asarray(st_a).ravel()) > 60.0
