@@ -161,6 +161,12 @@ def test_stream_engine_pump():
         # out-of-range bind must fail
         with pytest.raises(ValueError):
             eng.bind(ins[0], outs[0], row=5, channels=2)
+        # channel-count mismatch must fail (stream_engine.cpp se_bind
+        # rc -3): a 2-channel stream bound to a 1-channel slot would
+        # make se_gather write stream_channels*block floats past the
+        # batch row
+        with pytest.raises(ValueError, match="channel count"):
+            eng.bind(ins[0], outs[0], row=4, channels=1)
 
         assert eng.ready() == 0
         rng = np.random.default_rng(0)
