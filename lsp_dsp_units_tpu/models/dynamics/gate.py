@@ -110,7 +110,13 @@ class Gate:
                               curve=new_cur)
             return new_s, (new_e, new_cur)
 
-        if x.ndim == 2 and jax.default_backend() == "tpu":
+        # VMEM cap: the gate kernel maps THREE ungridded [T, C_pad]
+        # buffers (x, env, cur); cap ~1M f32 elements per buffer
+        # (~12 MB total of ~16 MB VMEM) and fall back to the scan
+        # beyond it instead of failing Mosaic allocation
+        if (x.ndim == 2 and x.dtype == jnp.float32
+                and jax.default_backend() == "tpu"
+                and x.shape[-1] * (-(-x.shape[0] // 128) * 128) <= 1 << 20):
             # single Pallas kernel: whole T-loop in one Mosaic program
             from lsp_dsp_units_tpu.ops.pallas_env import (
                 gate_envelope_pallas)

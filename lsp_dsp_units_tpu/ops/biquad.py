@@ -182,6 +182,8 @@ def dyn_biquad_cascade(coeffs: Array, state: Array, x: Array,
       x:      [..., T].
     """
     k = coeffs.shape[-2]
+    if x.shape[-1] == 0:  # empty block: no-op
+        return x, state
     y = x
     new_states = []
     for i in range(k):

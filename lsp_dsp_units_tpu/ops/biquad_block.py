@@ -30,17 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc, sc_mul
+from lsp_dsp_units_tpu.ops.unroll import unrolled_scan
 
 Array = jax.Array
-
-
-class BlockBiquadParams(NamedTuple):
-    """Precomputed per-stage block kernels (leading axis = stage K)."""
-    h_re: Array      # [K, B+1] float32 — Re rfft(h, 2B) of stage IRs
-    h_im: Array      # [K, B+1] float32 — Im (split-complex, see ops.cplx)
-    p1: Array        # [K, B, 2] float32 — zero-input output response
-    u_ker: Array     # [K, 2, B] float32 — state response to block input
-    a_pow: Array     # [K, 2, 2] float32 — A^B
 
 
 def _run_stage(x: np.ndarray, stage) -> np.ndarray:
@@ -62,105 +54,9 @@ def _run_stage(x: np.ndarray, stage) -> np.ndarray:
         return out
 
 
-def precompute(coeffs: np.ndarray, block: int) -> BlockBiquadParams:
-    """Precompute block kernels from ``[K, 5]`` biquads (float64 host math).
-
-    Coefficient convention as :mod:`.biquad` (a-signs negated).
-    """
-    coeffs = np.asarray(coeffs, np.float64)
-    k = coeffs.shape[0]
-    b = int(block)
-    h_re = np.zeros((k, b + 1), np.float32)
-    h_im = np.zeros((k, b + 1), np.float32)
-    p1 = np.zeros((k, b, 2), np.float32)
-    u_ker = np.zeros((k, 2, b), np.float32)
-    a_pow = np.zeros((k, 2, 2), np.float32)
-    for i, (b0, b1, b2, a1, a2) in enumerate(coeffs):
-        A = np.array([[a1, 1.0], [a2, 0.0]])
-        u = np.array([b1 + a1 * b0, b2 + a2 * b0])
-        # stage impulse response over the block (sequential f64 — cheap)
-        h = _run_stage(np.eye(1, b, 0)[0], (b0, b1, b2, a1, a2))
-        hs = np.fft.rfft(h, 2 * b)
-        h_re[i] = hs.real.astype(np.float32)
-        h_im[i] = hs.imag.astype(np.float32)
-        # A^n power table: P[n] = A^n, n = 0..B
-        powers = np.zeros((b + 1, 2, 2))
-        powers[0] = np.eye(2)
-        for n in range(1, b + 1):
-            powers[n] = A @ powers[n - 1]
-        # y_zi[n] = s1[n-1] = (A^(n-1) s_in)[0]  ->  row 0 of A^(n-1)
-        p1[i] = powers[:b, 0, :].astype(np.float32)
-        # s_out = sum_n A^(B-1-n) u x[n] + A^B s_in
-        u_resp = np.einsum("nij,j->ni", powers[b - 1::-1], u)  # [B, 2]
-        u_ker[i] = u_resp.T.astype(np.float32)
-        a_pow[i] = powers[b].astype(np.float32)
-    return BlockBiquadParams(
-        h_re=jnp.asarray(h_re), h_im=jnp.asarray(h_im),
-        p1=jnp.asarray(p1), u_ker=jnp.asarray(u_ker),
-        a_pow=jnp.asarray(a_pow))
-
-
 def init_state(num_stages: int, batch_shape: Tuple[int, ...] = (),
                dtype=jnp.float32) -> Array:
     return jnp.zeros(batch_shape + (num_stages, 2), dtype)
-
-
-def block_size(params: BlockBiquadParams) -> int:
-    """Static block size B (h_re last dim is B+1)."""
-    return params.h_re.shape[-1] - 1
-
-
-def _stage_block(params: BlockBiquadParams, i: int, s_in: Array,
-                 x: Array) -> Tuple[Array, Array]:
-    """One stage over one block: x [..., B], s_in [..., 2]."""
-    b = block_size(params)
-    spec = sc_mul(rfft_sc(x, 2 * b), (params.h_re[i], params.h_im[i]))
-    y_zs = irfft_sc(spec, 2 * b)[..., :b]
-    y_zi = jnp.einsum("nj,...j->...n", params.p1[i], s_in)
-    y = (y_zs + y_zi).astype(x.dtype)
-    s_out = (jnp.einsum("jn,...n->...j", params.u_ker[i], x)
-             + jnp.einsum("ij,...j->...i", params.a_pow[i], s_in))
-    return y, s_out
-
-
-def cascade_block(params: BlockBiquadParams, state: Array, x: Array,
-                  ) -> Tuple[Array, Array]:
-    """Serial cascade over blocks: x [..., T], T a multiple of B.
-
-    Multi-block inputs are processed block-sequentially per stage (the
-    state recurrence across blocks is tiny 2x2 math); each block's FFT
-    work is batched over channels.
-    """
-    b = block_size(params)
-    t = x.shape[-1]
-    assert t % b == 0, (t, b)
-    m = t // b
-    k = params.h_re.shape[0]
-    y = x
-    new_states = []
-    for i in range(k):
-        if m == 1:
-            y, s = _stage_block(params, i, state[..., i, :], y)
-        else:
-            blocks = jnp.moveaxis(
-                y.reshape(y.shape[:-1] + (m, b)), -2, 0)  # [M, ..., B]
-            # zero-state conv for all blocks at once
-            spec = sc_mul(rfft_sc(blocks, 2 * b),
-                          (params.h_re[i], params.h_im[i]))
-            y_zs = irfft_sc(spec, 2 * b)[..., :b]
-            du = jnp.einsum("jn,m...n->m...j", params.u_ker[i], blocks)
-
-            def step(s, inp):
-                zs, dui = inp
-                y_blk = zs + jnp.einsum("nj,...j->...n", params.p1[i], s)
-                s_next = dui + jnp.einsum("ij,...j->...i", params.a_pow[i],
-                                          s)
-                return s_next, y_blk
-
-            s, y_out = jax.lax.scan(step, state[..., i, :], (y_zs, du))
-            y = jnp.moveaxis(y_out, 0, -2).reshape(x.shape).astype(x.dtype)
-        new_states.append(s)
-    return y, jnp.stack(new_states, axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +310,12 @@ def cascade_seq_fused(params: FusedCascadeParams, state: Array,
               + params.b1_vec * xn[..., None])
         return s2, y
 
-    sv2, ys = jax.lax.scan(step, sv, jnp.moveaxis(x, -1, 0))
+    # fuse as many iterations per scan step as the length allows
+    # (per-step dispatch dominates short bodies on TPU; same harness
+    # as the other sequential kernels)
+    t = x.shape[-1]
+    u = next((u for u in (16, 8, 4, 2) if t % u == 0), 1)
+    sv2, ys = unrolled_scan(step, sv, jnp.moveaxis(x, -1, 0), t, u)
     y = jnp.moveaxis(ys, 0, -1).astype(x.dtype)
     return y, sv2.reshape(state.shape)
 

@@ -65,9 +65,23 @@ def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
     the scan body processes ``unroll`` samples per step (same math,
     unrolled in the trace).
     """
-    if x.ndim == 2 and x.dtype == jnp.float32 \
-            and jax.default_backend() == "tpu":
-        # one Mosaic program for the whole T-loop (see ops.pallas_env)
+    # Mosaic fast path: one pallas program for the whole T-loop (see
+    # ops.pallas_env).  Gated on (a) scalar coefficients — the kernel
+    # broadcasts one (ta, tr, nh, rt) tuple over all channels, per-
+    # channel arrays must take the scan path — and (b) a VMEM budget:
+    # the kernel maps the whole [T, C_pad] input + output as single
+    # ungridded VMEM blocks, so long blocks must fall back to the scan
+    # instead of failing Mosaic allocation (~16 MB VMEM on v5e; cap at
+    # ~1.18M f32 elements per buffer — the production 8192x128 chain
+    # block is 1.05M and measured-good on chip).
+    if (x.ndim == 2 and x.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and all(jnp.ndim(p) == 0 for p in
+                    (tau_attack, tau_release, hold_samples))
+            and (release_thresh is None
+                 or jnp.ndim(release_thresh) == 0)
+            and x.shape[-1] * (-(-x.shape[0] // 128) * 128)
+            <= (9 << 20) // 8):
         from lsp_dsp_units_tpu.ops.pallas_env import peak_envelope_pallas
         return peak_envelope_pallas(state, x, tau_attack, tau_release,
                                     hold_samples, release_thresh)
@@ -110,6 +124,8 @@ def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
 def onepole_lowpass(state: Array, x: Array, k) -> Tuple[Array, Array]:
     """One-pole smoother y[n] = y[n-1] + k (x[n] - y[n-1]) as a
     time-parallel first-order affine scan (Sidechain LPF mode)."""
+    if x.shape[-1] == 0:  # empty block: no-op
+        return state, x
     kk = jnp.asarray(k, x.dtype) * jnp.ones_like(x)
     a = 1.0 - kk
     b = kk * x
@@ -210,20 +226,25 @@ class ExpKnee(NamedTuple):
 
 def expander_gain(k: ExpKnee, x: Array) -> Array:
     """Upward/downward expander gain (reference
-    ``dsp::uexpander/dexpander_x1_gain`` semantics: unity inside the
+    Expander::amplification, Expander.cpp:375-406): unity inside the
     'no-expansion' region, tilt line beyond the knee, Hermite blend
-    within, clamped at 1e+6 (upward) / 1e-7 (downward))."""
+    within.  The saturation uses ``k.threshold`` exactly as the
+    reference does — upward clamps the INPUT at threshold (so the gain
+    saturates at gain(threshold), which Expander.build solves for the
+    ~1e6 gain cap, possibly inside the knee), downward hard-mutes
+    (gain 0) below threshold."""
     ax = jnp.abs(x)
+    if k.upward:
+        ax = jnp.minimum(ax, k.threshold)
     lx = jnp.log(jnp.maximum(ax, 1e-36))
     line = jnp.exp(lx * k.tilt0 + k.tilt1)
     herm = jnp.exp((k.herm0 * lx + k.herm1) * lx + k.herm2)
     if k.upward:
-        g = jnp.where(ax <= k.start, 1.0,
-                      jnp.where(ax >= k.end, line, herm))
-        return jnp.minimum(g, 1e6)
+        return jnp.where(ax <= k.start, 1.0,
+                         jnp.where(ax >= k.end, line, herm))
     g = jnp.where(ax >= k.end, 1.0,
                   jnp.where(ax <= k.start, line, herm))
-    return jnp.maximum(g, 1e-7)
+    return jnp.where(ax < k.threshold, 0.0, g)
 
 
 def expander_curve(k: ExpKnee, x: Array) -> Array:

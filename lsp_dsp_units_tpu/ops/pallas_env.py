@@ -98,19 +98,11 @@ def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref, *, unroll):
 
 def _gate_step(xt, e, peak, hold, cur, ta, tr, nh, k0_end, k1_start):
     """One gate envelope + hysteresis step (reference Gate.cpp:267-367;
-    see models/dynamics/gate.py)."""
-    d = xt - e
-    falling = d < 0.0
-    holding = hold > 0.0
-    e_fall = e + tr * d
-    e_rise = e + ta * d
-    new_e = jnp.where(falling, jnp.where(holding, e, e_fall), e_rise)
-    rise_peaked = jnp.logical_and(~falling, e_rise >= peak)
-    new_peak = jnp.where(falling, jnp.where(holding, peak, e_fall),
-                         jnp.where(rise_peaked, e_rise, peak))
-    new_hold = jnp.where(falling,
-                         jnp.where(holding, hold - 1.0, hold),
-                         jnp.where(rise_peaked, nh, hold))
+    see models/dynamics/gate.py): the _env_step recurrence with no
+    release threshold (use_rt=0 -> tau_dn=tr), plus the curve switch."""
+    new_e, new_peak, new_hold = _env_step(
+        xt, e, peak, hold, ta, tr, jnp.float32(0.0), nh,
+        jnp.float32(0.0))
     switch_up = jnp.logical_and(cur < 0.5, new_e > k0_end)
     switch_dn = jnp.logical_and(cur > 0.5, new_e < k1_start)
     new_cur = jnp.where(switch_up, 1.0,

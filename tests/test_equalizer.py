@@ -236,10 +236,12 @@ def test_iir_fused_seq_remainder_basis():
     # 800 times.  The per-sample balanced f32 scan holds ~88 dB for
     # this 16-stage cascade (vs ~75-80 dB for the DF2T seq scan; the
     # aligned block path holds >=95 dB) with no drift over the stream.
+    import jax
+    step = jax.jit(lambda s, xb: eq.process(params, s, xb))
     st = eq.init_state(params)
     outs = []
     for i in range(0, x.size, 128):
-        st, y = eq.process(params, st, jnp.asarray(x[i:i + 128]))
+        st, y = step(st, jnp.asarray(x[i:i + 128]))
         outs.append(np.asarray(y))
     assert snr_db(np.concatenate(outs), golden) > 85.0
 

@@ -145,3 +145,44 @@ def test_spectral_tilt_extreme_slopes():
         s = st_f.init_state()
         s, y = st_f.process(s, jnp.asarray(_noise(4096)))
         assert np.isfinite(np.asarray(y)).all(), slope
+
+
+def test_empty_inputs_dyn_filters_and_sidechain_lpf():
+    """The remaining sequential kernels also treat T=0 as a no-op:
+    dyn_biquad_cascade (DynamicFilters assoc path) and onepole_lowpass
+    (Sidechain LPF mode) used to IndexError on empty blocks."""
+    from lsp_dsp_units_tpu.ops import biquad as bq
+    from lsp_dsp_units_tpu.ops import dynamics as dyn
+    coeffs = jnp.zeros((0, 3, 5), jnp.float32)
+    st = bq.init_state(3)
+    y, st2 = bq.dyn_biquad_cascade(coeffs, st, jnp.zeros((0,), jnp.float32))
+    assert y.shape == (0,)
+    assert np.allclose(np.asarray(st2), np.asarray(st))
+    s0 = jnp.float32(0.25)
+    s1, y = dyn.onepole_lowpass(s0, jnp.zeros((0,), jnp.float32), 0.5)
+    assert y.shape == (0,) and float(s1) == 0.25
+
+
+def test_expander_threshold_saturation():
+    """Reference Expander::amplification (Expander.cpp:375-406):
+    upward gain saturates at gain(threshold) because the INPUT clamps
+    at threshold; downward gain is exactly 0 below threshold."""
+    from lsp_dsp_units_tpu.models.dynamics.expander import (Expander,
+                                                            ExpanderMode)
+    up = Expander(SR, ExpanderMode.UPWARD, attack_thresh=0.01, knee=0.7,
+                  ratio=4.0)
+    pu = up.build()
+    th = float(pu.knee.threshold)
+    g = np.asarray(up.amplification(
+        pu, jnp.asarray([th, 10.0 * th, 1000.0 * th], jnp.float32)))
+    assert np.allclose(g[1:], g[0], rtol=1e-6)   # saturated past threshold
+    assert g[0] <= 1.001e6
+
+    dn = Expander(SR, ExpanderMode.DOWNWARD, attack_thresh=0.1, knee=0.7,
+                  ratio=4.0)
+    pd = dn.build()
+    thd = float(pd.knee.threshold)
+    g = np.asarray(dn.amplification(
+        pd, jnp.asarray([0.5 * thd, 1.5 * thd], jnp.float32)))
+    assert g[0] == 0.0
+    assert g[1] > 0.0
