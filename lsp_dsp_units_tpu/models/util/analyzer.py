@@ -27,7 +27,6 @@ SPEC_FREQ_CENTER = 1000.0   # reference LSP_DSP_UNITS_SPEC_FREQ_CENTER
 class AnalyzerState(NamedTuple):
     buffer: Array    # [C, N] rolling signal window
     amp: Array       # [C, F] averaged magnitudes
-    fill: Array      # [] int32 samples since last FFT
 
 
 class Analyzer:
@@ -55,8 +54,7 @@ class Analyzer:
     def init_state(self) -> AnalyzerState:
         return AnalyzerState(
             buffer=jnp.zeros((self.channels, self.n), jnp.float32),
-            amp=jnp.zeros((self.channels, self.f), jnp.float32),
-            fill=jnp.int32(0))
+            amp=jnp.zeros((self.channels, self.f), jnp.float32))
 
     def process(self, state: AnalyzerState, x: Array) -> AnalyzerState:
         """x: [C, T], T a multiple of the analysis period."""
@@ -80,8 +78,7 @@ class Analyzer:
 
         amp, _ = jax.lax.scan(step, state.amp,
                               jnp.moveaxis(mags, 1, 0))
-        return AnalyzerState(buffer=full[:, -self.n:], amp=amp,
-                             fill=state.fill)
+        return AnalyzerState(buffer=full[:, -self.n:], amp=amp)
 
     def get_spectrum(self, state: AnalyzerState, channel: int) -> Array:
         """Envelope-compensated averaged magnitude [F]

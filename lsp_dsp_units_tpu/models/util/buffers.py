@@ -115,12 +115,15 @@ class RingBuffer:
     def read(self, position: int, count: Optional[int] = None):
         """Raw positional read: a single sample at ``position`` (0 when
         out of range), or ``count`` samples starting there, wrapping
-        around the capacity (RingBuffer.cpp:185-209)."""
+        around the capacity (RingBuffer.cpp:185-209).  An out-of-range
+        position — negative included (the reference takes size_t, so
+        negatives cannot reach it) — returns an EMPTY array, mirroring
+        the reference's rc=0."""
         position = int(position)
         if count is None:
             return (float(self.data[position])
                     if 0 <= position < self.size else 0.0)
-        if position >= self.size:
+        if not 0 <= position < self.size:
             return np.zeros(0, np.float32)
         idx = (position + np.arange(int(count))) % self.size
         return self.data[idx].copy()
@@ -223,26 +226,49 @@ class MeterGraph:
 
 class ScaledMeterGraph:
     """Two-stage subsampling meter graph (reference
-    ScaledMeterGraph.cpp): a fast sampler cascades into a slow one so
-    zoomed-out views stay peak-accurate."""
+    ScaledMeterGraph.cpp): a fast sampler decimates by ``subsampling``
+    and cascades into a slow one so zoomed-out views stay peak-accurate.
+
+    The slow stage counts SAMPLES and carries the residual across
+    frames exactly like the reference (``nCount += subsampling`` per
+    subframe, emit when ``nCount >= period``, then ``nCount -= period``
+    — ScaledMeterGraph.cpp:330-336), so the long-run frame period
+    equals the requested ``period`` even when ``subsampling`` does not
+    divide it (each frame jitters by < subsampling, it never drifts)."""
 
     def __init__(self, frames: int, period: int, subsampling: int,
                  method: MeterMethod = MeterMethod.PEAK):
-        self.fast = MeterGraph(frames, max(1, period // max(subsampling,
-                                                            1)), method)
-        self.slow = MeterGraph(frames, max(subsampling, 1), method)
+        self.subsampling = max(1, int(subsampling))
+        # reference set_period clamps to [subsampling, max_period]
+        self.period = max(int(period), self.subsampling)
+        self.fast = MeterGraph(frames, self.subsampling, method)
         self.method = method
+        self.ring = RingBuffer(int(frames))
+        self._acc: Optional[float] = None
+        self._count = 0
+        self.current = 0.0
+
+    def _combine(self, acc: Optional[float], v: float) -> float:
+        if acc is None:
+            return v
+        if self.method == MeterMethod.MINIMUM:
+            return min(acc, v)
+        return max(acc, v)
 
     def process(self, x) -> None:
-        # feed every COMPLETED fast frame into the slow sampler, so the
-        # slow timebase counts fast frames (sample count), not calls —
-        # and no intermediate fast peak is dropped
-        done = self.fast.process(x)
-        if done.size:
-            self.slow.process(done)
+        # feed every COMPLETED fast subframe into the slow accumulator,
+        # each worth `subsampling` samples on the slow timebase
+        for v in self.fast.process(x):
+            self._acc = self._combine(self._acc, float(v))
+            self._count += self.subsampling
+            if self._count >= self.period:
+                self.ring.push(self._acc)
+                self.current = self._acc
+                self._acc = None
+                self._count -= self.period
 
     def frames(self, n: int) -> np.ndarray:
-        return self.slow.ring.tail(n)
+        return self.ring.tail(n)
 
 
 class RawRingBuffer:

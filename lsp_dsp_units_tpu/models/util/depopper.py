@@ -55,7 +55,6 @@ class DepopperState(NamedTuple):
     counter: Array   # [] int32 fade-in counter
     delay: Array     # [] int32 crossing delay
     rms_win: Array   # [R] squared-sample window
-    rms_sum: Array   # [] running sum
     pending: Array   # [F] delayed gain (fade-out lookahead)
 
 
@@ -84,7 +83,6 @@ class Depopper:
             st=jnp.int32(CLOSED), counter=jnp.int32(0),
             delay=jnp.int32(0),
             rms_win=jnp.zeros(self.rms_n, jnp.float32),
-            rms_sum=jnp.float32(0.0),
             pending=jnp.zeros(self.fade_out_n, jnp.float32))
 
     def process(self, state: DepopperState, x: Array,
@@ -177,6 +175,6 @@ class Depopper:
         new_pending = full[t:]
         new_state = DepopperState(
             st=st, counter=cnt, delay=dly,
-            rms_win=frame[-self.rms_n:], rms_sum=state.rms_sum,
+            rms_win=frame[-self.rms_n:],
             pending=new_pending)
         return new_state, out, env

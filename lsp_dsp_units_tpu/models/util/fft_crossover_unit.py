@@ -71,22 +71,43 @@ class FFTCrossover:
         return self.proc.block
 
     def init_state(self, batch_shape: Tuple[int, ...] = ()) -> SpectralState:
-        """One spectral engine per band (stacked leading axis B)."""
-        return self.proc.init_state((self.num_bands,) + batch_shape)
+        """ONE shared analysis history; per-band ([B] leading) synthesis
+        tails — the forward FFT is computed once and fanned out."""
+        b = self.num_bands
+        h = self.proc.hop
+        z = lambda shape: jnp.zeros(shape + (h,), jnp.float32)
+        return SpectralState(hist=z(batch_shape),
+                             tail=z((b,) + batch_shape),
+                             pending=z((b,) + batch_shape))
 
     def process(self, state: SpectralState, x: Array,
                 ) -> Tuple[SpectralState, Array]:
         """x [..., T] -> band signals [B, ..., T] (sum ~= linear-phase
-        allpass within mask accuracy)."""
+        allpass within mask accuracy).
+
+        One forward FFT for ALL bands (the reference shares a
+        SpectralSplitter the same way, FFTCrossover.cpp): the masked
+        spectrum fans out to B inverse FFTs + per-band overlap-add."""
         b = self.num_bands
-        xb = jnp.broadcast_to(x, (b,) + x.shape)
+        p = self.proc
+        frames, hops, m = p._frames_from_hist(state.hist, x)
+        spec = jnp.fft.rfft(frames * p._win, axis=-1)     # [..., M, F]
         masks = self.masks.reshape((b,) + (1,) * x.ndim
                                    + (self.masks.shape[-1],))
-
-        def fn(spec):
-            # spec: [B, ..., M, F]
-            return crmul(spec, masks)
-        return self.proc.process(state, xb, fn)
+        spec_b = crmul(spec[None], masks)                 # [B, ..., M, F]
+        y = jnp.fft.irfft(spec_b, p.frame, axis=-1) * p._win
+        h = p.hop
+        heads = y[..., :h]
+        tails = y[..., h:]
+        prev_t = jnp.concatenate(
+            [state.tail[..., None, :], tails[..., :-1, :]], axis=-2)
+        computed = heads + prev_t
+        emitted = jnp.concatenate(
+            [state.pending[..., None, :], computed[..., :-1, :]], axis=-2)
+        out = emitted.reshape((b,) + x.shape).astype(x.dtype)
+        return SpectralState(hist=hops[..., -1, :],
+                             tail=tails[..., -1, :],
+                             pending=computed[..., -1, :]), out
 
     def band_mask(self, band: int) -> np.ndarray:
         """Per-bin gains of a band (reference band_t vFFT)."""

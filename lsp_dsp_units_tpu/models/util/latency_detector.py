@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.ops.cplx import cmul
+from lsp_dsp_units_tpu.utils.units import next_pow2
 
 
 class LDState(enum.Enum):
@@ -32,19 +33,15 @@ class LDState(enum.Enum):
 def make_chirp(n: int, delay_ratio: float = 0.5) -> np.ndarray:
     """Allpass chirp of length n: |H|=1 with quadratic phase; the group
     delay sweeps across the buffer (reference chirp_t fAlpha/fBeta)."""
-    nfft = 1
-    while nfft < 2 * n:
-        nfft <<= 1
+    nfft = next_pow2(2 * n)
     f = np.arange(nfft // 2 + 1)
     w = f / (nfft / 2.0)                       # 0..1
     # group delay tau(w) = delay_ratio*n + (1-delay_ratio)*n * w
     # phase = -2pi/nfft * integral of tau -> quadratic in w
     a = delay_ratio * n
     b = (1.0 - delay_ratio) * n
-    phase = -2.0 * np.pi * (a * f + 0.5 * b * f * w) / nfft * \
-        (nfft / nfft)
+    phase = -2.0 * np.pi * (a * f + 0.5 * b * f * w) / nfft
     spec = np.exp(1j * phase)
-    spec[0] = 1.0
     x = np.fft.irfft(spec, nfft)[: int(2 * n)]
     # normalize energy
     x /= np.sqrt(np.sum(x * x))
@@ -115,9 +112,7 @@ class LatencyDetector:
     def _detect(self) -> None:
         rec = np.concatenate(self._captured)
         n = rec.size
-        nfft = 1
-        while nfft < n + self.chirp.size:
-            nfft <<= 1
+        nfft = next_pow2(n + self.chirp.size)
         X = jnp.fft.rfft(jnp.asarray(rec), nfft)
         C = jnp.fft.rfft(jnp.asarray(self.chirp[::-1].copy()), nfft)
         corr = jnp.fft.irfft(cmul(X, C), nfft)

@@ -57,19 +57,22 @@ class SpectralProcessor:
         z = lambda: jnp.zeros(batch_shape + (h,), jnp.float32)
         return SpectralState(hist=z(), tail=z(), pending=z())
 
-    def _frames(self, state: SpectralState, x: Array):
+    def _frames_from_hist(self, hist: Array, x: Array):
         h = self.hop
         t = x.shape[-1]
         if t % h != 0:
             raise ValueError(
                 f"input length {t} must be a multiple of the hop size "
-                f"({h} samples = 2**(rank-1)/2); use utils.blocks."
+                f"({h} samples = 2**(rank-1)); use utils.blocks."
                 f"BlockStream for arbitrary chunk sizes")
         m = t // h
         hops = x.reshape(x.shape[:-1] + (m, h))
         prev = jnp.concatenate(
-            [state.hist[..., None, :], hops[..., :-1, :]], axis=-2)
+            [hist[..., None, :], hops[..., :-1, :]], axis=-2)
         return jnp.concatenate([prev, hops], axis=-1), hops, m
+
+    def _frames(self, state: SpectralState, x: Array):
+        return self._frames_from_hist(state.hist, x)
 
     def process(self, state: SpectralState, x: Array,
                 fn: Optional[SpectrumFn] = None,
@@ -173,7 +176,7 @@ class SpectralSplitter:
         if t % h != 0:
             raise ValueError(
                 f"input length {t} must be a multiple of the hop size "
-                f"({h} samples = 2**(rank-1)/2); use utils.blocks."
+                f"({h} samples = 2**(chunk_rank-1)); use utils.blocks."
                 f"BlockStream for arbitrary chunk sizes")
         m = t // h
         full = jnp.concatenate([state.hist, x], axis=-1)

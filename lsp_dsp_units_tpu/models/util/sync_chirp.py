@@ -47,6 +47,7 @@ import numpy as np
 
 from lsp_dsp_units_tpu.ops.cplx import cmul
 from lsp_dsp_units_tpu.models.sampling.sample import Sample
+from lsp_dsp_units_tpu.utils.units import next_pow2
 
 # reference constants (SyncChirpProcessor.cpp:33-48)
 MIN_AMPLITUDE = 1.0e-6
@@ -310,9 +311,7 @@ class SyncChirpProcessor:
         # instead would bias every measured frequency response upward
         # by ~1-2 dB, because a band-limited delta's peak is below its
         # in-band magnitude (out-of-band energy is missing by design).
-        nfft = 1
-        while nfft < 2 * self.n:
-            nfft <<= 1
+        nfft = next_pow2(2 * self.n)
         REF = np.fft.rfft(sw, nfft) * np.fft.rfft(inv, nfft)
         freqs = np.fft.rfftfreq(nfft, 1.0 / self.sample_rate)
         band = (freqs >= 1.5 * self.f_start) & (freqs <= 0.75 * self.f_end)
@@ -359,9 +358,7 @@ class SyncChirpProcessor:
         response = np.asarray(response, np.float32)
         inv = self.inverse_filter()
         n = response.size + inv.size
-        nfft = 1
-        while nfft < n:
-            nfft <<= 1
+        nfft = next_pow2(n)
         X = jnp.fft.rfft(jnp.asarray(response), nfft)
         I = jnp.fft.rfft(jnp.asarray(inv), nfft)
         out = jnp.fft.irfft(cmul(X, I), nfft)
@@ -564,8 +561,12 @@ class SyncChirpProcessor:
             count = min(count, x.size - n_copy, win - n_whead)
             buf[n_whead: n_whead + count] = x[n_copy: n_copy + count]
             if inner_smoothing and count > 0:
-                fi = int(min(fade_in, head_gap))
-                fo = int(min(fade_out, tail_gap))
+                # clamp both ramps to the actually-copied span: count
+                # may have been clipped by the conv-result tail above,
+                # and an unclamped fo would place the fade-out ramp
+                # before n_whead (negative slice -> silently empty)
+                fi = int(min(fade_in, head_gap, count))
+                fo = int(min(fade_out, tail_gap, count))
                 if fi > 0:
                     i = np.arange(fi, dtype=np.float64)
                     buf[n_whead: n_whead + fi] *= 0.5 * (

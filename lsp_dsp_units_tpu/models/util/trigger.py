@@ -109,13 +109,22 @@ class Trigger:
 
         (prev, st), states = jax.lax.scan(step, (state.prev, state.state),
                                           x)
+        # one-shot modes lock PER SAMPLE, not per block: only the first
+        # fire in the block is emitted, everything after it reads as
+        # WAITING — exactly what the reference's in-loop lock check
+        # produces (Trigger.cpp process loop)
+        if self.mode in (TriggerMode.SINGLE, TriggerMode.MANUAL):
+            fired = states == FIRED
+            any_fired = jnp.any(fired)
+            first = jnp.argmax(fired)
+            idx = jnp.arange(states.shape[0])
+            states = jnp.where(jnp.logical_and(any_fired, idx > first),
+                               WAITING, states)
+            st = jnp.where(any_fired, jnp.int32(WAITING), st)
+            if bool(any_fired):
+                if self.mode == TriggerMode.SINGLE:
+                    self.single_lock = True
+                else:
+                    self.manual_allow = False
         out_state = TriggerState(prev=prev, state=st)
-        # single mode latches after the first fire in the block
-        if self.mode == TriggerMode.SINGLE:
-            import numpy as _np
-            if bool(jnp.any(states == FIRED)):
-                self.single_lock = True
-        elif self.mode == TriggerMode.MANUAL:
-            if bool(jnp.any(states == FIRED)):
-                self.manual_allow = False
         return out_state, states

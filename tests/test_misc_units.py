@@ -484,3 +484,53 @@ def test_mls_circular_autocorrelation_reference_utest():
         ac = np.fft.irfft(spec * np.conj(spec), p) / p
         assert abs(ac[0] - 1.0) < 1e-6, n_bits
         assert np.abs(ac[1:] + 1.0 / p).max() < 1e-6, n_bits
+
+
+def test_trigger_single_mode_fires_once_per_block():
+    """One-shot locks are enforced PER SAMPLE (reference Trigger.cpp
+    in-loop lock): two rising crossings in one block must yield exactly
+    one FIRED sample in SINGLE mode, and one per activate() in MANUAL."""
+    from lsp_dsp_units_tpu.models.util.trigger import (
+        Trigger, TriggerMode, TriggerType, FIRED)
+
+    x = jnp.asarray([0.0, 1.0, 0.0, 1.0, 0.0], jnp.float32)
+    trg = Trigger(TriggerType.SIMPLE_RISING_EDGE, TriggerMode.SINGLE,
+                  threshold=0.5)
+    st = trg.init_state()
+    st, states = trg.process(st, x)
+    assert int(np.sum(np.asarray(states) == FIRED)) == 1
+    # locked: nothing fires until reset
+    st, states = trg.process(st, x)
+    assert int(np.sum(np.asarray(states) == FIRED)) == 0
+    trg.reset_single_trigger()
+    st, states = trg.process(st, x)
+    assert int(np.sum(np.asarray(states) == FIRED)) == 1
+
+    man = Trigger(TriggerType.SIMPLE_RISING_EDGE, TriggerMode.MANUAL,
+                  threshold=0.5)
+    st = man.init_state()
+    st, states = man.process(st, x)          # not activated yet
+    assert int(np.sum(np.asarray(states) == FIRED)) == 0
+    man.activate_manual_trigger()
+    st, states = man.process(st, x)
+    assert int(np.sum(np.asarray(states) == FIRED)) == 1
+
+
+def test_scaled_meter_graph_period_residual_carry():
+    """When subsampling does not divide the period the frame period
+    must AVERAGE to the request (reference nCount -= nPeriod carry,
+    ScaledMeterGraph.cpp:330-336), not floor to a multiple of the
+    subsampling (0.8% drift for 1000/16)."""
+    from lsp_dsp_units_tpu.models.util.buffers import ScaledMeterGraph
+
+    g = ScaledMeterGraph(frames=64, period=1000, subsampling=16)
+    n = 40000
+    x = np.zeros(n, np.float32)
+    for i in range(0, n, 160):
+        g.process(x[i:i + 160])
+    # 40000 samples / period 1000 = exactly 40 frames with the residual
+    # carried (the floored-period variant would emit every 992 samples,
+    # i.e. 40 frames after only 39680 samples and a drifting timebase)
+    assert g._count < g.period
+    total_frames = (n - g._count) / 1000.0
+    assert total_frames == int(total_frames) == 40
