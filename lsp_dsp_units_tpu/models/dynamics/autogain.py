@@ -128,7 +128,12 @@ class AutoGain:
             gain = jnp.where(silent, s.gain, gain)
             up = jnp.where(silent, s.surge_up, up)
             down = jnp.where(silent, s.surge_down, down)
-            # gain limiting (reference apply_gain_limiting)
+            # gain limiting (reference apply_gain_limiting,
+            # AutoGain.cpp:213-221).  NOTE reference-verbatim: with
+            # F_MAX_GAIN the out_gain snaps straight back to 1.0 the
+            # moment gain dips under max_gain — the smooth kgrow ramp
+            # runs only with the cap DISABLED (recovery after
+            # set_max_gain(off)), exactly as upstream.
             if self.use_max_gain:
                 out_gain = jnp.where(gain >= self.max_gain,
                                      self.max_gain / gain, 1.0)

@@ -171,7 +171,9 @@ class DynamicProcessor:
                                  jnp.where(rise_peaked, nh, hold))
             return dyn.EnvState(new_e, new_peak, new_hold), new_e
 
-        state, env = jax.lax.scan(step, state, jnp.moveaxis(x, -1, 0))
+        from lsp_dsp_units_tpu.ops.unroll import unrolled_scan
+        state, env = unrolled_scan(step, state, jnp.moveaxis(x, -1, 0),
+                                   x.shape[-1], 16)
         env = jnp.moveaxis(env, 0, -1)
         gain = self.reduction(params, env)
         return state, gain, env

@@ -129,29 +129,14 @@ class Gate:
             return state, gain, env
 
         t = x.shape[-1]
-        u = 16 if t % 16 == 0 else 1
-        if u == 1:
-            xs = jnp.moveaxis(x, -1, 0)
-            state, (es, curves) = jax.lax.scan(step, state, xs)
-            env = jnp.moveaxis(es, 0, -1)
-            curves = jnp.moveaxis(curves, 0, -1)
-        else:
-            # unroll u samples per scan step (dispatch overhead dominates)
-            xc = jnp.moveaxis(
-                x.reshape(x.shape[:-1] + (t // u, u)), (-2, -1), (0, 1))
-
-            def chunk(s, xu):
-                es_l, cv_l = [], []
-                for i in range(u):
-                    s, (e, c) = step(s, xu[i])
-                    es_l.append(e)
-                    cv_l.append(c)
-                return s, (jnp.stack(es_l, 0), jnp.stack(cv_l, 0))
-
-            state, (es, curves) = jax.lax.scan(chunk, state, xc)
-            env = jnp.moveaxis(es.reshape((t,) + x.shape[:-1]), 0, -1)
-            curves = jnp.moveaxis(curves.reshape((t,) + x.shape[:-1]),
-                                  0, -1)
+        # shared unroll harness (16 samples per scan step — dispatch
+        # overhead dominates short bodies; falls back to 1 when t is
+        # not a multiple)
+        from lsp_dsp_units_tpu.ops.unroll import unrolled_scan
+        state, (es, curves) = unrolled_scan(step, state,
+                                            jnp.moveaxis(x, -1, 0), t, 16)
+        env = jnp.moveaxis(es, 0, -1)
+        curves = jnp.moveaxis(curves, 0, -1)
         g0 = dyn.gate_x1_gain(k0, env)
         g1 = dyn.gate_x1_gain(k1, env)
         gain = jnp.where(curves == 0, g0, g1)

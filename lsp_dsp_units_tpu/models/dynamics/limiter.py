@@ -80,6 +80,10 @@ class Limiter:
         self.sample_rate = int(sample_rate)
         self.mode = mode
         self.threshold = float(threshold)
+        # NOTE reference-verbatim: `knee` only enters the ALR threshold
+        # (Limiter.cpp:459, thresh = fThreshold*fKnee*-9dB); the patch
+        # loop's knee local starts at 1.0 regardless (Limiter.cpp:715),
+        # so with alr=False this parameter is inert — same as upstream.
         self.knee = float(knee)
         self.alr = bool(alr)
         self.alr_attack_ms = float(alr_attack_ms)
@@ -254,6 +258,19 @@ class Limiter:
         knee0 = jnp.ones(sc.shape[:-1], jnp.float32)
         iters0 = jnp.zeros(sc.shape[:-1], jnp.int32)
         gbuf, _, _ = jax.lax.while_loop(cond, body, (gbuf, knee0, iters0))
+
+        # bounded-loop safety: the reference iterates until no peak
+        # remains; the jit loop caps at MAX_PATCH_ITERS (measured worst
+        # over noise corpora < 512, tests/test_limiter.py).  On a normal
+        # exit every level is already <= threshold and this is a no-op
+        # (corr == 1); if the cap ever trips, residual peaks are clamped
+        # point-wise so the brick-wall contract holds unconditionally.
+        lvl = asc * jax.lax.dynamic_slice_in_dim(gbuf, la, t, axis=-1)
+        corr = jnp.minimum(1.0, params.threshold
+                           / jnp.maximum(lvl, 1e-12))
+        pad = jnp.ones(sc.shape[:-1] + (w,), jnp.float32)
+        pad = jax.lax.dynamic_update_slice_in_dim(pad, corr, la, axis=-1)
+        gbuf = gbuf * pad
 
         gain = jax.lax.dynamic_slice_in_dim(gbuf, 0, t, axis=-1)
         gcarry = jax.lax.dynamic_slice_in_dim(gbuf, t, 5 * la, axis=-1)

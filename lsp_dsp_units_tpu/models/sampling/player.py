@@ -301,6 +301,7 @@ def _mix_batch(out: np.ndarray, data: np.ndarray, b: _Batch, t0: int,
 class SamplePlayer:
     def __init__(self, max_samples: int = 64, max_playbacks: int = 64):
         self.samples: Dict[int, Sample] = {}
+        self.max_samples = int(max_samples)
         self.max_playbacks = int(max_playbacks)
         self.playbacks: List[Playback] = []
         self._serial = 0
@@ -308,6 +309,13 @@ class SamplePlayer:
 
     # -- bank management (reference SamplePlayer bind/unbind) --------------
     def bind(self, sample_id: int, sample: Sample) -> None:
+        """Bind a sample into the bank; the bank size is bounded like
+        the reference's init(max_samples) allocation."""
+        if sample_id not in self.samples \
+                and len(self.samples) >= self.max_samples:
+            raise ValueError(
+                f"sample bank full ({self.max_samples}); unbind first "
+                f"or construct SamplePlayer(max_samples=...) larger")
         self.samples[sample_id] = sample
 
     def unbind(self, sample_id: int) -> Optional[Sample]:
@@ -368,9 +376,14 @@ class SamplePlayer:
             data = smp.data[ch]
             n = smp.length
             # a stop() may invalidate precomputed LOOP successors
-            # (reference recompute_next_batch): drop and recompute
+            # (reference recompute_next_batch): drop and recompute —
+            # but only successors that have NOT started rendering yet
+            # (ts >= clock); un-planning a batch that is already
+            # sounding would orphan its half-rendered crossfade and
+            # click at the stop sample
             if pb.state != _PLAY and len(pb.chain) > 1 \
-                    and pb.chain[1].btype == _LOOP:
+                    and pb.chain[1].btype == _LOOP \
+                    and pb.chain[1].ts >= pb.clock:
                 del pb.chain[1:]
                 nxt = _compute_next(pb, pb.chain[0], n)
                 if nxt is not None:

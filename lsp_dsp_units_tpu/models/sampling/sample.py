@@ -253,16 +253,16 @@ class Sample:
                   mode: SampleNormalize = SampleNormalize.ALWAYS,
                   ) -> "Sample":
         peak = float(np.abs(self.data).max()) if self.data.size else 0.0
-        if peak <= 0.0:
+        if peak <= 0.0 or mode == SampleNormalize.NONE:
             return self
-        k = gain / peak
-        if mode == SampleNormalize.NONE:
+        # reference Sample.cpp:958-968: ABOVE acts only when the peak is
+        # ABOVE the target (attenuates), BELOW only when it is below
+        # (amplifies)
+        if mode == SampleNormalize.ABOVE and peak <= gain:
             return self
-        if mode == SampleNormalize.ABOVE and k < 1.0:
+        if mode == SampleNormalize.BELOW and peak >= gain:
             return self
-        if mode == SampleNormalize.BELOW and k > 1.0:
-            return self
-        self.data *= np.float32(k)
+        self.data *= np.float32(gain / peak)
         return self
 
     # -- resampling (reference Sample.cpp:1021-1207) -------------------------

@@ -38,10 +38,13 @@ def unrolled_scan(step: Callable[[Any, Any], Tuple[Any, Any]], init: Any,
         for i in range(u):
             s, y = step(s, jax.tree_util.tree_map(lambda a: a[i], xu))
             outs.append(y)
-        return s, jnp.stack(outs, 0)
+        # tree-stack so steps may emit pytrees (e.g. (env, curve))
+        return s, jax.tree_util.tree_map(
+            lambda *ys: jnp.stack(ys, 0), *outs)
 
     state, ys = jax.lax.scan(chunk, init, xc)     # ys: [T/u, u, ...]
-    return state, ys.reshape((t,) + ys.shape[2:])
+    return state, jax.tree_util.tree_map(
+        lambda a: a.reshape((t,) + a.shape[2:]), ys)
 
 
 __all__ = ["unrolled_scan"]

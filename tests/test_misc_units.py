@@ -534,3 +534,33 @@ def test_scaled_meter_graph_period_residual_carry():
     assert g._count < g.period
     total_frames = (n - g._count) / 1000.0
     assert total_frames == int(total_frames) == 40
+
+
+def test_sample_normalize_above_below_semantics():
+    """Reference Sample.cpp:958-968: ABOVE acts only when the peak is
+    ABOVE the target (attenuates), BELOW only when it is below
+    (amplifies) — these were inverted before round 2."""
+    from lsp_dsp_units_tpu.models.sampling.sample import (Sample,
+                                                          SampleNormalize)
+
+    def make(peak):
+        s = Sample(1, 4, 48000)
+        s.data[0] = np.array([0.0, peak, -peak / 2, 0.0], np.float32)
+        return s
+
+    # peak 0.5 above target 0.25 -> ABOVE attenuates to 0.25
+    s = make(0.5)
+    s.normalize(0.25, SampleNormalize.ABOVE)
+    assert abs(float(np.abs(s.data).max()) - 0.25) < 1e-6
+    # peak 0.5 below target 1.0 -> ABOVE is a no-op
+    s = make(0.5)
+    s.normalize(1.0, SampleNormalize.ABOVE)
+    assert abs(float(np.abs(s.data).max()) - 0.5) < 1e-6
+    # peak 0.5 below target 1.0 -> BELOW amplifies to 1.0
+    s = make(0.5)
+    s.normalize(1.0, SampleNormalize.BELOW)
+    assert abs(float(np.abs(s.data).max()) - 1.0) < 1e-6
+    # peak 0.5 above target 0.25 -> BELOW is a no-op
+    s = make(0.5)
+    s.normalize(0.25, SampleNormalize.BELOW)
+    assert abs(float(np.abs(s.data).max()) - 0.5) < 1e-6

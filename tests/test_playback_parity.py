@@ -303,3 +303,32 @@ def test_player_four_voice_mix_reference_utest():
         sp.process(min(16, n - off), src=src[off: off + 16])
         for off in range(0, n, 16)])
     np.testing.assert_allclose(out, golden, rtol=1e-6, atol=1e-6)
+
+
+def test_stop_mid_crossfade_no_click():
+    """A stop() issued while a loop-restart crossfade is already
+    sounding must let that batch finish instead of un-planning it
+    (reference recompute only replaces batches that have not started):
+    un-planning mid-fade orphaned the half-rendered crossfade and
+    jumped the output by several ramp steps."""
+    ramp = np.arange(64, dtype=np.float32)
+    smp = Sample(1, ramp.size, 48000)
+    smp.data[0] = ramp
+    player = SamplePlayer()
+    player.bind(0, smp)
+    pb = player.play(PlaySettings(loop_start=10, loop_end=40,
+                                  loop_mode=LoopMode.DIRECT,
+                                  xfade_length=8))
+    assert pb is not None
+    out = []
+    # render to t=35 (crossfade into pass 2 starts at 32), then stop
+    for _ in range(7):
+        out.append(player.process(5))
+    pb.stop()
+    for _ in range(8):
+        out.append(player.process(5))
+    y = np.concatenate(out)
+    steps = np.abs(np.diff(y[y != 0.0]))
+    # ramp data moves by ~1/sample; the mid-fade un-planning bug
+    # produced a 6.5-step jump at the stop sample
+    assert steps.max() < 3.0, steps.max()
