@@ -29,7 +29,13 @@ def design_butterworth(order: int, cutoff: float, sample_rate: int,
     """[K, 5] biquads (reference ButterworthFilter::update_settings)."""
     if ftype == BWFilterType.NONE:
         return np.zeros((0, 5))
-    order = int(np.clip(order, 1, 100))
+    # reference clamps (ButterworthFilter.cpp:115-119): order capped at
+    # MAX_ORDER=128 and forced EVEN (odd orders round up); cutoff
+    # limited to [10, sr/2 - 10] Hz — unclamped, cutoff 0 is 0/0 = NaN
+    # and cutoff >= Nyquist puts poles outside the unit circle
+    order = int(np.clip(order, 1, 128))
+    order = order if order % 2 == 0 else order + 1
+    cutoff = float(np.clip(cutoff, 10.0, 0.5 * sample_rate - 10.0))
     ang = 2.0 * np.pi * cutoff
     bin_c = ang / np.tan(0.5 * ang / sample_rate)
     bin_c_sq = bin_c * bin_c

@@ -472,9 +472,11 @@ def _bwc_cascades(ftype_name: str, fp: FilterParams, kf2: float,
             gain = gain1 if lpass else gain2
             kf = tsin * tsin + k * k * tcos * tcos
             c = cs.add()
-            top, bot = (_b(c), _t(c)) if lpass else (_t(c), _b(c))
-            # NOTE reference writes through t/b aliases; for LADDERPASS the
-            # shelf is written into (t=c->b, b=c->t) making it a hi-shelf.
+            # reference Filter.cpp:1247-1248: for LADDERPASS the first
+            # shelf's transfer coefficients go into c->t (numerator),
+            # for LADDERREJ into c->b — i.e. (t, b) NOT swapped for
+            # lpass (the second cascade below is the always-swapped one)
+            top, bot = (_t(c), _b(c)) if lpass else (_b(c), _t(c))
             top[0] = kf / fg
             top[1] = 2.0 * k * tcos
             top[2] = fg

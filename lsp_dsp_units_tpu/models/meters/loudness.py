@@ -224,11 +224,16 @@ class ILUFSMeter:
                     ring=ring, ring_pos=(s2.ring_pos + 1) % self.ring_size,
                     ring_cnt=cnt, loudness=loud)
 
+            # the reference fills this quarter's output with the
+            # PRE-commit loudness and switches only from the next
+            # sample on (ILUFSMeter.cpp:383-387 fills out before the
+            # nBlockOffset >= nBlockSize commit)
+            emitted = jnp.sqrt(jnp.maximum(s.loudness, 0.0))
             s = s._replace(part_sums=ps, part_idx=nidx, blk_full=full)
             s = jax.lax.cond(full, commit, lambda v: v, s)
             # clear the quarter that will be overwritten next
             s = s._replace(part_sums=s.part_sums.at[:, s.part_idx].set(0.0))
-            return s, jnp.sqrt(jnp.maximum(s.loudness, 0.0))
+            return s, emitted
 
         state2, louds = jax.lax.scan(step, state._replace(flt=flt),
                                      jnp.moveaxis(qsums, -1, 0))

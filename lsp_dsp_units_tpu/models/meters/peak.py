@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsp_dsp_units_tpu.ops.sliding import sliding_sum
+
 Array = jax.Array
 
 
@@ -39,13 +41,16 @@ class PeakMeter:
         """x [..., T] -> per-sample held peak [..., T]."""
 
         def step(s: PeakMeterState, xt):
+            # reference PeakMeter.cpp:130-149: the release branch decays
+            # UNCONDITIONALLY (peak *= tau, no clamp at the current
+            # sample); the input only re-latches via the rising branch
+            # on a subsequent sample once the decayed peak falls to it
             a = jnp.abs(xt)
             rising = a >= s.peak
             holding = s.counter > 0
-            decayed = s.peak * self.tau
             new_peak = jnp.where(rising, a,
                                  jnp.where(holding, s.peak,
-                                           jnp.maximum(decayed, a)))
+                                           s.peak * self.tau))
             new_cnt = jnp.where(rising, self.hold,
                                 jnp.maximum(s.counter - 1, 0))
             return PeakMeterState(new_peak, new_cnt), new_peak
@@ -87,12 +92,8 @@ class Panometer:
         t = a.shape[-1]
         fa = jnp.concatenate([state.win_a, a * a], axis=-1)
         fb = jnp.concatenate([state.win_b, b * b], axis=-1)
-        cz_a = jnp.concatenate([jnp.zeros(1, fa.dtype),
-                                jnp.cumsum(fa)], axis=-1)
-        cz_b = jnp.concatenate([jnp.zeros(1, fb.dtype),
-                                jnp.cumsum(fb)], axis=-1)
-        va = (cz_a[n + 1: n + 1 + t] - cz_a[1: 1 + t]) / n
-        vb = (cz_b[n + 1: n + 1 + t] - cz_b[1: 1 + t]) / n
+        va = sliding_sum(fa, n, t) / n
+        vb = sliding_sum(fb, n, t) / n
         if self.law == PanLaw.LINEAR:
             sl = jnp.sqrt(jnp.abs(va))
             sr = jnp.sqrt(jnp.abs(vb))

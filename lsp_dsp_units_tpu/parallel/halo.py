@@ -14,16 +14,32 @@ import jax.numpy as jnp
 
 
 def left_halo(x: jax.Array, overlap: int, axis_name: str) -> jax.Array:
-    """Fetch the last ``overlap`` samples of the left neighbor's shard.
+    """Fetch the last ``overlap`` samples of the left neighbor(s)' shards.
 
-    ``x``: [..., T_local].  Returns [..., overlap]; the first device gets
-    zeros (stream start).  Must be called inside shard_map with
-    ``axis_name`` bound to the time mesh axis.
+    ``x``: [..., T_local].  Returns [..., overlap]; devices near the
+    stream start get zeros for the part reaching before sample 0.  Must
+    be called inside shard_map with ``axis_name`` bound to the time mesh
+    axis.  When ``overlap > T_local`` the halo spans several shards and
+    is assembled by chaining ppermute hops (same discipline as
+    fir_conv_time_sharded) instead of silently truncating.
     """
-    tail = x[..., -overlap:]
     n = jax.lax.axis_size(axis_name)
     perm = [(i, i + 1) for i in range(n - 1)]
-    return jax.lax.ppermute(tail, axis_name, perm)
+    t_local = x.shape[-1]
+    if overlap <= t_local:
+        return jax.lax.ppermute(x[..., -overlap:], axis_name, perm)
+    # chain hops: piece k (k=1 nearest) comes from the k-th left
+    # neighbor; shards beyond the stream start contribute zeros
+    hops = -(-overlap // t_local)
+    pieces = []
+    shard = x
+    got = 0
+    for _ in range(hops):
+        shard = jax.lax.ppermute(shard, axis_name, perm)
+        take = min(t_local, overlap - got)
+        pieces.append(shard[..., -take:])
+        got += take
+    return jnp.concatenate(pieces[::-1], axis=-1)
 
 
 def fir_conv_time_sharded(h_spectra, block: int,

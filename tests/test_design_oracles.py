@@ -229,7 +229,9 @@ def _bwc(type_, slope, gain, quality, kf2):
             kf = tsin * tsin + k * k * tcos * tcos
             top = [kf / fg, 2.0 * k * tcos, fg]
             bot = [fg, 2.0 * k * tcos, kf / fg]
-            t, b = (bot, top) if lp else (top, bot)
+            # Filter.cpp:1247-1248: LADDERPASS writes the transfer
+            # coefficients into c->t (numerator), LADDERREJ into c->b
+            t, b = (top, bot) if lp else (bot, top)
             t = list(t)
             if j == 0:
                 t = [v * g for v in t]

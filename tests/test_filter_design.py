@@ -268,3 +268,24 @@ def test_filter_process_broadcasts_unbatched_state():
     import pytest
     with pytest.raises(ValueError, match="batch shape"):
         f.process(f.init_state((3,)), x)
+
+
+def test_bwc_ladder_shape_anchors():
+    """LADDERPASS boosts the [freq, freq2] band by `gain` and is unity
+    at both extremes; LADDERREJ is the inverse (band at unity, extremes
+    at gain).  Before round 2 the first shelf cascade's numerator and
+    denominator were swapped (Filter.cpp:1247-1248), inverting the
+    response into a +-18 dB full-range shelf."""
+    from lsp_dsp_units_tpu.models.filters import Filter
+    for ft, mid_db, edge_db in (
+            (FilterType.BT_BWC_LADDERPASS, 12.0, 0.0),
+            (FilterType.BT_BWC_LADDERREJ, 0.0, 12.0),
+            (FilterType.BT_LRX_LADDERPASS, 12.0, 0.0)):
+        flt = Filter(SR, FilterParams(ftype=ft, slope=2, freq=1000.0,
+                                      freq2=4000.0, gain=4.0,
+                                      quality=0.0))
+        f = np.array([20.0, 2000.0, 20000.0])
+        mag_db = 20 * np.log10(np.abs(flt.freq_chart(f)))
+        assert abs(mag_db[0] - edge_db) < 0.6, (ft, mag_db)
+        assert abs(mag_db[2] - edge_db) < 0.6, (ft, mag_db)
+        assert abs(mag_db[1] - mid_db) < 1.5, (ft, mag_db)

@@ -42,6 +42,27 @@ def test_left_halo():
         np.testing.assert_array_equal(y[i], np.arange(i * 16 - 4, i * 16))
 
 
+def test_left_halo_spans_multiple_shards():
+    """overlap > T_local chains ppermute hops instead of silently
+    truncating: each device receives the overlap samples immediately
+    preceding its shard, zeros before the stream start."""
+    m = pmesh.make_mesh(chan=1, time=8)
+    t_local, overlap = 16, 40              # spans 2.5 shards
+
+    def f(x):
+        return left_halo(x, overlap, pmesh.TIME_AXIS)
+
+    x = jnp.arange(8 * t_local, dtype=jnp.float32).reshape(1, -1)
+    g = shard_map(f, mesh=m, in_specs=P(pmesh.CHAN_AXIS, pmesh.TIME_AXIS),
+                  out_specs=P(pmesh.CHAN_AXIS, pmesh.TIME_AXIS))
+    y = np.asarray(jax.jit(g)(x)).reshape(8, overlap)
+    for i in range(8):
+        lo = i * t_local - overlap
+        want = np.where(np.arange(lo, i * t_local) >= 0,
+                        np.arange(lo, i * t_local), 0.0)
+        np.testing.assert_array_equal(y[i], want.astype(np.float32))
+
+
 def test_time_sharded_iir_exact():
     rng = np.random.default_rng(0)
     coeffs = _stable_biquads(rng, 3)
