@@ -58,9 +58,11 @@ struct as_handle_t {
 
 inline float sanitize(float v) {
     // strip NaN/Inf/denormals crossing the shared boundary
-    // (reference AudioStream::write_sanitized, dsp::sanitize2)
+    // (reference AudioStream::write_sanitized, dsp::sanitize2) --
+    // only true denormals (< FLT_MIN) are zeroed, small NORMAL
+    // floats pass through
     if (!std::isfinite(v)) return 0.0f;
-    if (std::fabs(v) < 1e-30f) return 0.0f;
+    if (std::fabs(v) < 1.17549435e-38f) return 0.0f;
     return v;
 }
 

@@ -69,7 +69,9 @@ void* se_create(uint32_t block, uint32_t rows) {
 int se_bind(void* ve, void* in_stream, void* out_stream, uint32_t row,
             uint32_t channels) {
     se_engine_t* e = reinterpret_cast<se_engine_t*>(ve);
-    if (channels == 0 || row + channels > e->rows) return -1;
+    // subtraction form avoids uint32 wrap in row + channels
+    if (channels == 0 || row > e->rows || channels > e->rows - row)
+        return -1;
     if (in_stream && as_length(in_stream) / 2 < e->block) return -2;
     if (out_stream && as_length(out_stream) / 2 < e->block) return -2;
     if (in_stream && as_channels(in_stream) != channels) return -3;

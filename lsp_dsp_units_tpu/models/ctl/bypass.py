@@ -45,11 +45,15 @@ class Bypass:
         """Mix dry/wet across the block with the running ramp
         (reference Bypass.cpp:106-208): out = dry + (wet-dry)*(1-gain)."""
         t = dry.shape[-1]
-        n = jnp.arange(1, t + 1, dtype=jnp.float32)
+        # the reference emits with the CURRENT gain and increments
+        # afterwards (Bypass.cpp process: use fGain, then
+        # fGain += fDelta), so sample 0 still carries the pre-ramp gain
+        n = jnp.arange(t, dtype=jnp.float32)
         g = jnp.clip(state.gain[..., None] + state.delta[..., None] * n,
                      0.0, 1.0)
         out = wet + (dry - wet) * g
-        return state._replace(gain=g[..., -1]), out
+        new_gain = jnp.clip(state.gain + state.delta * t, 0.0, 1.0)
+        return state._replace(gain=new_gain), out
 
     def is_bypassed(self, state: BypassState) -> Array:
         return state.gain >= 1.0

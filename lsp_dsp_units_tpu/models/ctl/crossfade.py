@@ -23,6 +23,13 @@ class Crossfade:
         self.delta = 1.0 / self.samples
 
     def init_state(self) -> CrossfadeState:
+        # reference construct() starts with fGain = 1.0 (Crossfade.cpp:44)
+        # so a never-toggled crossfade passes the NEW (fade-in) source;
+        # reset() is what zeroes it
+        return CrossfadeState(counter=jnp.int32(0), gain=jnp.float32(1.0))
+
+    def reset(self, state: CrossfadeState) -> CrossfadeState:
+        """(reference Crossfade::reset, Crossfade.cpp:61-64)"""
         return CrossfadeState(counter=jnp.int32(0), gain=jnp.float32(0.0))
 
     def toggle(self, state: CrossfadeState) -> CrossfadeState:

@@ -1,11 +1,20 @@
 """LFO shape functions, phase in [0, 1) (reference: src/main/misc/lfo.cpp,
-include/.../misc/lfo.h:57-141).  Pure elementwise jnp."""
+include/.../misc/lfo.h:57-141).  Pure elementwise jnp.
+
+The reference bakes its quick_sinf/quick_logf polynomial approximations
+into the emitted shapes (lfo.cpp:46-47,101-113); the default here is the
+EXACT transcendental (better on TPU, ~1.6e-4 / ~76 dB from the
+reference's truncation error).  Pass ``quick=True`` for bit-faithful
+parity with the reference's approximations.
+"""
 
 from __future__ import annotations
 
 import math
 
 import jax.numpy as jnp
+
+from lsp_dsp_units_tpu.models.misc.quickmath import quick_sinf, quick_logf
 
 # host floats — importing this module must not initialize a JAX backend
 _2PI = 2.0 * math.pi
@@ -17,20 +26,22 @@ def triangular(phase):
     return jnp.where(phase < 0.5, phase * 2.0, (1.0 - phase) * 2.0)
 
 
-def sine(phase):
+def sine(phase, quick: bool = False):
+    s = quick_sinf if quick else jnp.sin
     return jnp.where(
         phase >= 0.5,
-        0.5 + 0.5 * jnp.sin((0.75 - phase) * _2PI),
-        0.5 + 0.5 * jnp.sin((phase - 0.25) * _2PI))
+        0.5 + 0.5 * s((0.75 - phase) * _2PI),
+        0.5 + 0.5 * s((phase - 0.25) * _2PI))
 
 
-def step_sine(phase):
+def step_sine(phase, quick: bool = False):
+    s = quick_sinf if quick else jnp.sin
     hi = jnp.where(phase >= 0.75,
-                   0.25 + 0.25 * jnp.sin((0.875 - phase) * _4PI),
-                   0.75 + 0.25 * jnp.sin((0.625 - phase) * _4PI))
+                   0.25 + 0.25 * s((0.875 - phase) * _4PI),
+                   0.75 + 0.25 * s((0.625 - phase) * _4PI))
     lo = jnp.where(phase >= 0.25,
-                   0.75 + 0.25 * jnp.sin((phase - 0.375) * _4PI),
-                   0.25 + 0.25 * jnp.sin((phase - 0.125) * _4PI))
+                   0.75 + 0.25 * s((phase - 0.375) * _4PI),
+                   0.25 + 0.25 * s((phase - 0.125) * _4PI))
     return jnp.where(phase >= 0.5, hi, lo)
 
 
@@ -54,14 +65,16 @@ def rev_parabolic(phase):
     return 4.0 * p * p
 
 
-def logarithmic(phase):
+def logarithmic(phase, quick: bool = False):
     p = jnp.where(phase >= 0.5, 1.0 - phase, phase)
-    return jnp.log(1.0 + 198.0 * p) * _REV_LN100
+    lg = quick_logf if quick else jnp.log
+    return lg(1.0 + 198.0 * p) * _REV_LN100
 
 
-def rev_logarithmic(phase):
+def rev_logarithmic(phase, quick: bool = False):
     p = jnp.where(phase >= 0.5, 1.0 - phase, phase)
-    return 1.0 - jnp.log(100.0 - 198.0 * p) * _REV_LN100
+    lg = quick_logf if quick else jnp.log
+    return 1.0 - lg(100.0 - 198.0 * p) * _REV_LN100
 
 
 def sqrt(phase):

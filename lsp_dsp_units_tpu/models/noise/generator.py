@@ -65,7 +65,9 @@ class NoiseGenerator:
         self.offset = float(offset)
         self.mls = MLS(n_bits=mls_bits, state=mls_seed)
         self.lcg = LCG(lcg_distribution, seed=lcg_seed)
-        self.velvet = Velvet(velvet_type, window_width=velvet_window,
+        from lsp_dsp_units_tpu.models.noise.velvet import VelvetCore
+        self.velvet = Velvet(velvet_type, core=VelvetCore.LCG,
+                             window_width=velvet_window,
                              seed=lcg_seed)
         if color == NoiseColor.WHITE:
             self.tilt = None
@@ -74,11 +76,14 @@ class NoiseGenerator:
                 slope, unit = slope_db_oct, SlopeUnit.DB_PER_OCTAVE
             else:
                 slope, unit = _SLOPES[color], SlopeUnit.NEPER_PER_NEPER
+            # reference Generator.cpp:105,339-341: STLT_NORM_AUTO
+            # (normalize at 20 Hz for falling slopes, 20 kHz for
+            # rising) over [10 Hz, 0.9 * Nyquist] — no 20 kHz cap
             self.tilt = SpectralTilt(
                 sample_rate, order=coloring_order, slope=slope,
                 slope_unit=unit, lower_freq=10.0,
-                upper_freq=min(20000.0, 0.45 * sample_rate),
-                norm=TiltNorm.AT_1_KHZ)
+                upper_freq=0.9 * 0.5 * sample_rate,
+                norm=TiltNorm.AUTO)
             self.tilt.build()
 
     def init_state(self):
@@ -92,7 +97,10 @@ class NoiseGenerator:
             raw = self.velvet.generate(count)
         else:
             raw = self.lcg.process(count).astype(np.float32)
-        y = jnp.asarray(raw, jnp.float32)
+        # amplitude/offset are pushed into the core generators BEFORE
+        # coloring (reference update_settings, Generator.cpp:265-283) —
+        # a DC offset is therefore shaped by the tilt's DC response
+        y = jnp.asarray(raw, jnp.float32) * self.amplitude + self.offset
         if self.tilt is not None:
             state, y = self.tilt.process(state, y)
-        return state, y * self.amplitude + self.offset
+        return state, y

@@ -39,11 +39,17 @@ class LCG:
         a, o = self.amplitude, self.offset
         d = self.distribution
         if d == LCGDistribution.EXPONENTIAL:
-            sign = np.where(
-                self.rand.random(RandomFunction.LINEAR, count) >= 0.5,
-                1.0, -1.0)
-            return sign * a * self.rand.random(RandomFunction.EXP,
-                                               count) + o
+            # the reference draws sign THEN magnitude PER SAMPLE
+            # (LCG.cpp:64-72), so the Randomizer stream interleaves
+            # sign0,mag0,sign1,mag1,... — draw 2*count linear values
+            # and apply the RND_EXP transform to the odd positions
+            from lsp_dsp_units_tpu.models.util.randomizer import \
+                RAND_LAMBDA
+            u = self.rand.random(RandomFunction.LINEAR, 2 * count)
+            sign = np.where(u[0::2] >= 0.5, 1.0, -1.0)
+            mag = (np.exp(RAND_LAMBDA * u[1::2]) - 1.0) \
+                / (np.exp(RAND_LAMBDA) - 1.0)
+            return sign * a * mag + o
         if d == LCGDistribution.TRIANGULAR:
             # the -0.5 sits OUTSIDE the amplitude scaling (asymmetric,
             # non-zero-mean) — reproducing the reference verbatim

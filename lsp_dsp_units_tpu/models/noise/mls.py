@@ -80,9 +80,10 @@ class MLS:
         return (self.amplitude if self.progress()
                 else -self.amplitude) + self.offset
 
-    def _run(self, count: int) -> np.ndarray:
-        """Tight-loop LFSR stepping: local bindings + int.bit_count are
-        ~20x the naive per-sample method-call path.  Advances state."""
+    def _run_bits(self, count: int) -> np.ndarray:
+        """Tight-loop LFSR stepping returning the RAW bit sequence
+        (uint8 0/1): local bindings + int.bit_count are ~20x the naive
+        per-sample method-call path.  Advances state."""
         s = self.state
         taps = self.taps_mask
         fb_bit = self.feedback_bit
@@ -93,28 +94,29 @@ class MLS:
             fb = (s & taps).bit_count() & 1
             s = ((s >> 1) & keep) | (fb << fb_bit)
         self.state = s
-        out = np.frombuffer(bytes(bits), np.uint8).astype(np.float32)
-        return out * (2.0 * self.amplitude) - self.amplitude + self.offset
+        return np.frombuffer(bytes(bits), np.uint8)
+
+    def _scale(self, raw: np.ndarray) -> np.ndarray:
+        return (raw.astype(np.float32) * (2.0 * self.amplitude)
+                - self.amplitude + self.offset)
 
     def process(self, count: int) -> np.ndarray:
         """Generate ``count`` bipolar samples (serial host loop; for
         bulk/tiled use prefer :meth:`full_period`, which is cached)."""
-        return self._run(int(count))
+        return self._scale(self._run_bits(int(count)))
 
     def full_period(self) -> np.ndarray:
         """One full period from the current state, cached per
-        (n_bits, amplitude-independent bit sequence, state): the LFSR
-        returns to its starting state after 2^n - 1 steps, so the period
-        is generated once and reused/tiled."""
+        (n_bits, state): the LFSR returns to its starting state after
+        2^n - 1 steps, so the RAW bit sequence is generated once and
+        scaled by the instance's amplitude/offset on every call
+        (decoding bits back out of a scaled output would corrupt the
+        cache for amplitude <= 0)."""
         key = (self.n_bits, self.state)
-        cached = _PERIOD_CACHE.get(key)
-        if cached is None:
+        raw = _PERIOD_CACHE.get(key)
+        if raw is None:
             start = self.state
-            seq = self._run(self.get_period())
+            raw = self._run_bits(self.get_period())
             assert self.state == start, "MLS period did not cycle"
-            raw = ((seq - self.offset) > 0.0).astype(np.uint8)
             _PERIOD_CACHE[key] = raw
-        else:
-            raw = cached
-        return (raw.astype(np.float32) * (2.0 * self.amplitude)
-                - self.amplitude + self.offset)
+        return self._scale(raw)

@@ -31,8 +31,11 @@ class VelvetCore(enum.Enum):
 
 
 class Velvet:
+    # default core is MLS like the reference's standalone Velvet
+    # (Velvet.cpp:50); NoiseGenerator overrides to LCG, matching its
+    # own defaults (Generator.cpp:60)
     def __init__(self, vtype: VelvetType = VelvetType.OVN,
-                 core: VelvetCore = VelvetCore.LCG,
+                 core: VelvetCore = VelvetCore.MLS,
                  window_width: float = 10.0, arn_delta: float = 0.5,
                  crush: bool = False, crush_prob: float = 0.5,
                  amplitude: float = 1.0, offset: float = 0.0,
@@ -85,13 +88,18 @@ class Velvet:
         elif self.vtype == VelvetType.ARN:
             k = 2.0 * self.arn_delta * (w - 1.0)
             b = (1.0 - self.arn_delta) * (w - 1.0)
-            pos = 0.0
+            # reference accumulates into a size_t, truncating the
+            # fractional part on EVERY step (Velvet.cpp:210-218
+            # `size_t idx; idx += 1.0f + b + k*rv`), not just at
+            # indexing — keeping fractional carry drifts the spike
+            # positions within a few windows
+            pos = 0
             while True:
-                pos += 1.0 + b + k * self._rv()
+                pos = int(pos + 1.0 + b + k * self._rv())
                 if pos >= count:
                     break
-                dst[int(pos)] = (self._crushed_spike() if self.crush
-                                 else self._spike())
+                dst[pos] = (self._crushed_spike() if self.crush
+                            else self._spike())
         elif self.vtype == VelvetType.TRN:
             k = w / (w - 1.0)
             for i in range(count):

@@ -73,8 +73,10 @@ class BlockStream:
             # fresh buffer for the same zero-copy-aliasing reason as push
             pad = np.zeros_like(self._in)
             pad[..., : self._fill] = self._in[..., : self._fill]
-            self._in = pad
-            self.state, y = self.process(self.state, self._in)
+            self.state, y = self.process(self.state, pad)
+            # a fresh _in as well: jnp.asarray may have aliased `pad`
+            # zero-copy, so a later push() must not refill it in place
+            self._in = np.zeros_like(self._in)
             self._out = np.array(y, np.float32)
             head = self._out[..., : self._fill].copy()
         else:

@@ -8,7 +8,6 @@ for the formats the tests need: PCM16/24/32 and float32 RIFF WAVE.
 from __future__ import annotations
 
 import struct
-import wave
 from typing import Tuple
 
 import numpy as np

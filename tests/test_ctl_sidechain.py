@@ -208,3 +208,31 @@ def test_counter_reference_utest_sequence():
     assert c.frequency == pytest.approx(freq * 0.5, rel=1e-4)
     assert c.initial == 400
     assert not c.fired
+
+
+def test_crossfade_fresh_state_selects_fade_in():
+    """Reference construct() starts with fGain=1.0 (Crossfade.cpp:44):
+    a never-toggled crossfade must pass the NEW source, not the old."""
+    from lsp_dsp_units_tpu.models.ctl.crossfade import Crossfade
+    cf = Crossfade(48000, time_s=2.0)
+    st = cf.init_state()
+    a = jnp.ones(8, jnp.float32)
+    b = jnp.full(8, 2.0, jnp.float32)
+    st, out = cf.process(st, a, b, 8)
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_bypass_ramp_first_sample_pre_ramp():
+    """Reference Bypass emits with the CURRENT gain, then increments
+    (Bypass.cpp process) — the first output sample of a transition
+    still carries the pre-ramp gain."""
+    from lsp_dsp_units_tpu.models.ctl.bypass import Bypass
+    bp = Bypass(48000, time_ms=1.0)         # 48-sample ramp
+    st = bp.init_state()                     # starts un-bypassed
+    st = bp.set_bypass(st, True)
+    dry = jnp.ones(8, jnp.float32)
+    wet = jnp.zeros(8, jnp.float32)
+    st, out = bp.process(st, dry, wet)
+    out = np.asarray(out)
+    assert out[0] == 0.0, out[:3]            # still fully wet at n=0
+    assert out[1] > 0.0

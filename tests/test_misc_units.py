@@ -564,3 +564,16 @@ def test_sample_normalize_above_below_semantics():
     s = make(0.5)
     s.normalize(0.25, SampleNormalize.BELOW)
     assert abs(float(np.abs(s.data).max()) - 0.5) < 1e-6
+
+
+def test_mls_full_period_cache_not_poisoned_by_amplitude():
+    """full_period caches RAW bits keyed on (n_bits, state): an
+    amplitude-0 instance must not poison the cache for later
+    instances (bits were previously decoded from the scaled output)."""
+    from lsp_dsp_units_tpu.models.noise.mls import MLS
+    z = MLS(n_bits=9, amplitude=0.0).full_period()
+    assert np.all(z == 0.0)
+    seq = MLS(n_bits=9, amplitude=1.0).full_period()
+    assert set(np.unique(seq)) == {-1.0, 1.0}
+    # and the true MLS balance property: ones = zeros + 1
+    assert int(np.sum(seq > 0)) == int(np.sum(seq < 0)) + 1
