@@ -151,7 +151,13 @@ def bformat_captures(position, yaw: float = 0.0, pitch: float = 0.0,
                      roll: float = 0.0) -> List[CaptureSettings]:
     """First-order ambisonics B-format rig: W (omni) + X/Y/Z
     bidirectional mics along the rotated axes, coincident at
-    ``position``.  Channel order W, X, Y, Z."""
+    ``position``.  Channel order W, X, Y, Z.
+
+    The dipole gain convention is kcos = propagation . capture_dir
+    (reference RayTrace3D.cpp:845,863 — NEGATIVE for a frontal
+    arrival), so the B-format dipoles point along the NEGATED axes:
+    a source in front (+x of the rig) then produces X = +W as every
+    FuMa/AmbiX decoder expects."""
     rig = _rotation(yaw, pitch, roll)
     pos = np.asarray(position, np.float32)
     axes = [np.array([1.0, 0, 0]), np.array([0, 1.0, 0]),
@@ -161,6 +167,6 @@ def bformat_captures(position, yaw: float = 0.0, pitch: float = 0.0,
                            pattern=CapturePattern.OMNI)]
     for ax in axes:
         out.append(CaptureSettings(
-            position=pos, direction=(rig @ ax).astype(np.float32),
+            position=pos, direction=(-(rig @ ax)).astype(np.float32),
             pattern=CapturePattern.BIDIR))
     return out

@@ -39,10 +39,11 @@ seen from vsrc) within the cone containing an expected
 ray budget (the estimator is unbiased per beam family; its relative
 error shrinks as R grows because the in-cone count scales as sqrt(R)).
 Delay, air absorption and occlusion use the physical leg from the
-segment start.  Capture legs are occlusion-tested against every
-triangle, scaled by the product of the transparencies along the leg
-(opaque = blocked).  Directivity gains are the reference's six
-patterns (captures.pattern_gain).
+segment start, at the ray's medium speed.  Capture legs are
+BINARY-occluded against every triangle (any crossing blocks the leg;
+transmitted arrivals are delivered by the refracted continuation ray,
+never by scaling the leg — see _segment_clear).  Directivity gains are
+the reference's six patterns (captures.pattern_gain).
 """
 
 from __future__ import annotations
@@ -91,12 +92,11 @@ class Capture:
             self.direction = np.array([1.0, 0.0, 0.0], np.float32)
 
 
-def _intersect(origins, dirs, tri, eps=1e-6):
-    """Batched Möller-Trumbore: rays [R,3]x[R,3] vs triangles [T,3,3].
-
-    Returns (t_hit [R], tri_idx [R]) — nearest positive intersection
-    (the TPU replacement for the reference's rt::context scan/cull/split
-    pipeline: test EVERYTHING, reduce with argmin)."""
+def _mt_hits(origins, dirs, tri, eps):
+    """Shared Möller-Trumbore core: rays [R,3]x[R,3] vs triangles
+    [T,3,3] -> (inside [R,T] bool: ray line passes through the
+    triangle ahead of the origin, t [R,T] ray parameter).  Callers add
+    their own range predicate and reduction."""
     v0 = tri[:, 0]
     e1 = tri[:, 1] - v0            # [T, 3]
     e2 = tri[:, 2] - v0
@@ -109,37 +109,41 @@ def _intersect(origins, dirs, tri, eps=1e-6):
     qvec = jnp.cross(tvec, e1[None, :, :])
     v = jnp.sum(dirs[:, None, :] * qvec, -1) * inv_det
     t = jnp.sum(e2[None, :, :] * qvec, -1) * inv_det
-    valid = ((jnp.abs(det) > eps) & (u >= -eps) & (v >= -eps)
-             & (u + v <= 1.0 + eps) & (t > 1e-4))
-    t = jnp.where(valid, t, jnp.inf)
+    inside = ((jnp.abs(det) > eps) & (u >= -eps) & (v >= -eps)
+              & (u + v <= 1.0 + eps) & (t > 1e-4))
+    return inside, t
+
+
+def _intersect(origins, dirs, tri, eps=1e-6):
+    """Batched Möller-Trumbore: rays [R,3]x[R,3] vs triangles [T,3,3].
+
+    Returns (t_hit [R], tri_idx [R]) — nearest positive intersection
+    (the TPU replacement for the reference's rt::context scan/cull/split
+    pipeline: test EVERYTHING, reduce with argmin)."""
+    inside, t = _mt_hits(origins, dirs, tri, eps)
+    t = jnp.where(inside, t, jnp.inf)
     idx = jnp.argmin(t, axis=-1)                        # [R]
     t_hit = jnp.take_along_axis(t, idx[:, None], -1)[:, 0]
     return t_hit, idx
 
 
-def _segment_transmission(origins, dirs, seg_len, tri, trans, eps=1e-6):
-    """Amplitude transmission factor of each segment [L] from ``origins``
-    along ``dirs`` up to ``seg_len``: the product of the transparencies
-    of every triangle the segment crosses (1.0 = clear line of sight,
-    0.0 = an opaque blocker).  ``trans`` is [T, 2] (outer, inner);
-    the side is picked from the crossing direction."""
-    v0 = tri[:, 0]
-    e1 = tri[:, 1] - v0
-    e2 = tri[:, 2] - v0
-    pvec = jnp.cross(dirs[:, None, :], e2[None, :, :])
-    det = jnp.sum(pvec * e1[None, :, :], -1)
-    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
-    tvec = origins[:, None, :] - v0[None, :, :]
-    u = jnp.sum(tvec * pvec, -1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(dirs[:, None, :] * qvec, -1) * inv_det
-    t = jnp.sum(e2[None, :, :] * qvec, -1) * inv_det
-    crossed = ((jnp.abs(det) > eps) & (u >= -eps) & (v >= -eps)
-               & (u + v <= 1.0 + eps) & (t > 1e-4)
-               & (t < seg_len[:, None] * (1.0 - 1e-3)))
-    # det > 0 <=> the segment crosses the front (outer) face
-    tr = jnp.where(det > 0.0, trans[None, :, 0], trans[None, :, 1])
-    return jnp.prod(jnp.where(crossed, tr, 1.0), axis=-1)   # [L]
+def _segment_clear(origins, dirs, seg_len, tri, eps=1e-6):
+    """Binary line-of-sight of each segment [L] from ``origins`` along
+    ``dirs`` up to ``seg_len``: 1.0 when NO triangle crosses the
+    segment, else 0.0.
+
+    Capture legs must be binary-occluded even by transparent geometry:
+    the transmitted wavefront is delivered by the REFRACTED
+    continuation ray (which carries amp*transparency, the changed
+    speed, and deposits on its own bounce) — scaling this leg by the
+    crossed transparencies as well double-counted every arrival behind
+    a (partially) transparent wall (measured 2x on a fully transparent
+    one).  The reference equivalently stops each beam at the first
+    surface and lets the transmitted view deposit separately
+    (RayTrace3D.cpp:765-791)."""
+    inside, t = _mt_hits(origins, dirs, tri, eps)
+    crossed = inside & (t < seg_len[:, None] * (1.0 - 1e-3))
+    return jnp.where(jnp.any(crossed, axis=-1), 0.0, 1.0)   # [L]
 
 
 class RayTrace3D:
@@ -171,6 +175,12 @@ class RayTrace3D:
         self.sources.append(src)
 
     def add_capture(self, cap: Union[Capture, CaptureSettings]) -> None:
+        d = np.asarray(cap.direction, np.float32)
+        if not np.isfinite(d).all() or float(np.linalg.norm(d)) < 1e-9:
+            raise ValueError(
+                "capture direction must be a finite non-zero vector "
+                f"(got {d!r}); it is normalized for the directivity "
+                "gain, so a zero vector would NaN the whole IR")
         self.captures.append(cap)
 
     def cancel(self) -> None:
@@ -232,23 +242,27 @@ class RayTrace3D:
             gains = jnp.stack(
                 [pattern_gain(self._pattern_of(c), kcos[:, ci])
                  for ci, c in enumerate(self.captures)], axis=1)
-            delay = when[:, None] + cd / SPEED_OF_SOUND
+            # the capture leg rides the RAY'S medium speed (reference
+            # capture() uses v->speed for the final leg) so arrivals
+            # inside/behind permeable media bin at the right sample
+            delay = when[:, None] + cd / speed[:, None]
             raw_bins = (delay * self.sample_rate).astype(jnp.int32)
             # arrivals past the IR length are DROPPED (zero amplitude),
             # not clamped — clamping would pile all late reflections
             # into a spurious energy spike at the final sample
             in_range = raw_bins < self.ir_len
             bins = jnp.clip(raw_bins, 0, self.ir_len - 1)
-            # occlusion with transparency: the leg is scaled by the
-            # product of transparencies of every crossed triangle
+            # BINARY occlusion (see _segment_clear: transmitted
+            # arrivals are delivered by the refracted continuation,
+            # never by scaling this leg)
             flat_o = jnp.broadcast_to(
                 origins[:, None, :], seg.shape).reshape(-1, 3)
-            leg_tr = _segment_transmission(
-                flat_o, cdirs.reshape(-1, 3), cd.reshape(-1), tri,
-                mat[:, 6:8]).reshape(cd.shape)
+            leg_clear = _segment_clear(
+                flat_o, cdirs.reshape(-1, 3), cd.reshape(-1),
+                tri).reshape(cd.shape)
             dep = jnp.where(
                 aligned & in_range,
-                amp[:, None] * comp * gains * leg_tr
+                amp[:, None] * comp * gains * leg_clear
                 * jnp.exp(-self.air * cd)
                 / jnp.maximum(vL, 0.05), 0.0)
 
@@ -312,7 +326,8 @@ class RayTrace3D:
         for si, src in enumerate(self.sources):
             if self._cancelled:
                 break
-            o_np, d_np, s_np, a_np = source_rays(src, self.rays)
+            o_np, d_np, s_np, a_np = source_rays(src, self.rays,
+                                                 self.seed)
             origins = jnp.asarray(o_np)
             dirs = jnp.asarray(d_np)
             vsrc = jnp.asarray(s_np)

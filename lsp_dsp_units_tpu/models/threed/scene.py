@@ -122,7 +122,13 @@ class Scene3D:
                     verts.append((float(parts[1]), float(parts[2]),
                                   float(parts[3])))
                 elif parts[0] == "f":
-                    idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                    # OBJ indices are 1-based; NEGATIVE indices are
+                    # relative to the vertices read so far (-1 = most
+                    # recent) per the spec — int(p)-1 would off-by-one
+                    # them through numpy wrapping
+                    raw = [int(p.split("/")[0]) for p in parts[1:]]
+                    idx = [r - 1 if r > 0 else len(verts) + r
+                           for r in raw]
                     for i in range(1, len(idx) - 1):   # fan triangulate
                         faces.append((idx[0], idx[i], idx[i + 1]))
         flush()

@@ -280,15 +280,19 @@ def source_groups(cfg: SourceSettings) -> List[Tuple]:
     raise ValueError(f"unknown source shape {sh}")
 
 
-def _r2_sequence(n: int) -> np.ndarray:
-    """Low-discrepancy 2D points in [0,1)^2 (R2 sequence)."""
+def _r2_sequence(n: int, seed: int = 0) -> np.ndarray:
+    """Low-discrepancy 2D points in [0,1)^2 (R2 sequence).  ``seed``
+    applies a Cranley-Patterson rotation so different seeds give
+    decorrelated (still stratified) fans for variance estimation."""
     g = 1.32471795724474602596   # plastic number
     a = np.array([1.0 / g, 1.0 / (g * g)])
     i = np.arange(1, n + 1, dtype=np.float64)[:, None]
-    return (0.5 + i * a[None, :]) % 1.0
+    shift = np.asarray(
+        np.random.default_rng(seed).random(2) if seed else (0.0, 0.0))
+    return (0.5 + shift[None, :] + i * a[None, :]) % 1.0
 
 
-def source_rays(cfg: SourceSettings, total_rays: int,
+def source_rays(cfg: SourceSettings, total_rays: int, seed: int = 0,
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Emit a stratified ray fan for the configured source.
 
@@ -311,7 +315,7 @@ def source_rays(cfg: SourceSettings, total_rays: int,
         raise ValueError("degenerate source geometry")
     n_g = len(groups)
     per = max(1, int(np.ceil(total_rays / n_g)))
-    uv = _r2_sequence(per)
+    uv = _r2_sequence(per, seed)
     # square -> triangle warp (keeps stratification)
     su = np.sqrt(uv[:, 0])
     b0 = 1.0 - su

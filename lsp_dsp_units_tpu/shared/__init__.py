@@ -161,6 +161,14 @@ class AudioStream:
             raise ValueError(f"write expects {c} channel rows, "
                              f"got {data.shape[0]}")
         frames = data.shape[1]
+        max_blk = self.length // 2
+        if frames > max_blk:
+            # as_write clamps frames to length/2 but strides the CALLER
+            # buffer by the clamped count — channels >= 1 would be read
+            # from the wrong rows, silently scrambling the audio
+            raise ValueError(
+                f"write block of {frames} frames exceeds the stream's "
+                f"max block ({max_blk} = length/2); split the write")
         ptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         return self._lib.as_write(self._h, ptr, frames)
 

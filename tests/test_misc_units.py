@@ -577,3 +577,39 @@ def test_mls_full_period_cache_not_poisoned_by_amplitude():
     assert set(np.unique(seq)) == {-1.0, 1.0}
     # and the true MLS balance property: ones = zeros + 1
     assert int(np.sum(seq > 0)) == int(np.sum(seq < 0)) + 1
+
+
+def test_quantized_counter_sliding_window():
+    """Windowed histogram parity with a brute-force recount of the
+    last `period` samples, including the reference's C truncation
+    bucket edges (values in (min-step, min) count at level 0, NOT
+    below — QuantizedCounter.cpp inc_counters :203-207) and NaNs."""
+    from lsp_dsp_units_tpu.models.stat import QuantizedCounter
+
+    rng = np.random.default_rng(5)
+    period, levels, lo, hi = 100, 8, -1.0, 1.0
+    qc = QuantizedCounter(lo, hi, levels=levels, period=period)
+    st = qc.init_state()
+    stream = (rng.standard_normal(700) * 1.3).astype(np.float32)
+    stream[::37] = np.nan
+    step = (hi - lo) / levels
+
+    fed = 0
+    for chunk in (3, 50, 7, 120, 99, 1, 200, 220):
+        x = stream[fed:fed + chunk]
+        fed += x.size
+        st = qc.process(st, jnp.asarray(x))
+        win = stream[max(0, fed - period):fed]
+        w = win[~np.isnan(win)]
+        raw = (w - lo) / step
+        idx = raw.astype(np.int32)            # C trunc toward zero
+        below = int(np.sum(raw <= -1.0))
+        above = int(np.sum(idx >= levels))
+        inside = idx[(raw > -1.0) & (idx < levels)]
+        expect = np.bincount(np.clip(inside, 0, levels - 1),
+                             minlength=levels)
+        np.testing.assert_array_equal(np.asarray(st.counts), expect)
+        assert int(st.below) == below
+        assert int(st.above) == above
+        assert int(st.nans) == int(np.isnan(win).sum())
+        assert int(st.total) == win.size
