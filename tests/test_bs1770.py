@@ -101,3 +101,30 @@ def test_true_peak_sine_anchor():
     peak_v = float(np.asarray(peak).reshape(-1)[0])
     assert peak_v >= sample_peak - 1e-3
     assert peak_v < 0.52
+
+
+def test_ebu_tech3341_case5_style_mixed_levels():
+    """Tech 3341 case-5 shape: 20 s at -26, 20.1 s at -20, 20 s at -26
+    (mono sine).  Both level segments survive the -10 LU relative gate,
+    so the integrated loudness is the duration-weighted POWER mean:
+    10*log10((40*10^-2.6 + 20.1*10^-2.0) / 60.1) ~= -23.0 LUFS
+    (analytic, tolerance +-0.1 LU like the EBU minimum requirement)."""
+    # a mono 997 Hz sine measuring exactly L LUFS needs amplitude
+    # a = 10^((L + 0.691 - k997_db)/20) * sqrt(2); using the meter's
+    # own K-weighting gain at 997 Hz keeps the anchor analytic
+    m = ILUFSMeter(SR, channels=1, weighting=Weighting.K)
+
+    def seg(lufs, seconds):
+        # calibrate amplitude via a quick probe at unit amplitude
+        x = _sine(1.0, int(SR * seconds))
+        base = _integrated(x[None, : SR * 4].copy()
+                           if x.size > SR * 4 else x[None])
+        amp = 10.0 ** ((lufs - base) / 20.0)
+        return (x * amp).astype(np.float32)
+
+    x = np.concatenate([seg(-26.0, 20.0), seg(-20.0, 20.1),
+                        seg(-26.0, 20.0)])[None]
+    got = _integrated(x)
+    expect = 10.0 * np.log10(
+        (40.0 * 10.0 ** -2.6 + 20.1 * 10.0 ** -2.0) / 60.1)
+    assert abs(got - expect) < 0.1, (got, expect)
