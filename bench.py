@@ -12,7 +12,8 @@ anchor).
 Robustness: the TPU tunnel backend (axon) intermittently hangs inside
 compilation or poisons the client after one failed op, so each
 measurement config runs in a SUBPROCESS with a hard timeout; on failure
-the next (smaller) config is tried, with one retry each.
+the next config in CONFIGS is tried (the scan config is listed twice —
+its second entry doubles as the retry).
 """
 
 import json
@@ -54,29 +55,17 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
 
     if delivery == "i16":
         # deliver the chain output as TPDF-dithered 16-bit PCM — the
-        # reference's own output format (Dither.cpp feeds the 16-bit
-        # sink); 4x fewer D2H bytes than f32, which is what the
-        # delivery-bound dispatch actually pays for
-        # (benchmarks/delivery_probe.py: f32 128.6M -> i16 233.8M in the
-        # same run).  The TPDF noise comes from a precomputed
-        # device-resident table sliced at a per-call offset — the same
-        # table-seeded-randomizer design as the reference Dither, and
-        # ~5% faster than threefry jax.random per call.
-        rng_t = np.random.default_rng(7)
-        delta_half = 0.5 / 32768.0
-        table = jnp.asarray(
-            ((rng_t.random((channels, t + 65536))
-              + rng_t.random((channels, t + 65536)) - 1.0)
-             * delta_half).astype(np.float32))
+        # reference's own output format; 4x fewer D2H bytes than f32,
+        # which is what the delivery-bound dispatch actually pays for
+        # (benchmarks/delivery_probe.py: f32 128.6M -> i16 233.8M in
+        # the same run).  See utils/delivery.py (shared with the probe).
+        from lsp_dsp_units_tpu.utils.delivery import (tpdf_i16_table,
+                                                      quantize_i16)
+        table = tpdf_i16_table(channels, t)
 
         def step_fn(params, state, x, k):
             state, y = chain.step(params, state, x)
-            noise = jax.lax.dynamic_slice(
-                table, (jnp.uint32(0), k & 65535),
-                (channels, y.shape[-1]))
-            q = jnp.clip((y + noise) * 32767.0,
-                         -32768.0, 32767.0).astype(jnp.int16)
-            return state, q
+            return state, quantize_i16(y, table, k)
     else:
         def step_fn(params, state, x, k):
             return chain.step(params, state, x)
@@ -108,8 +97,14 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
     # warm up / compile; np.asarray forces a real device->host fetch so
     # deferred backend errors surface here
     state, y = step(params, state, x, jnp.uint32(0))
-    y_host = np.asarray(y, np.float32)
-    assert np.all(np.isfinite(y_host)), "non-finite bench output"
+    np.asarray(y)
+    # validity must be checked on the REAL-VALUED output: the i16 cast
+    # would silently swallow NaN (isfinite on int16 is vacuous), so
+    # probe one raw f32 step (its compile is shared with the f32
+    # fallback configs and long-cached)
+    _, y_f32 = jax.jit(chain.step)(params, chain.init_state(params), x)
+    assert np.all(np.isfinite(np.asarray(y_f32))), \
+        "non-finite chain output"
 
     # three timed windows, report the best: the tunnel's per-call latency
     # jitters (occasional 100+ ms stalls), and steady-state throughput is

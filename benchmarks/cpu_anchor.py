@@ -103,6 +103,10 @@ def main() -> None:
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int32)
 
+    # loop-invariant: the IR partition spectra in working precision
+    # (converting inside the measured loop deflated the anchor)
+    hs64 = hs.astype(np.complex64)
+
     def run(x):
         t = x.shape[-1]
         # 1. EQ cascade (scipy C lfilter, all channels, per stage)
@@ -120,7 +124,7 @@ def main() -> None:
             spec = np.fft.rfft(frame, nfft, axis=-1).astype(np.complex64)
             fdl = np.roll(fdl, 1, axis=1)
             fdl[:, 0] = spec
-            acc = np.einsum("cpf,pf->cf", fdl, hs.astype(np.complex64))
+            acc = np.einsum("cpf,pf->cf", fdl, hs64)
             conv = np.fft.irfft(acc, nfft, axis=-1)[:, block:].astype(
                 np.float32)
             # sliding RMS over reactivity window

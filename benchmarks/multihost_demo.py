@@ -67,16 +67,21 @@ def worker() -> None:
 
     if pid == 0:
         ref_state = chain.init_state(params)
-        errs = []
+        snrs = []
         for got in outs:
             ref_state, y_ref = chain.step(params, ref_state,
                                           jnp.asarray(x))
-            err = float(np.abs(np.asarray(got) - np.asarray(y_ref)).max())
-            ref = float(np.abs(np.asarray(y_ref)).max())
-            errs.append(err / max(ref, 1e-9))
-        ok = all(e < 1e-3 for e in errs)
-        print(json.dumps({"processes": n, "rel_err_per_step": errs,
-                          "ok": ok}), flush=True)
+            ref = np.asarray(y_ref)
+            err = np.asarray(got) - ref
+            p_sig = float(np.sum(ref * ref))
+            p_err = float(np.sum(err * err))
+            snrs.append(10.0 * np.log10(p_sig / max(p_err, 1e-30)))
+        # the documented contract: distributed == single-process at
+        # >= 95 dB SNR, the same north star as the sharding unit tests
+        ok = all(s >= 95.0 for s in snrs)
+        print(json.dumps({"processes": n, "snr_db_per_step":
+                          [round(s, 1) for s in snrs], "ok": ok}),
+              flush=True)
         if not ok:
             raise SystemExit(1)
 
@@ -109,15 +114,28 @@ def main() -> None:
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=ROOT))
     ok = True
-    for pid, p in enumerate(procs):
-        out, err = p.communicate(timeout=600)
-        for line in out.splitlines():
-            if line.strip().startswith("{"):
-                print(line)
-        if p.returncode != 0:
-            ok = False
-            print(f"# worker {pid} rc={p.returncode}: {err[-400:]}",
-                  file=sys.stderr)
+    try:
+        for pid, p in enumerate(procs):
+            try:
+                out, err = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                ok = False
+                print(f"# worker {pid} timed out", file=sys.stderr)
+                continue
+            for line in out.splitlines():
+                if line.strip().startswith("{"):
+                    print(line)
+            if p.returncode != 0:
+                ok = False
+                print(f"# worker {pid} rc={p.returncode}: {err[-400:]}",
+                      file=sys.stderr)
+    finally:
+        # one hung worker must not orphan its siblings (they hold the
+        # coordinator port and gloo rendezvous forever)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     if not ok:
         raise SystemExit(1)
 

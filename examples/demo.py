@@ -39,7 +39,11 @@ def main() -> None:
         bs = BlockStream(lambda st, xb: proc(st, jnp.asarray(xb)),
                          flt.init_state((x.shape[0],)), 4096,
                          (x.shape[0],))
-        y = np.concatenate([bs.push(x), bs.flush()], axis=-1)[:, :x.shape[1]]
+        # push() output is delayed one block; the aligned signal is
+        # [block : block + n] of push+flush (the leading zeros are the
+        # BlockStream latency, the flush tail completes the last block)
+        full = np.concatenate([bs.push(x), bs.flush()], axis=-1)
+        y = full[:, 4096: 4096 + x.shape[1]]
     elif mode == "chain":
         chain = FilterConvChain(sr, channels=x.shape[0], rank=12,
                                 ir_seconds=0.5)
@@ -55,7 +59,7 @@ def main() -> None:
         t = (x.shape[1] // meter.block) * meter.block
         st, out = meter.process(st, jnp.asarray(x[:, :t]))
         lufs = gain_to_db(float(np.asarray(
-            meter.loudness_lufs_gain(st)))) if True else 0.0
+            meter.loudness_lufs_gain(st))))
         print(f"integrated loudness: {lufs:.2f} LUFS")
         y = np.asarray(out)[None]
     elif mode == "sampler":

@@ -54,7 +54,6 @@ def main() -> None:
         print(f"wrote {ir_path} ({ir.size} taps)")
 
     conv = Convolver(ir, rank=12)
-    st = conv.init_state()
     t = (x.shape[1] // conv.block) * conv.block
     outs = []
     for c in range(x.shape[0]):
