@@ -75,8 +75,8 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
         # consecutive blocks inside ONE jit, returning the stacked i16
         # output — the TPU-idiomatic amortization of the tunnel's
         # ~1.2 ms dispatch floor and ~1 ms per-returned-array overhead
-        # (measured: K=1 376M -> K=16 595M samples/s in the same run,
-        # .scratch/scan_probe.py).  Chain semantics are unchanged:
+        # (measured: K=1 376M -> K=16 595M samples/s in the same run;
+        # NUMERICS.md "Scan super-step").  Chain semantics are unchanged:
         # blocks are processed sequentially with carried state.
         inner = step_fn
 
@@ -131,7 +131,7 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
 
 
 # the K=16 scanned super-step is the measured optimum (595M samples/s
-# vs 376M one-block in the same run, .scratch/scan_probe.py): one
+# vs 376M one-block in the same run; NUMERICS.md "Scan super-step"): one
 # dispatch carries 16 blocks through the chain and returns the stacked
 # i16 output.  It runs twice because tunnel weather varies up to 3x
 # between processes — the best steady-state window is the capability
