@@ -613,3 +613,24 @@ def test_quantized_counter_sliding_window():
         assert int(st.above) == above
         assert int(st.nans) == int(np.isnan(win).sum())
         assert int(st.total) == win.size
+
+
+def test_tpdf_i16_delivery_helper():
+    """utils/delivery: the shared bench/probe dither quantizes within
+    +-1 LSB of round(y*32767), clips at the int16 rails, and the noise
+    table is +-0.5 LSB TPDF (zero-mean, triangular)."""
+    from lsp_dsp_units_tpu.utils.delivery import (tpdf_i16_table,
+                                                  quantize_i16)
+    table = tpdf_i16_table(2, 64, seed=3)
+    tn = np.asarray(table)
+    assert np.abs(tn).max() <= 0.5 / 32768.0 * 2.0 + 1e-9  # sum of two
+    assert abs(float(tn.mean())) < 1e-6
+    y = jnp.asarray(np.linspace(-1.5, 1.5, 64, dtype=np.float32)[None]
+                    .repeat(2, 0))
+    q = np.asarray(quantize_i16(y, table, jnp.uint32(5)))
+    assert q.dtype == np.int16
+    assert q.min() == -32768 and q.max() == 32767        # rails clip
+    mid = np.asarray(y)[0, 20:44] * 32767.0
+    # astype(int16) truncates toward zero after the +-0.5 LSB dither,
+    # so the worst deviation from the exact value is 1.5 LSB
+    assert np.all(np.abs(q[0, 20:44] - mid) <= 1.5)
