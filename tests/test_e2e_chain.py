@@ -138,3 +138,46 @@ def test_block_stream_flush_drains_full_latency():
         assert got.size == n + 8
         np.testing.assert_array_equal(got[8:], x)
         np.testing.assert_array_equal(got[:8], 0.0)
+
+
+def test_bench_scan_superstep_matches_sequential():
+    """The bench's K-block lax.scan super-step must produce EXACTLY the
+    same i16 blocks and carried state as K sequential step calls (the
+    'chain semantics unchanged' claim bench.py makes)."""
+    import jax
+    from lsp_dsp_units_tpu.pipeline import FilterConvChain
+    from lsp_dsp_units_tpu.utils.delivery import (tpdf_i16_table,
+                                                  quantize_i16)
+
+    chain = FilterConvChain(48000, channels=4, rank=9, ir_seconds=0.05)
+    params = chain.build()
+    t = chain.block
+    table = tpdf_i16_table(4, t)
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.standard_normal((4, t)).astype(np.float32) * 0.25)
+    K = 5
+
+    def step_fn(params, state, x, k):
+        state, y = chain.step(params, state, x)
+        return state, quantize_i16(y, table, k)
+
+    def super_fn(params, state, x, k0):
+        def body(carry, _):
+            st, k = carry
+            st, q = step_fn(params, st, x, k)
+            return (st, k + jnp.uint32(1)), q
+        (st, _), qs = jax.lax.scan(body, (state, k0), None, length=K)
+        return st, qs
+
+    st_seq = chain.init_state(params)
+    seq_out = []
+    for k in range(K):
+        st_seq, q = jax.jit(step_fn)(params, st_seq, xb, jnp.uint32(k))
+        seq_out.append(np.asarray(q))
+    st_scan, qs = jax.jit(super_fn)(params, chain.init_state(params),
+                                    xb, jnp.uint32(0))
+    np.testing.assert_array_equal(np.stack(seq_out), np.asarray(qs))
+    for a, b in zip(jax.tree_util.tree_leaves(st_seq),
+                    jax.tree_util.tree_leaves(st_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
