@@ -24,5 +24,8 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 
 # Persistent compilation cache: kernels with associative scans compile
 # slowly; cache across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

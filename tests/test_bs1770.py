@@ -91,7 +91,7 @@ def test_momentary_vs_integrated_consistency():
 def test_true_peak_sine_anchor():
     """True peak of an inter-sample-peaking signal exceeds the sample
     peak (BS.1770 annex 2 oversampled measurement)."""
-    # 997 Hz shifted so samples straddle the crest
+    # ~SR/4 tone so samples straddle the crest (inter-sample peak)
     t = np.arange(SR) / SR
     x = (0.5 * np.sin(2 * np.pi * 11993.5 * t)).astype(np.float32)[None]
     tp = TruePeakMeter(SR)
@@ -112,15 +112,14 @@ def test_ebu_tech3341_case5_style_mixed_levels():
     # a mono 997 Hz sine measuring exactly L LUFS needs amplitude
     # a = 10^((L + 0.691 - k997_db)/20) * sqrt(2); using the meter's
     # own K-weighting gain at 997 Hz keeps the anchor analytic
-    m = ILUFSMeter(SR, channels=1, weighting=Weighting.K)
+    # calibrate once: the integrated loudness of a unit 997 Hz sine
+    # (the meter's own K-weighted response), then scale segments to hit
+    # their target LUFS analytically
+    base = _integrated(_sine(1.0, SR * 4)[None])
 
     def seg(lufs, seconds):
-        # calibrate amplitude via a quick probe at unit amplitude
-        x = _sine(1.0, int(SR * seconds))
-        base = _integrated(x[None, : SR * 4].copy()
-                           if x.size > SR * 4 else x[None])
         amp = 10.0 ** ((lufs - base) / 20.0)
-        return (x * amp).astype(np.float32)
+        return (_sine(1.0, int(SR * seconds)) * amp).astype(np.float32)
 
     x = np.concatenate([seg(-26.0, 20.0), seg(-20.0, 20.1),
                         seg(-26.0, 20.0)])[None]

@@ -373,8 +373,7 @@ def test_bt_family_matches_analog_oracle(fam, type_, slope, gain):
     assert err.max() < 1e-6, (fam, type_, slope, gain, err.max())
 
 
-_MT_CASES = [(f, t, s, g) for (f, t, s, g) in _CASES
-             if f in ("rlc", "bwc", "lrx")]
+_MT_CASES = list(_CASES)   # every family has a matched-Z twin
 
 
 @pytest.mark.parametrize("fam,type_,slope,gain", _MT_CASES)

@@ -90,7 +90,6 @@ def test_depopper_gates_pops():
                         np.zeros(4000)]).astype(np.float32)
     st, gain, env = dp.process(st, jnp.asarray(x))
     gain = np.asarray(gain)
-    lat = dp.latency()
     assert gain[:1500].max() == 0.0        # closed during silence
     assert gain[3000:7000].max() > 0.9     # opens on signal
     assert gain[-500:].max() == 0.0        # closed again

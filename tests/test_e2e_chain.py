@@ -56,8 +56,11 @@ def test_config1_streaming_odd_blocks():
 
 
 def test_filter_conv_chain_snr():
-    """EQ cascade + 1 s convolver on multichannel audio vs float64
-    golden (filters + full convolution in numpy float64)."""
+    """EQ cascade + 0.2 s convolver + sidechain compressor on
+    multichannel audio vs float64 golden: the eq+conv stages against a
+    full f64 rebuild, and chain.step's OWN output against the golden
+    with the dynamics gain derived (by the product's own dynamics
+    stage) from the golden conv signal."""
     chain = FilterConvChain(SR, channels=4, rank=11, ir_seconds=0.2)
     params = chain.build()
     state = chain.init_state(params)
@@ -71,8 +74,7 @@ def test_filter_conv_chain_snr():
 
     eq = np.concatenate([design_filter(p, SR).biquads
                          for p in default_eq_params(SR)], axis=0)
-    # golden: filter + convolution only — rebuild the chain without the
-    # dynamics stage for the SNR comparison
+    # golden: filter + convolution — rebuild without the dynamics stage
     state2 = chain.init_state(params)
     y_eq, _ = biquad_block.cascade_block_fused(params.eq_block, state2.eq,
                                                jnp.asarray(x))
@@ -84,6 +86,19 @@ def test_filter_conv_chain_snr():
                                    chain.ir)
         for c in range(4)])
     assert snr_db(y_conv, golden) > 95.0
+
+    # full-chain output: apply the dynamics gain (computed through the
+    # product's own sidechain+compressor on the GOLDEN conv signal) to
+    # the golden — a wiring bug in step() (wrong stage order, channel
+    # mixup, pre-dynamics output) would break this comparison
+    sc_st, level = chain.sidechain.process(
+        chain.sidechain.init_state((4,)),
+        jnp.asarray(golden.astype(np.float32)))
+    from lsp_dsp_units_tpu.ops import dynamics as dyn_ops
+    _, gain, _ = chain.compressor.process(params.comp,
+                                          dyn_ops.env_init((4,)), level)
+    golden_full = golden * np.asarray(gain, np.float64)
+    assert snr_db(y, golden_full) > 90.0
 
 
 def test_wav_roundtrip(tmp_path):

@@ -311,6 +311,10 @@ def test_time_sharded_fir_streaming_carry_exact():
     for x in xs:
         carry, y = g(carry, jnp.asarray(x))
         st, y_seq = fftconv.fdl_process(h, st, jnp.asarray(x))
+        # vs the sequential FDL stream: XLA reassociates the shard
+        # FFT sums slightly differently under shard_map, so the
+        # contract is f32-rounding-level agreement (>= 120 dB), not
+        # bit-identity (measured ~1.5e-5 max abs at this shape)
         assert snr_db(np.asarray(y_seq), np.asarray(y)) > 120.0
         outs.append(np.asarray(y))
 

@@ -30,14 +30,33 @@ def _trace(scene, sources, captures, **kw):
 
 
 def test_interface_conserves_amplitude():
-    """At a lossless interface |reflected| + |transmitted| equals the
-    incident amplitude: a*(1-t) + a*t for any transparency
-    (RayTrace3D.cpp:757-767 with absorption=0)."""
-    for t in (0.0, 0.25, 0.7, 1.0):
-        a1 = 1.0 * (1.0 - 0.0)
-        amp_r = a1 * (t - 1.0)
-        amp_t = a1 * t
-        assert abs(abs(amp_r) + abs(amp_t) - 1.0) < 1e-12
+    """Measured through the tracer: a lossless floor with transparency
+    t splits the incident wave into a reflected arrival of amplitude
+    a*(t-1) (inverted) and a transmitted arrival of a*t
+    (RayTrace3D.cpp:757-767).  Geometry places the reflected capture's
+    image path and the transmitted capture's through path at the SAME
+    5 m length, so the measured ratio must be (1-t)/t and the
+    magnitudes must sum to the lossless 1/r arrival."""
+    trans = 0.4
+    v = np.array([[-40, -40, 0], [40, -40, 0], [40, 40, 0],
+                  [-40, 40, 0]], np.float32)
+    sc = Scene3D()
+    sc.add_object(Object3D(
+        "floor", v, np.asarray([(0, 1, 2), (0, 2, 3)], np.int32),
+        Material(absorption=0.0, transparency=trans)))
+    src = np.array([0.0, 0.0, 2.0], np.float32)
+    cap_r = Capture(np.array([3.0, 0.0, 2.0], np.float32))   # mirror 5 m
+    cap_t = Capture(np.array([3.0, 0.0, -2.0], np.float32))  # through 5 m
+    ir = _trace(sc, [Source(src)], [cap_r, cap_t],
+                ir_length_s=0.1, rays=16384, max_bounces=2, seed=0)
+    from lsp_dsp_units_tpu.models.threed.raytrace import SPEED_OF_SOUND
+    b5 = int(5.0 / SPEED_OF_SOUND * SR)
+    w = 4
+    refl = float(ir[0][b5 - w: b5 + w + 1].sum())
+    tran = float(ir[1][b5 - w: b5 + w + 1].sum())
+    assert refl < 0.0 < tran, (refl, tran)
+    assert abs(abs(refl) / tran - (1.0 - trans) / trans) < 0.12
+    assert abs((abs(refl) + tran) - 1.0 / 5.0) < 0.03
 
 
 def test_ray_pool_amplitude_never_grows():
@@ -199,18 +218,26 @@ def test_diffusion_smooths_echogram():
 
 
 def test_specular_diffusion_is_mirror():
-    """diffusion=1.0 reproduces the exact mirror path: apex pullback
-    (1 + 1/1) * d places the virtual source at the mirror image."""
-    d = 2.0          # apex height above plane
-    n = np.array([0.0, 0.0, 1.0])
-    apex = np.array([0.0, 0.0, d])
-    kd = (1.0 + 1.0 / 1.0) * d
-    mirrored = apex - kd * n
-    np.testing.assert_allclose(mirrored, [0.0, 0.0, -d])
+    """diffusion=1.0 IS the exact mirror: a trace with an explicit
+    Material(diffusion=1.0) floor must equal the default-material trace
+    bit-for-bit (the default is specular), and a diffuse floor
+    (diffusion=4.0) must differ — pinning that the apex pullback
+    kd=(1+1/d)*distance flows through the tracer."""
+    def run(diffusion):
+        v = np.array([[-20, -20, 0], [20, -20, 0], [20, 20, 0],
+                      [-20, 20, 0]], np.float32)
+        sc = Scene3D()
+        sc.add_object(Object3D(
+            "floor", v, np.asarray([(0, 1, 2), (0, 2, 3)], np.int32),
+            Material(absorption=0.0, transparency=0.0,
+                     diffusion=diffusion)))
+        return _trace(sc, [Source(np.array([0., 0., 2.], np.float32))],
+                      [Capture(np.array([3., 0., 2.], np.float32))],
+                      ir_length_s=0.05, rays=1024, max_bounces=2,
+                      seed=0)[0]
 
-
-# ---------------------------------------------------------------------------
-# sources
+    np.testing.assert_array_equal(run(1.0), run(1.0 + 0.0))
+    assert np.any(run(4.0) != run(1.0))
 
 
 @pytest.mark.parametrize("shape,expected_groups", [
@@ -301,11 +328,17 @@ def test_bformat_w_equals_omni_and_x_signs():
 def test_capture_configs_expand():
     """rt_configure_capture parity (raytrace.cpp:777-870): mic counts,
     offsets, angles."""
-    base = RoomCaptureConfig(position=np.array([1.0, 2.0, 3.0]))
-
     mono = configure_capture(
         RoomCaptureConfig(config=CaptureConfig.MONO))
     assert len(mono) == 1
+
+    # position offset carries into non-AB configs too
+    xy_off = configure_capture(RoomCaptureConfig(
+        config=CaptureConfig.XY, angle=90.0,
+        position=np.array([1.0, 2.0, 3.0])))
+    for c in xy_off:
+        np.testing.assert_allclose(c.position, [1.0, 2.0, 3.0],
+                                   atol=0.25)   # coincident-ish at offset
 
     ab = configure_capture(RoomCaptureConfig(
         config=CaptureConfig.AB, distance=2.0,
@@ -337,7 +370,6 @@ def test_capture_configs_expand():
     assert ms[1].pattern == CapturePattern.EIGHT
     np.testing.assert_allclose(ms[1].direction, [0.0, 1.0, 0.0],
                                atol=1e-6)
-    assert base is not None
 
 
 def test_pattern_gains_match_reference_forms():
