@@ -1,0 +1,169 @@
+"""Reference-in-the-loop oracle for parity tests.
+
+Compiles the GENUINE reference filter design layer
+(/root/reference/src/main/filters/Filter.cpp + FilterBank.cpp) in place
+against minimal stub headers (stubs/), and wraps it in ctypes.  Tests
+use it to validate this framework's ``design.py`` against the actual
+reference implementation — the strongest available oracle (BASELINE.md
+north star: >=95 dB SNR vs reference output).
+
+Skips cleanly (``available() -> False``) when /root/reference or g++ is
+absent, so the suite stays green outside this environment.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import re
+import subprocess
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libref_oracle.so")
+
+_REF_SOURCES = [
+    os.path.join(REFERENCE_ROOT, "src/main/filters/Filter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/filters/FilterBank.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/iface/IStateDumper.cpp"),
+]
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_BUILD_ERR: Optional[str] = None
+
+
+def available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "src"))
+
+
+def _build() -> str:
+    srcs = [os.path.join(_HERE, "oracle.cpp")] + _REF_SOURCES
+    if os.path.exists(_LIB_PATH) and all(
+            os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s)
+            for s in srcs if os.path.exists(s)):
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+        "-ffp-contract=off",  # plain IEEE ops: deterministic f32 recurrences
+        "-DLSP_DSP_UNITS_BUILTIN",
+        "-I", os.path.join(_HERE, "stubs"),
+        "-I", os.path.join(REFERENCE_ROOT, "include"),
+    ] + srcs + ["-o", _LIB_PATH]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"oracle build failed:\n{proc.stderr[-4000:]}")
+    return _LIB_PATH
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB, _BUILD_ERR
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _BUILD_ERR is not None:
+            raise RuntimeError(_BUILD_ERR)
+        try:
+            lib = ctypes.CDLL(_build())
+        except Exception as e:          # remember: don't retry every test
+            _BUILD_ERR = str(e)
+            raise
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int)
+        lib.ref_filter_design.restype = ctypes.c_int
+        lib.ref_filter_design.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_uint32, f32p, ctypes.c_int, i32p]
+        lib.ref_filter_process.restype = ctypes.c_int
+        lib.ref_filter_process.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_uint32, f32p, f32p, ctypes.c_int, ctypes.c_int]
+        lib.ref_cascade_process.restype = ctypes.c_int
+        lib.ref_cascade_process.argtypes = [
+            f32p, ctypes.c_int, f32p, f32p, ctypes.c_int]
+        lib.ref_filter_freq_chart.restype = ctypes.c_int
+        lib.ref_filter_freq_chart.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_uint32, f32p, f32p, f32p, ctypes.c_int]
+        _LIB = lib
+        return lib
+
+
+def filter_type_ids() -> Dict[str, int]:
+    """Parse filter_type_t member names from the reference header
+    (sequential values, no explicit assignments)."""
+    path = os.path.join(REFERENCE_ROOT,
+                        "include/lsp-plug.in/dsp-units/filters/common.h")
+    with open(path, "r", encoding="utf-8") as f:
+        text = f.read()
+    m = re.search(r"enum\s+filter_type_t\s*\{(.*?)\};", text, re.S)
+    if m is None:
+        raise RuntimeError("filter_type_t enum not found")
+    names = re.findall(r"\b(FLT_[A-Z0-9_]+)\b", m.group(1))
+    return {name: i for i, name in enumerate(dict.fromkeys(names))}
+
+
+def _f32(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def design(type_id: int, slope: int, freq: float, freq2: float,
+           gain: float, quality: float, sr: int):
+    """Returns (biquads[K,5] float32 (b0,b1,b2,a1,a2; a-negated),
+    latency)."""
+    lib = _lib()
+    out = np.zeros((256, 5), np.float32)
+    lat = ctypes.c_int(0)
+    n = lib.ref_filter_design(type_id, slope, freq, freq2, gain,
+                              quality, sr, _f32(out), 256,
+                              ctypes.byref(lat))
+    if n < 0:
+        raise RuntimeError("ref_filter_design failed")
+    return out[:n].copy(), lat.value
+
+
+def process(type_id: int, slope: int, freq: float, freq2: float,
+            gain: float, quality: float, sr: int, x: np.ndarray,
+            block: int = 0) -> np.ndarray:
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.zeros_like(x)
+    rc = lib.ref_filter_process(type_id, slope, freq, freq2, gain,
+                                quality, sr, _f32(x), _f32(y),
+                                x.size, block)
+    if rc != 0:
+        raise RuntimeError("ref_filter_process failed")
+    return y
+
+
+def cascade_process_f32(biquads: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Run [K,5] (b0,b1,b2,a1,a2; a-negated) biquads through the
+    oracle's own scalar float32 DF2T kernel (zero initial state)."""
+    lib = _lib()
+    c = np.ascontiguousarray(biquads, np.float32)
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.zeros_like(x)
+    lib.ref_cascade_process(_f32(c), c.shape[0], _f32(x), _f32(y), x.size)
+    return y
+
+
+def freq_chart(type_id: int, slope: int, freq: float, freq2: float,
+               gain: float, quality: float, sr: int,
+               freqs: np.ndarray) -> np.ndarray:
+    lib = _lib()
+    freqs = np.ascontiguousarray(freqs, np.float32)
+    re_ = np.zeros_like(freqs)
+    im_ = np.zeros_like(freqs)
+    rc = lib.ref_filter_freq_chart(type_id, slope, freq, freq2, gain,
+                                   quality, sr, _f32(freqs), _f32(re_),
+                                   _f32(im_), freqs.size)
+    if rc != 0:
+        raise RuntimeError("ref_filter_freq_chart failed")
+    return re_ + 1j * im_

@@ -1,0 +1,100 @@
+/* Minimal stand-in for lsp-dsp-lib's <lsp-plug.in/dsp/dsp.h>
+ * (see common/types.h header note).
+ *
+ * Declares exactly the types + kernels the compiled-in reference
+ * sources use; scalar implementations live in oracle.cpp.  Struct
+ * layouts are self-consistent (only this TU reads them) — field NAMES
+ * match what the reference sources write, inferred from their usage
+ * (Filter.cpp:2259-2266, FilterBank.cpp:106-236).
+ */
+#ifndef LSP_PLUG_IN_DSP_DSP_H_
+#define LSP_PLUG_IN_DSP_DSP_H_
+
+#include <lsp-plug.in/common/types.h>
+#include <stddef.h>
+
+#define LSP_DSP_BIQUAD_ALIGN    64
+#define LSP_DSP_BIQUAD_D_ITEMS  16
+
+namespace lsp
+{
+    namespace dsp
+    {
+        /* one analog second-order rational cascade:
+         * H(s) = (t0 + t1 s + t2 s^2) / (b0 + b1 s + b2 s^2) */
+        typedef struct f_cascade_t
+        {
+            float t[4];
+            float b[4];
+        } f_cascade_t;
+
+        typedef struct biquad_x1_t
+        {
+            float b0, b1, b2;   /* numerator */
+            float a1, a2;       /* denominator, stored sign-negated */
+            float p0, p1, p2;   /* padding */
+        } biquad_x1_t;
+
+        typedef struct biquad_x2_t
+        {
+            float b0[2], b1[2], b2[2];
+            float a1[2], a2[2];
+            float p[2];
+        } biquad_x2_t;
+
+        typedef struct biquad_x4_t
+        {
+            float b0[4], b1[4], b2[4];
+            float a1[4], a2[4];
+        } biquad_x4_t;
+
+        typedef struct biquad_x8_t
+        {
+            float b0[8], b1[8], b2[8];
+            float a1[8], a2[8];
+        } biquad_x8_t;
+
+        typedef struct biquad_t
+        {
+            union
+            {
+                biquad_x1_t x1;
+                biquad_x2_t x2;
+                biquad_x4_t x4;
+                biquad_x8_t x8;
+            };
+            float d[LSP_DSP_BIQUAD_D_ITEMS] __lsp_aligned64;
+        } biquad_t;
+
+        void fill_zero(float *dst, size_t count);
+        void fill_one(float *dst, size_t count);
+        void copy(float *dst, const float *src, size_t count);
+        void mul_k3(float *dst, const float *src, float k, size_t count);
+
+        void biquad_process_x1(float *dst, const float *src, size_t count,
+                               biquad_t *f);
+        void biquad_process_x2(float *dst, const float *src, size_t count,
+                               biquad_t *f);
+        void biquad_process_x4(float *dst, const float *src, size_t count,
+                               biquad_t *f);
+        void biquad_process_x8(float *dst, const float *src, size_t count,
+                               biquad_t *f);
+
+        /* analog transfer of a cascade evaluated at angular-normalized
+         * frequencies w[i]:  H(jw) = (t0 - t2 w^2 + j t1 w)
+         *                          / (b0 - b2 w^2 + j b1 w) */
+        void filter_transfer_calc_ri(float *re, float *im,
+                                     const f_cascade_t *c,
+                                     const float *freq, size_t count);
+        void filter_transfer_apply_ri(float *re, float *im,
+                                      const f_cascade_t *c,
+                                      const float *freq, size_t count);
+        void filter_transfer_calc_pc(float *ri, const f_cascade_t *c,
+                                     const float *freq, size_t count);
+        void filter_transfer_apply_pc(float *ri, const f_cascade_t *c,
+                                      const float *freq, size_t count);
+        void pcomplex_fill_ri(float *dst, float re, float im, size_t count);
+    } /* namespace dsp */
+} /* namespace lsp */
+
+#endif /* LSP_PLUG_IN_DSP_DSP_H_ */
