@@ -30,6 +30,12 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/filters/Filter.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/filters/FilterBank.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/iface/IStateDumper.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/dynamics/Compressor.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/dynamics/Expander.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/dynamics/Gate.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/dynamics/Limiter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/misc/interpolation.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Delay.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -84,6 +90,27 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_uint32, f32p, f32p, ctypes.c_int, ctypes.c_int]
+        u32, i32, f32 = ctypes.c_uint32, ctypes.c_int, ctypes.c_float
+        lib.ref_compressor_process.restype = ctypes.c_int
+        lib.ref_compressor_process.argtypes = [
+            u32, f32, f32, f32, f32, f32, f32, f32, f32, u32,
+            f32p, f32p, f32p, i32]
+        lib.ref_compressor_curve.restype = ctypes.c_int
+        lib.ref_compressor_curve.argtypes = [
+            u32, f32, f32, f32, f32, f32, f32, f32, f32, u32,
+            f32p, f32p, f32p, i32]
+        lib.ref_expander_process.restype = ctypes.c_int
+        lib.ref_expander_process.argtypes = [
+            u32, f32, f32, f32, f32, f32, f32, f32, u32,
+            f32p, f32p, f32p, i32]
+        lib.ref_gate_process.restype = ctypes.c_int
+        lib.ref_gate_process.argtypes = [
+            f32, f32, f32, f32, f32, f32, f32, f32, u32,
+            f32p, f32p, f32p, i32]
+        lib.ref_limiter_process.restype = ctypes.c_int
+        lib.ref_limiter_process.argtypes = [
+            u32, f32, f32, f32, f32, f32, i32, f32, f32, f32, u32,
+            f32p, f32p, i32, i32, ctypes.POINTER(ctypes.c_int)]
         lib.ref_cascade_process.restype = ctypes.c_int
         lib.ref_cascade_process.argtypes = [
             f32p, ctypes.c_int, f32p, f32p, ctypes.c_int]
@@ -141,6 +168,85 @@ def process(type_id: int, slope: int, freq: float, freq2: float,
     if rc != 0:
         raise RuntimeError("ref_filter_process failed")
     return y
+
+
+def compressor_process(mode: int, attack_thresh: float,
+                       release_thresh: float, boost_thresh: float,
+                       attack_ms: float, release_ms: float, knee: float,
+                       ratio: float, hold_ms: float, sr: int,
+                       x: np.ndarray):
+    """Returns (gain, envelope) of the genuine Compressor::process."""
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    gain = np.zeros_like(x)
+    env = np.zeros_like(x)
+    lib.ref_compressor_process(mode, attack_thresh, release_thresh,
+                               boost_thresh, attack_ms, release_ms, knee,
+                               ratio, hold_ms, sr, _f32(x), _f32(gain),
+                               _f32(env), x.size)
+    return gain, env
+
+
+def compressor_curve(mode: int, attack_thresh: float, release_thresh: float,
+                     boost_thresh: float, attack_ms: float,
+                     release_ms: float, knee: float, ratio: float,
+                     hold_ms: float, sr: int, levels: np.ndarray):
+    """Returns (curve, reduction) of the genuine Compressor knees."""
+    lib = _lib()
+    levels = np.ascontiguousarray(levels, np.float32)
+    curve = np.zeros_like(levels)
+    gain = np.zeros_like(levels)
+    lib.ref_compressor_curve(mode, attack_thresh, release_thresh,
+                             boost_thresh, attack_ms, release_ms, knee,
+                             ratio, hold_ms, sr, _f32(levels), _f32(curve),
+                             _f32(gain), levels.size)
+    return curve, gain
+
+
+def expander_process(mode: int, attack_thresh: float, release_thresh: float,
+                     attack_ms: float, release_ms: float, knee: float,
+                     ratio: float, hold_ms: float, sr: int, x: np.ndarray):
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    gain = np.zeros_like(x)
+    env = np.zeros_like(x)
+    lib.ref_expander_process(mode, attack_thresh, release_thresh,
+                             attack_ms, release_ms, knee, ratio, hold_ms,
+                             sr, _f32(x), _f32(gain), _f32(env), x.size)
+    return gain, env
+
+
+def gate_process(open_thresh: float, close_thresh: float, open_zone: float,
+                 close_zone: float, reduction: float, attack_ms: float,
+                 release_ms: float, hold_ms: float, sr: int, x: np.ndarray):
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    gain = np.zeros_like(x)
+    env = np.zeros_like(x)
+    lib.ref_gate_process(open_thresh, close_thresh, open_zone, close_zone,
+                         reduction, attack_ms, release_ms, hold_ms, sr,
+                         _f32(x), _f32(gain), _f32(env), x.size)
+    return gain, env
+
+
+def limiter_process(mode: int, thresh: float, attack_ms: float,
+                    release_ms: float, lookahead_ms: float, knee: float,
+                    sr: int, sc: np.ndarray, block: int = 0,
+                    alr: bool = False, alr_attack: float = 5.0,
+                    alr_release: float = 50.0, alr_knee: float = 1.0):
+    """Returns (gain trajectory, latency) of the genuine Limiter."""
+    lib = _lib()
+    sc = np.ascontiguousarray(sc, np.float32)
+    gain = np.zeros_like(sc)
+    lat = ctypes.c_int(0)
+    rc = lib.ref_limiter_process(mode, thresh, attack_ms, release_ms,
+                                 lookahead_ms, knee, int(alr), alr_attack,
+                                 alr_release, alr_knee, sr, _f32(sc),
+                                 _f32(gain), sc.size, block,
+                                 ctypes.byref(lat))
+    if rc != 0:
+        raise RuntimeError("ref_limiter_process failed")
+    return gain, lat.value
 
 
 def cascade_process_f32(biquads: np.ndarray, x: np.ndarray) -> np.ndarray:

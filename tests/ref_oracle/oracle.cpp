@@ -16,7 +16,12 @@
 #include <lsp-plug.in/dsp/dsp.h>
 #include <lsp-plug.in/dsp-units/filters/Filter.h>
 #include <lsp-plug.in/dsp-units/filters/FilterBank.h>
+#include <lsp-plug.in/dsp-units/dynamics/Compressor.h>
+#include <lsp-plug.in/dsp-units/dynamics/Expander.h>
+#include <lsp-plug.in/dsp-units/dynamics/Gate.h>
+#include <lsp-plug.in/dsp-units/dynamics/Limiter.h>
 
+#include <math.h>
 #include <string.h>
 
 namespace lsp
@@ -175,6 +180,193 @@ namespace lsp
                 dst[2 * i + 1] = im;
             }
         }
+
+        void move(float *dst, const float *src, size_t count)
+        {
+            memmove(dst, src, count * sizeof(float));
+        }
+
+        void add2(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] += src[i];
+        }
+
+        void mul2(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] *= src[i];
+        }
+
+        void mul3(float *dst, const float *a, const float *b, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = a[i] * b[i];
+        }
+
+        void mul_k2(float *dst, float k, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] *= k;
+        }
+
+        void fmadd3(float *dst, const float *a, const float *b, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] += a[i] * b[i];
+        }
+
+        void fmadd_k3(float *dst, const float *src, float k, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] += src[i] * k;
+        }
+
+        void abs_mul3(float *dst, const float *a, const float *b,
+                      size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = fabsf(a[i] * b[i]);
+        }
+
+        size_t max_index(const float *src, size_t count)
+        {
+            size_t idx = 0;
+            for (size_t i = 1; i < count; ++i)
+                if (src[i] > src[idx])
+                    idx = i;
+            return idx;
+        }
+
+        /* knee kernels: exact scalar mirrors of the reference's own
+         * in-repo evaluations — Compressor::process(float*,float)
+         * (Compressor.cpp:297-310), Gate::amplification/curve
+         * (Gate.cpp:213-260), Expander::amplification/curve
+         * (Expander.cpp:333-390). */
+        static inline float comp_knee_gain(const compressor_knee_t *k,
+                                           float x, float lx)
+        {
+            if (x <= k->start)
+                return k->gain;
+            if (x >= k->end)
+                return expf(lx * k->tilt[0] + k->tilt[1]);
+            return expf((k->herm[0] * lx + k->herm[1]) * lx + k->herm[2]);
+        }
+
+        void compressor_x2_gain(float *dst, const float *src,
+                                const compressor_x2_t *c, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float x = fabsf(src[i]);
+                if ((x <= c->k[0].start) && (x <= c->k[1].start))
+                {
+                    dst[i] = c->k[0].gain * c->k[1].gain;
+                    continue;
+                }
+                float lx = logf(x);
+                dst[i] = comp_knee_gain(&c->k[0], x, lx)
+                       * comp_knee_gain(&c->k[1], x, lx);
+            }
+        }
+
+        void compressor_x2_curve(float *dst, const float *src,
+                                 const compressor_x2_t *c, size_t count)
+        {
+            compressor_x2_gain(dst, src, c, count);
+            for (size_t i = 0; i < count; ++i)
+                dst[i] *= fabsf(src[i]);
+        }
+
+        static inline float gate_gain(const gate_knee_t *c, float x)
+        {
+            if (x <= c->start)
+                return c->gain_start;
+            if (x >= c->end)
+                return c->gain_end;
+            float lx = logf(x);
+            return expf(((c->herm[0] * lx + c->herm[1]) * lx
+                         + c->herm[2]) * lx + c->herm[3]);
+        }
+
+        void gate_x1_gain(float *dst, const float *src,
+                          const gate_knee_t *c, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = gate_gain(c, fabsf(src[i]));
+        }
+
+        void gate_x1_curve(float *dst, const float *src,
+                           const gate_knee_t *c, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float x = fabsf(src[i]);
+                dst[i] = x * gate_gain(c, x);
+            }
+        }
+
+        static inline float uexp_gain(const expander_knee_t *c, float x)
+        {
+            if (x > c->threshold)
+                x = c->threshold;
+            if (x <= c->start)
+                return 1.0f;
+            float lx = logf(x);
+            return (x >= c->end)
+                ? expf(c->tilt[0] * lx + c->tilt[1])
+                : expf((c->herm[0] * lx + c->herm[1]) * lx + c->herm[2]);
+        }
+
+        void uexpander_x1_gain(float *dst, const float *src,
+                               const expander_knee_t *c, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = uexp_gain(c, fabsf(src[i]));
+        }
+
+        void uexpander_x1_curve(float *dst, const float *src,
+                                const expander_knee_t *c, size_t count)
+        {
+            /* mirrors Expander::curve: the knee input is clamped to the
+             * threshold and the CLAMPED x multiplies the gain */
+            for (size_t i = 0; i < count; ++i)
+            {
+                float x = fabsf(src[i]);
+                if (x > c->threshold)
+                    x = c->threshold;
+                dst[i] = x * uexp_gain(c, x);
+            }
+        }
+
+        static inline float dexp_gain(const expander_knee_t *c, float x)
+        {
+            if (x < c->threshold)
+                return 0.0f;
+            if (x >= c->end)
+                return 1.0f;
+            float lx = logf(x);
+            return (x <= c->start)
+                ? expf(c->tilt[0] * lx + c->tilt[1])
+                : expf((c->herm[0] * lx + c->herm[1]) * lx + c->herm[2]);
+        }
+
+        void dexpander_x1_gain(float *dst, const float *src,
+                               const expander_knee_t *c, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = dexp_gain(c, fabsf(src[i]));
+        }
+
+        void dexpander_x1_curve(float *dst, const float *src,
+                                const expander_knee_t *c, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float x = fabsf(src[i]);
+                dst[i] = x * dexp_gain(c, x);
+            }
+        }
     } /* namespace dsp */
 } /* namespace lsp */
 
@@ -280,6 +472,128 @@ extern "C"
         }
         if (n_bq == 0)
             dsp::copy(out, in, n);
+        return 0;
+    }
+
+    /* --- dynamics oracles: genuine envelope followers + knee curves.
+     * Each designs the unit from the same setter surface the plugins
+     * use, then streams `n` samples and returns the GAIN signal (the
+     * reference's process contract) and optionally the envelope. --- */
+
+    int ref_compressor_process(uint32_t mode, float attack_thresh,
+                               float release_thresh, float boost_thresh,
+                               float attack_ms, float release_ms,
+                               float knee, float ratio, float hold_ms,
+                               uint32_t sr, const float *in, float *gain,
+                               float *env, int n)
+    {
+        dspu::Compressor c;
+        c.set_mode(mode);
+        c.set_threshold(attack_thresh, release_thresh);
+        c.set_boost_threshold(boost_thresh);
+        c.set_timings(attack_ms, release_ms);
+        c.set_knee(knee);
+        c.set_ratio(ratio);
+        c.set_hold(hold_ms);
+        c.set_sample_rate(sr);
+        c.update_settings();
+        c.process(gain, env, in, n);
+        return 0;
+    }
+
+    int ref_compressor_curve(uint32_t mode, float attack_thresh,
+                             float release_thresh, float boost_thresh,
+                             float attack_ms, float release_ms, float knee,
+                             float ratio, float hold_ms, uint32_t sr,
+                             const float *in, float *curve, float *gain,
+                             int n)
+    {
+        dspu::Compressor c;
+        c.set_mode(mode);
+        c.set_threshold(attack_thresh, release_thresh);
+        c.set_boost_threshold(boost_thresh);
+        c.set_timings(attack_ms, release_ms);
+        c.set_knee(knee);
+        c.set_ratio(ratio);
+        c.set_hold(hold_ms);
+        c.set_sample_rate(sr);
+        c.update_settings();
+        c.curve(curve, in, n);
+        c.reduction(gain, in, n);
+        return 0;
+    }
+
+    int ref_expander_process(uint32_t mode, float attack_thresh,
+                             float release_thresh, float attack_ms,
+                             float release_ms, float knee, float ratio,
+                             float hold_ms, uint32_t sr, const float *in,
+                             float *gain, float *env, int n)
+    {
+        dspu::Expander e;
+        e.set_mode(mode);
+        e.set_threshold(attack_thresh, release_thresh);
+        e.set_timings(attack_ms, release_ms);
+        e.set_knee(knee);
+        e.set_ratio(ratio);
+        e.set_hold(hold_ms);
+        e.set_sample_rate(sr);
+        e.update_settings();
+        e.process(gain, env, in, n);
+        return 0;
+    }
+
+    int ref_gate_process(float open_thresh, float close_thresh,
+                         float open_zone, float close_zone,
+                         float reduction, float attack_ms,
+                         float release_ms, float hold_ms, uint32_t sr,
+                         const float *in, float *gain, float *env, int n)
+    {
+        dspu::Gate g;
+        g.set_threshold(open_thresh, close_thresh);
+        g.set_zone(open_zone, close_zone);
+        g.set_reduction(reduction);
+        g.set_timings(attack_ms, release_ms);
+        g.set_hold(hold_ms);
+        g.set_sample_rate(sr);
+        g.update_settings();
+        g.process(gain, env, in, n);
+        return 0;
+    }
+
+    /* Streams the genuine Limiter (iterative peak patching,
+     * Limiter.cpp:695-785) in `block`-sized chunks; returns the gain
+     * trajectory and the reported latency. */
+    int ref_limiter_process(uint32_t mode, float thresh, float attack_ms,
+                            float release_ms, float lookahead_ms,
+                            float knee, int alr, float alr_attack,
+                            float alr_release, float alr_knee,
+                            uint32_t sr, const float *sc, float *gain,
+                            int n, int block, int *latency)
+    {
+        dspu::Limiter l;
+        if (!l.init(sr, lookahead_ms + 8.0f))
+            return -1;
+        l.set_mode((dspu::limiter_mode_t) mode);
+        l.set_sample_rate(sr);
+        l.set_threshold(thresh, true);
+        l.set_attack(attack_ms);
+        l.set_release(release_ms);
+        l.set_lookahead(lookahead_ms);
+        l.set_knee(knee);
+        l.set_alr(alr != 0);
+        l.set_alr_attack(alr_attack);
+        l.set_alr_release(alr_release);
+        l.set_alr_knee(alr_knee);
+        l.update_settings();
+        if (latency != nullptr)
+            *latency = (int) l.get_latency();
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            l.process(gain + off, sc + off, todo);
+        }
         return 0;
     }
 

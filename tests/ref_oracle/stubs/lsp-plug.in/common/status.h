@@ -1,0 +1,22 @@
+/* Minimal stand-in for lsp-common-lib's <lsp-plug.in/common/status.h>
+ * (see types.h header note).  Only STATUS_OK is consumed by the
+ * compiled-in sources. */
+#ifndef LSP_PLUG_IN_COMMON_STATUS_H_
+#define LSP_PLUG_IN_COMMON_STATUS_H_
+
+namespace lsp
+{
+    typedef int status_t;
+
+    enum
+    {
+        STATUS_OK = 0,
+        STATUS_NO_MEM,
+        STATUS_BAD_ARGUMENTS,
+        STATUS_BAD_STATE,
+        STATUS_OVERFLOW,
+        STATUS_UNKNOWN_ERR
+    };
+} /* namespace lsp */
+
+#endif /* LSP_PLUG_IN_COMMON_STATUS_H_ */

@@ -66,10 +66,65 @@ namespace lsp
             float d[LSP_DSP_BIQUAD_D_ITEMS] __lsp_aligned64;
         } biquad_t;
 
+        /* dynamics knee descriptors — field names per their producers:
+         * Compressor.cpp:100-216, Gate.cpp:180-206, Expander.cpp:205-240 */
+        typedef struct compressor_knee_t
+        {
+            float start, end, gain;
+            float tilt[2];
+            float herm[3];
+        } compressor_knee_t;
+
+        typedef struct compressor_x2_t
+        {
+            compressor_knee_t k[2];
+        } compressor_x2_t;
+
+        typedef struct gate_knee_t
+        {
+            float start, end;
+            float gain_start, gain_end;
+            float herm[4];
+        } gate_knee_t;
+
+        typedef struct expander_knee_t
+        {
+            float start, end, threshold;
+            float tilt[2];
+            float herm[3];
+        } expander_knee_t;
+
         void fill_zero(float *dst, size_t count);
         void fill_one(float *dst, size_t count);
         void copy(float *dst, const float *src, size_t count);
+        void move(float *dst, const float *src, size_t count);
+        void add2(float *dst, const float *src, size_t count);
+        void mul2(float *dst, const float *src, size_t count);
+        void mul3(float *dst, const float *a, const float *b, size_t count);
+        void mul_k2(float *dst, float k, size_t count);
         void mul_k3(float *dst, const float *src, float k, size_t count);
+        void fmadd3(float *dst, const float *a, const float *b, size_t count);
+        void fmadd_k3(float *dst, const float *src, float k, size_t count);
+        void abs_mul3(float *dst, const float *a, const float *b,
+                      size_t count);
+        size_t max_index(const float *src, size_t count);
+
+        void compressor_x2_gain(float *dst, const float *src,
+                                const compressor_x2_t *c, size_t count);
+        void compressor_x2_curve(float *dst, const float *src,
+                                 const compressor_x2_t *c, size_t count);
+        void gate_x1_gain(float *dst, const float *src,
+                          const gate_knee_t *c, size_t count);
+        void gate_x1_curve(float *dst, const float *src,
+                           const gate_knee_t *c, size_t count);
+        void uexpander_x1_gain(float *dst, const float *src,
+                               const expander_knee_t *c, size_t count);
+        void uexpander_x1_curve(float *dst, const float *src,
+                                const expander_knee_t *c, size_t count);
+        void dexpander_x1_gain(float *dst, const float *src,
+                               const expander_knee_t *c, size_t count);
+        void dexpander_x1_curve(float *dst, const float *src,
+                                const expander_knee_t *c, size_t count);
 
         void biquad_process_x1(float *dst, const float *src, size_t count,
                                biquad_t *f);
