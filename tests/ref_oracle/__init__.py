@@ -36,6 +36,37 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/dynamics/Limiter.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/misc/interpolation.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/util/Delay.cpp"),
+    # wave 2: FFT-layer units + pure math + noise + ctl + stat
+    os.path.join(REFERENCE_ROOT, "src/main/dynamics/AutoGain.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/dynamics/SimpleAutoGain.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/dynamics/DynamicProcessor.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/dynamics/SurgeProtector.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/filters/Equalizer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/filters/ButterworthFilter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/filters/SpectralTilt.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Convolver.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/SpectralProcessor.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Sidechain.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/RingBuffer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/RawRingBuffer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Randomizer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Dither.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/misc/windows.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/misc/envelope.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/misc/fade.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/misc/fft_crossover.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/misc/lfo.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/misc/sigmoid.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/misc/broadcast.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/noise/LCG.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/noise/MLS.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/noise/Velvet.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/ctl/Bypass.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/ctl/Blink.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/ctl/Counter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/ctl/Crossfade.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/ctl/Toggle.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/stat/QuantizedCounter.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -48,7 +79,8 @@ def available() -> bool:
 
 
 def _build() -> str:
-    srcs = [os.path.join(_HERE, "oracle.cpp")] + _REF_SOURCES
+    srcs = [os.path.join(_HERE, "oracle.cpp"),
+            os.path.join(_HERE, "dsp_stub2.cpp")] + _REF_SOURCES
     if os.path.exists(_LIB_PATH) and all(
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s)
             for s in srcs if os.path.exists(s)):
@@ -114,6 +146,13 @@ def _lib() -> ctypes.CDLL:
         lib.ref_cascade_process.restype = ctypes.c_int
         lib.ref_cascade_process.argtypes = [
             f32p, ctypes.c_int, f32p, f32p, ctypes.c_int]
+        lib.ref_convolver_process.restype = ctypes.c_int
+        lib.ref_convolver_process.argtypes = [
+            f32p, i32, i32, f32, f32p, f32p, i32, i32]
+        lib.ref_equalizer_process.restype = ctypes.c_int
+        lib.ref_equalizer_process.argtypes = [
+            u32, f32p, i32, u32, u32, f32p, f32p, i32, i32,
+            ctypes.POINTER(ctypes.c_int)]
         lib.ref_filter_freq_chart.restype = ctypes.c_int
         lib.ref_filter_freq_chart.argtypes = [
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
@@ -247,6 +286,38 @@ def limiter_process(mode: int, thresh: float, attack_ms: float,
     if rc != 0:
         raise RuntimeError("ref_limiter_process failed")
     return gain, lat.value
+
+
+def convolver_process(ir: np.ndarray, rank: int, x: np.ndarray,
+                      block: int = 0, phase: float = 0.0) -> np.ndarray:
+    """Genuine non-uniform partitioned Convolver."""
+    lib = _lib()
+    ir = np.ascontiguousarray(ir, np.float32)
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.zeros_like(x)
+    rc = lib.ref_convolver_process(_f32(ir), ir.size, rank, phase,
+                                   _f32(x), _f32(y), x.size, block)
+    if rc != 0:
+        raise RuntimeError("ref_convolver_process failed")
+    return y
+
+
+def equalizer_process(mode: int, filters, fir_rank: int, sr: int,
+                      x: np.ndarray, block: int = 0):
+    """Genuine Equalizer.  ``filters`` = rows of
+    (type_id, slope, freq, freq2, gain, quality).
+    Returns (y, latency)."""
+    lib = _lib()
+    f = np.ascontiguousarray(filters, np.float32)
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.zeros_like(x)
+    lat = ctypes.c_int(0)
+    rc = lib.ref_equalizer_process(mode, _f32(f), f.shape[0], fir_rank,
+                                   sr, _f32(x), _f32(y), x.size, block,
+                                   ctypes.byref(lat))
+    if rc != 0:
+        raise RuntimeError("ref_equalizer_process failed")
+    return y, lat.value
 
 
 def cascade_process_f32(biquads: np.ndarray, x: np.ndarray) -> np.ndarray:

@@ -1,0 +1,429 @@
+/* Scalar stand-ins for the lsp-dsp-lib kernels used by the SECOND wave
+ * of compiled-in reference sources (Equalizer, Convolver,
+ * SpectralProcessor, Sidechain, noise, ctl, misc) — see oracle.cpp's
+ * header note.  Semantics are pinned by the call sites in the
+ * reference sources (cited per function); the fastconv image format is
+ * opaque to them, so a full packed spectrum is used here.
+ */
+
+#include <lsp-plug.in/dsp/dsp.h>
+#include <lsp-plug.in/dsp/common/filters/transform.h>
+
+#include <math.h>
+#include <string.h>
+
+namespace lsp
+{
+    namespace dsp
+    {
+        /* analog cascade -> digital biquad, prewarp factor kf — the
+         * same equations as Filter::bilinear_transform
+         * (Filter.cpp:2225-2267), with the same negated-a storage */
+        void bilinear_transform_x1(biquad_x1_t *bf, const f_cascade_t *bc,
+                                   float kf, size_t count)
+        {
+            double kf2 = double(kf) * double(kf);
+            for (size_t i = 0; i < count; ++i)
+            {
+                const f_cascade_t *c = &bc[i];
+                double T0 = c->t[0], T1 = c->t[1] * kf, T2 = c->t[2] * kf2;
+                double B0 = c->b[0], B1 = c->b[1] * kf, B2 = c->b[2] * kf2;
+                double N = 1.0 / (B0 + B1 + B2);
+                biquad_x1_t *f = &bf[i];
+                f->b0 = float((T0 + T1 + T2) * N);
+                f->b1 = float(2.0 * (T0 - T2) * N);
+                f->b2 = float((T0 - T1 + T2) * N);
+                f->a1 = float(2.0 * (B2 - B0) * N);
+                f->a2 = float((B1 - B2 - B0) * N);
+                f->p0 = 0.0f;
+                f->p1 = 0.0f;
+                f->p2 = 0.0f;
+            }
+        }
+
+        void fill(float *dst, float value, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = value;
+        }
+
+        void abs1(float *dst, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = fabsf(dst[i]);
+        }
+
+        void abs2(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = fabsf(src[i]);
+        }
+
+        void add_k2(float *dst, float k, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] += k;
+        }
+
+        void add3(float *dst, const float *a, const float *b, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = a[i] + b[i];
+        }
+
+        void exp1(float *dst, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = expf(dst[i]);
+        }
+
+        void powvc1(float *dst, float k, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = powf(dst[i], k);
+        }
+
+        void ssqrt1(float *dst, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = sqrtf((dst[i] > 0.0f) ? dst[i] : 0.0f);
+        }
+
+        float h_sqr_sum(const float *src, size_t count)
+        {
+            float s = 0.0f;
+            for (size_t i = 0; i < count; ++i)
+                s += src[i] * src[i];
+            return s;
+        }
+
+        float h_abs_sum(const float *src, size_t count)
+        {
+            float s = 0.0f;
+            for (size_t i = 0; i < count; ++i)
+                s += fabsf(src[i]);
+            return s;
+        }
+
+        void reverse2(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = src[count - 1 - i];
+        }
+
+        /* linear ramps over `count` samples from v1 to v2
+         * (Equalizer.cpp:496-497 crossfade: lramp1 multiplies in-place,
+         * lramp_add2 accumulates src*ramp; the two ramps must sum to 1
+         * at every tap, so both use the same (i+1)/count grid) */
+        void lramp1(float *dst, float v1, float v2, size_t count)
+        {
+            float dv = (v2 - v1) / float(count);
+            for (size_t i = 0; i < count; ++i)
+                dst[i] *= v1 + dv * float(i + 1);
+        }
+
+        void lramp_add2(float *dst, const float *src, float v1, float v2,
+                        size_t count)
+        {
+            float dv = (v2 - v1) / float(count);
+            for (size_t i = 0; i < count; ++i)
+                dst[i] += src[i] * (v1 + dv * float(i + 1));
+        }
+
+        void lin_inter_set(float *dst, int32_t x0, float y0, int32_t x1,
+                           float y1, int32_t x, uint32_t count)
+        {
+            float k = (y1 - y0) / float(x1 - x0);
+            for (uint32_t i = 0; i < count; ++i)
+                dst[i] = y0 + k * float(int32_t(x + i) - x0);
+        }
+
+        void lr_to_mid(float *dst, const float *l, const float *r,
+                       size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = (l[i] + r[i]) * 0.5f;
+        }
+
+        void lr_to_side(float *dst, const float *l, const float *r,
+                        size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = (l[i] - r[i]) * 0.5f;
+        }
+
+        void ms_to_left(float *dst, const float *m, const float *s,
+                        size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = m[i] + s[i];
+        }
+
+        void ms_to_right(float *dst, const float *m, const float *s,
+                         size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = m[i] - s[i];
+        }
+
+        /* ps* = signed sample with the smaller/larger magnitude;
+         * pa* = the magnitude itself (Sidechain.cpp:228-306: the no-EQ
+         * path wants |.| directly, the pre-EQ path keeps sign and takes
+         * abs after filtering) */
+        void psmin3(float *dst, const float *a, const float *b,
+                    size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = (fabsf(a[i]) < fabsf(b[i])) ? a[i] : b[i];
+        }
+
+        void psmax3(float *dst, const float *a, const float *b,
+                    size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = (fabsf(a[i]) > fabsf(b[i])) ? a[i] : b[i];
+        }
+
+        void pamin3(float *dst, const float *a, const float *b,
+                    size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float xa = fabsf(a[i]), xb = fabsf(b[i]);
+                dst[i] = (xa < xb) ? xa : xb;
+            }
+        }
+
+        void pamax3(float *dst, const float *a, const float *b,
+                    size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float xa = fabsf(a[i]), xb = fabsf(b[i]);
+                dst[i] = (xa > xb) ? xa : xb;
+            }
+        }
+
+        void lr_psmin3(float *dst, const float *m, const float *s,
+                       size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float l = m[i] + s[i], r = m[i] - s[i];
+                dst[i] = (fabsf(l) < fabsf(r)) ? l : r;
+            }
+        }
+
+        void lr_psmax3(float *dst, const float *m, const float *s,
+                       size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float l = m[i] + s[i], r = m[i] - s[i];
+                dst[i] = (fabsf(l) > fabsf(r)) ? l : r;
+            }
+        }
+
+        void ms_pamin3(float *dst, const float *m, const float *s,
+                       size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float l = fabsf(m[i] + s[i]), r = fabsf(m[i] - s[i]);
+                dst[i] = (l < r) ? l : r;
+            }
+        }
+
+        void ms_pamax3(float *dst, const float *m, const float *s,
+                       size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float l = fabsf(m[i] + s[i]), r = fabsf(m[i] - s[i]);
+                dst[i] = (l > r) ? l : r;
+            }
+        }
+
+        /* ---- packed-complex FFT (iterative radix-2, double-precision
+         * butterflies, float storage) ---- */
+
+        static void fft_inplace(float *buf, size_t rank, bool inverse)
+        {
+            const size_t n = size_t(1) << rank;
+            /* bit-reversal permutation over complex pairs */
+            for (size_t i = 1, j = 0; i < n; ++i)
+            {
+                size_t bit = n >> 1;
+                for (; j & bit; bit >>= 1)
+                    j ^= bit;
+                j |= bit;
+                if (i < j)
+                {
+                    float tr = buf[2 * i], ti = buf[2 * i + 1];
+                    buf[2 * i] = buf[2 * j];
+                    buf[2 * i + 1] = buf[2 * j + 1];
+                    buf[2 * j] = tr;
+                    buf[2 * j + 1] = ti;
+                }
+            }
+            for (size_t len = 2; len <= n; len <<= 1)
+            {
+                double ang = (inverse ? 2.0 : -2.0) * M_PI / double(len);
+                double wr0 = cos(ang), wi0 = sin(ang);
+                for (size_t i = 0; i < n; i += len)
+                {
+                    double wr = 1.0, wi = 0.0;
+                    for (size_t k = 0; k < len / 2; ++k)
+                    {
+                        size_t a = 2 * (i + k);
+                        size_t b = 2 * (i + k + len / 2);
+                        double ur = buf[a], ui = buf[a + 1];
+                        double vr = buf[b] * wr - buf[b + 1] * wi;
+                        double vi = buf[b] * wi + buf[b + 1] * wr;
+                        buf[a] = float(ur + vr);
+                        buf[a + 1] = float(ui + vi);
+                        buf[b] = float(ur - vr);
+                        buf[b + 1] = float(ui - vi);
+                        double nwr = wr * wr0 - wi * wi0;
+                        wi = wr * wi0 + wi * wr0;
+                        wr = nwr;
+                    }
+                }
+            }
+        }
+
+        void packed_direct_fft(float *dst, const float *src, size_t rank)
+        {
+            const size_t n = size_t(1) << rank;
+            if (dst != src)
+                memmove(dst, src, 2 * n * sizeof(float));
+            fft_inplace(dst, rank, false);
+        }
+
+        void packed_reverse_fft(float *dst, const float *src, size_t rank)
+        {
+            const size_t n = size_t(1) << rank;
+            if (dst != src)
+                memmove(dst, src, 2 * n * sizeof(float));
+            fft_inplace(dst, rank, true);
+            const float k = 1.0f / float(n);
+            for (size_t i = 0; i < 2 * n; ++i)
+                dst[i] *= k;
+        }
+
+        void pcomplex_r2c(float *dst, const float *src, size_t count)
+        {
+            /* back-to-front: callers expand a real buffer in place */
+            for (size_t i = count; i-- > 0;)
+            {
+                float v = src[i];
+                dst[2 * i] = v;
+                dst[2 * i + 1] = 0.0f;
+            }
+        }
+
+        void pcomplex_c2r(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = src[2 * i];
+        }
+
+        void pcomplex_mod(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = sqrtf(src[2 * i] * src[2 * i]
+                               + src[2 * i + 1] * src[2 * i + 1]);
+        }
+
+        void pcomplex_mul2(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float ar = dst[2 * i], ai = dst[2 * i + 1];
+                float br = src[2 * i], bi = src[2 * i + 1];
+                dst[2 * i] = ar * br - ai * bi;
+                dst[2 * i + 1] = ar * bi + ai * br;
+            }
+        }
+
+        void complex_mul2(float *dst_re, float *dst_im, const float *src_re,
+                          const float *src_im, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float ar = dst_re[i], ai = dst_im[i];
+                dst_re[i] = ar * src_re[i] - ai * src_im[i];
+                dst_im[i] = ar * src_im[i] + ai * src_re[i];
+            }
+        }
+
+        /* fastconv image = packed spectrum of the first 2^(rank-1)
+         * samples zero-padded to 2^rank (Convolver.cpp:146-199 sizes
+         * each image at 2^(rank+1) floats) */
+        void fastconv_parse(float *dst, const float *src, size_t rank)
+        {
+            const size_t n = size_t(1) << rank;
+            const size_t half = n >> 1;
+            for (size_t i = 0; i < half; ++i)
+            {
+                dst[2 * i] = src[i];
+                dst[2 * i + 1] = 0.0f;
+            }
+            for (size_t i = 2 * half; i < 2 * n; ++i)
+                dst[i] = 0.0f;
+            fft_inplace(dst, rank, false);
+        }
+
+        /* multiply two images, inverse-transform, ACCUMULATE the full
+         * 2^rank real result into dst (Convolver accumulates
+         * overlapping tails into vDataBuffer, Convolver.cpp:275-295) */
+        void fastconv_apply(float *dst, float *tmp, const float *c1,
+                            const float *c2, size_t rank)
+        {
+            const size_t n = size_t(1) << rank;
+            for (size_t i = 0; i < n; ++i)
+            {
+                float ar = c1[2 * i], ai = c1[2 * i + 1];
+                float br = c2[2 * i], bi = c2[2 * i + 1];
+                tmp[2 * i] = ar * br - ai * bi;
+                tmp[2 * i + 1] = ar * bi + ai * br;
+            }
+            fft_inplace(tmp, rank, true);
+            const float k = 1.0f / float(n);
+            for (size_t i = 0; i < n; ++i)
+                dst[i] += tmp[2 * i] * k;
+        }
+
+        void fastconv_parse_apply(float *dst, float *tmp, const float *c,
+                                  const float *src, size_t rank)
+        {
+            fastconv_parse(tmp, src, rank);
+            const size_t n = size_t(1) << rank;
+            for (size_t i = 0; i < n; ++i)
+            {
+                float ar = tmp[2 * i], ai = tmp[2 * i + 1];
+                float br = c[2 * i], bi = c[2 * i + 1];
+                tmp[2 * i] = ar * br - ai * bi;
+                tmp[2 * i + 1] = ar * bi + ai * br;
+            }
+            fft_inplace(tmp, rank, true);
+            const float k = 1.0f / float(n);
+            for (size_t i = 0; i < n; ++i)
+                dst[i] += tmp[2 * i] * k;
+        }
+
+        /* direct convolution ACCUMULATED into dst
+         * (Convolver.cpp:295: partial-block head path, parallel to the
+         * accumulating fastconv branch) */
+        void convolve(float *dst, const float *src, const float *conv,
+                      size_t length, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float s = src[i];
+                for (size_t j = 0; j < length; ++j)
+                    dst[i + j] += s * conv[j];
+            }
+        }
+    } /* namespace dsp */
+} /* namespace lsp */

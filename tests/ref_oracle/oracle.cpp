@@ -20,6 +20,8 @@
 #include <lsp-plug.in/dsp-units/dynamics/Expander.h>
 #include <lsp-plug.in/dsp-units/dynamics/Gate.h>
 #include <lsp-plug.in/dsp-units/dynamics/Limiter.h>
+#include <lsp-plug.in/dsp-units/filters/Equalizer.h>
+#include <lsp-plug.in/dsp-units/util/Convolver.h>
 
 #include <math.h>
 #include <string.h>
@@ -472,6 +474,63 @@ extern "C"
         }
         if (n_bq == 0)
             dsp::copy(out, in, n);
+        return 0;
+    }
+
+    /* Genuine non-uniform partitioned Convolver (Convolver.cpp:144-313)
+     * streamed in `block`-sized chunks.  `phase` staggers tail FFT
+     * work exactly as the reference's scheduling does. */
+    int ref_convolver_process(const float *ir, int ir_len, int rank,
+                              float phase, const float *x, float *y,
+                              int n, int block)
+    {
+        dspu::Convolver cv;
+        if (!cv.init(ir, ir_len, rank, phase))
+            return -1;
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            cv.process(y + off, x + off, todo);
+        }
+        cv.destroy();
+        return 0;
+    }
+
+    /* Genuine Equalizer in any mode.  `filters` = rows of
+     * [type, slope, freq, freq2, gain, quality]. */
+    int ref_equalizer_process(uint32_t mode, const float *filters,
+                              int n_filters, uint32_t fir_rank, uint32_t sr,
+                              const float *x, float *y, int n, int block,
+                              int *latency)
+    {
+        dspu::Equalizer eq;
+        if (!eq.init(n_filters, fir_rank))
+            return -1;
+        eq.set_mode((dspu::equalizer_mode_t) mode);
+        eq.set_sample_rate(sr);
+        for (int i = 0; i < n_filters; ++i)
+        {
+            dspu::filter_params_t fp;
+            fp.nType = (uint32_t) filters[6 * i + 0];
+            fp.nSlope = (uint32_t) filters[6 * i + 1];
+            fp.fFreq = filters[6 * i + 2];
+            fp.fFreq2 = filters[6 * i + 3];
+            fp.fGain = filters[6 * i + 4];
+            fp.fQuality = filters[6 * i + 5];
+            eq.set_params(i, &fp);
+        }
+        if (latency != nullptr)
+            *latency = (int) eq.get_latency();
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            eq.process(y + off, x + off, todo);
+        }
+        eq.destroy();
         return 0;
     }
 

@@ -43,6 +43,24 @@ namespace lsp
         free(ptr);
         ptr = nullptr;
     }
+
+    template <class T, class P>
+    inline T *advance_ptr(P *&ptr, size_t count = 1)
+    {
+        T *r = reinterpret_cast<T *>(ptr);
+        ptr = reinterpret_cast<P *>(reinterpret_cast<uint8_t *>(ptr)
+                                    + count * sizeof(T));
+        return r;
+    }
+
+    template <class T, class P>
+    inline T *advance_ptr_bytes(P *&ptr, size_t bytes)
+    {
+        T *r = reinterpret_cast<T *>(ptr);
+        ptr = reinterpret_cast<P *>(reinterpret_cast<uint8_t *>(ptr)
+                                    + bytes);
+        return r;
+    }
 } /* namespace lsp */
 
 #endif /* LSP_PLUG_IN_COMMON_ALLOC_H_ */

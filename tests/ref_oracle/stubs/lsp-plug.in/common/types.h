@@ -13,13 +13,60 @@
 #include <stddef.h>
 #include <sys/types.h>
 
+namespace lsp
+{
+    /* machine-word types (lsp-common-lib convention) */
+    typedef uintptr_t   umword_t;
+    typedef intptr_t    smword_t;
+
+    template <class T>
+    inline void swap(T &a, T &b)
+    {
+        T t = a;
+        a = b;
+        b = t;
+    }
+} /* namespace lsp */
+
 #define __lsp_aligned16     __attribute__((aligned(16)))
 #define __lsp_aligned32     __attribute__((aligned(32)))
 #define __lsp_aligned64     __attribute__((aligned(64)))
 
-#define lsp_min(a, b)           (((a) < (b)) ? (a) : (b))
-#define lsp_max(a, b)           (((a) > (b)) ? (a) : (b))
-#define lsp_limit(v, mn, mx)    (((v) < (mn)) ? (mn) : ((v) > (mx)) ? (mx) : (v))
+template <class A, class B>
+inline auto lsp_min(A a, B b) -> decltype(a + b)
+{
+    return (a < b) ? a : b;
+}
+
+template <class A, class B, class C>
+inline auto lsp_min(A a, B b, C c) -> decltype(a + b + c)
+{
+    return lsp_min(lsp_min(a, b), c);
+}
+
+template <class A, class B>
+inline auto lsp_max(A a, B b) -> decltype(a + b)
+{
+    return (a > b) ? a : b;
+}
+
+template <class A, class B, class C>
+inline auto lsp_max(A a, B b, C c) -> decltype(a + b + c)
+{
+    return lsp_max(lsp_max(a, b), c);
+}
+
+template <class T, class A, class B>
+inline T lsp_limit(T v, A mn, B mx)
+{
+    return (v < mn) ? T(mn) : (v > mx) ? T(mx) : v;
+}
+
+template <class T, class M>
+inline T lsp_setflag(T flags, M mask, bool cond)
+{
+    return (cond) ? T(flags | mask) : T(flags & ~T(mask));
+}
 
 #define LSP_EXPORT_MODIFIER
 #define LSP_IMPORT_MODIFIER

@@ -109,6 +109,72 @@ namespace lsp
                       size_t count);
         size_t max_index(const float *src, size_t count);
 
+        /* elementwise / reductions */
+        void fill(float *dst, float value, size_t count);
+        void abs1(float *dst, size_t count);
+        void abs2(float *dst, const float *src, size_t count);
+        void add_k2(float *dst, float k, size_t count);
+        void add3(float *dst, const float *a, const float *b, size_t count);
+        void exp1(float *dst, size_t count);
+        void powvc1(float *dst, float k, size_t count);
+        void ssqrt1(float *dst, size_t count);
+        float h_sqr_sum(const float *src, size_t count);
+        float h_abs_sum(const float *src, size_t count);
+        void reverse2(float *dst, const float *src, size_t count);
+        void lramp1(float *dst, float v1, float v2, size_t count);
+        void lramp_add2(float *dst, const float *src, float v1, float v2,
+                        size_t count);
+        void lin_inter_set(float *dst, int32_t x0, float y0, int32_t x1,
+                           float y1, int32_t x, uint32_t count);
+
+        /* stereo channel selectors (Sidechain source select) */
+        void lr_to_mid(float *dst, const float *l, const float *r,
+                       size_t count);
+        void lr_to_side(float *dst, const float *l, const float *r,
+                        size_t count);
+        void ms_to_left(float *dst, const float *m, const float *s,
+                        size_t count);
+        void ms_to_right(float *dst, const float *m, const float *s,
+                         size_t count);
+        void psmin3(float *dst, const float *a, const float *b,
+                    size_t count);
+        void psmax3(float *dst, const float *a, const float *b,
+                    size_t count);
+        void pamin3(float *dst, const float *a, const float *b,
+                    size_t count);
+        void pamax3(float *dst, const float *a, const float *b,
+                    size_t count);
+        void lr_psmin3(float *dst, const float *m, const float *s,
+                       size_t count);
+        void lr_psmax3(float *dst, const float *m, const float *s,
+                       size_t count);
+        void ms_pamin3(float *dst, const float *m, const float *s,
+                       size_t count);
+        void ms_pamax3(float *dst, const float *m, const float *s,
+                       size_t count);
+
+        /* packed-complex FFT layer (interleaved re,im pairs; rank =
+         * log2(points); reverse is scaled by 1/N) + fast convolution
+         * images.  The image format is OPAQUE to the reference sources
+         * (an allocated blob of 2^(rank+1) floats passed back to these
+         * functions), so this stand-in stores the full packed spectrum
+         * of the zero-padded 2^(rank-1)-sample block. */
+        void packed_direct_fft(float *dst, const float *src, size_t rank);
+        void packed_reverse_fft(float *dst, const float *src, size_t rank);
+        void pcomplex_r2c(float *dst, const float *src, size_t count);
+        void pcomplex_c2r(float *dst, const float *src, size_t count);
+        void pcomplex_mod(float *dst, const float *src, size_t count);
+        void pcomplex_mul2(float *dst, const float *src, size_t count);
+        void complex_mul2(float *dst_re, float *dst_im, const float *src_re,
+                          const float *src_im, size_t count);
+        void fastconv_parse(float *dst, const float *src, size_t rank);
+        void fastconv_apply(float *dst, float *tmp, const float *c1,
+                            const float *c2, size_t rank);
+        void fastconv_parse_apply(float *dst, float *tmp, const float *c,
+                                  const float *src, size_t rank);
+        void convolve(float *dst, const float *src, const float *conv,
+                      size_t length, size_t count);
+
         void compressor_x2_gain(float *dst, const float *src,
                                 const compressor_x2_t *c, size_t count);
         void compressor_x2_curve(float *dst, const float *src,
