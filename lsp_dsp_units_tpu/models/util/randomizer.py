@@ -101,6 +101,14 @@ class Randomizer:
 
     def random(self, func: RandomFunction = RandomFunction.LINEAR,
                count: int = 1) -> np.ndarray:
+        if func == RandomFunction.GAUSSIAN:
+            # the reference draws (rv, rv2) PER SAMPLE
+            # (Randomizer.cpp:132-138), so the two Box-Muller inputs
+            # interleave in the underlying linear stream
+            draws = self.generate_linear(2 * count)
+            rv, rv2 = draws[0::2], draws[1::2]
+            return np.sqrt(-2.0 * np.log(np.maximum(rv, 1e-30))) \
+                * np.cos(2.0 * np.pi * rv2)
         rv = self.generate_linear(count)
         if func == RandomFunction.EXP:
             return (np.exp(RAND_LAMBDA * rv) - 1.0) / (np.exp(RAND_LAMBDA)
@@ -110,8 +118,4 @@ class Randomizer:
                 rv <= 0.5,
                 np.sqrt(2.0) * RAND_T * np.sqrt(rv),
                 2.0 * RAND_T - np.sqrt(4.0 - 2.0 * (1.0 + rv)) * RAND_T)
-        if func == RandomFunction.GAUSSIAN:
-            rv2 = self.generate_linear(count)
-            return np.sqrt(-2.0 * np.log(np.maximum(rv, 1e-30))) \
-                * np.cos(2.0 * np.pi * rv2)
         return rv

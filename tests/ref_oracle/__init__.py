@@ -146,6 +146,38 @@ def _lib() -> ctypes.CDLL:
         lib.ref_cascade_process.restype = ctypes.c_int
         lib.ref_cascade_process.argtypes = [
             f32p, ctypes.c_int, f32p, f32p, ctypes.c_int]
+        u64 = ctypes.c_uint64
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.ref_mls.restype = ctypes.c_int
+        lib.ref_mls.argtypes = [u32, u64, f32, f32, f32p, i32]
+        lib.ref_lcg.restype = ctypes.c_int
+        lib.ref_lcg.argtypes = [u32, u32, f32, f32, f32p, i32]
+        lib.ref_velvet.restype = ctypes.c_int
+        lib.ref_velvet.argtypes = [u32, u32, u32, u32, u64, f32, f32,
+                                   f32, f32, i32, f32, u32, f32p, i32]
+        lib.ref_randomizer.restype = ctypes.c_int
+        lib.ref_randomizer.argtypes = [u32, u32, f32p, i32]
+        lib.ref_window.restype = ctypes.c_int
+        lib.ref_window.argtypes = [u32, f32p, i32]
+        lib.ref_lfo.restype = ctypes.c_int
+        lib.ref_lfo.argtypes = [u32, f32p, f32p, i32]
+        lib.ref_sigmoid.restype = ctypes.c_int
+        lib.ref_sigmoid.argtypes = [u32, f32p, f32p, i32]
+        lib.ref_fade.restype = ctypes.c_int
+        lib.ref_fade.argtypes = [i32, f32p, f32p, i32, i32]
+        lib.ref_envelope_noise.restype = ctypes.c_int
+        lib.ref_envelope_noise.argtypes = [i32, u32, f32, f32, f32,
+                                           f32p, i32]
+        lib.ref_fft_crossover.restype = ctypes.c_int
+        lib.ref_fft_crossover.argtypes = [i32, f32p, f32p, f32, f32, i32]
+        lib.ref_fft_crossover_fft.restype = ctypes.c_int
+        lib.ref_fft_crossover_fft.argtypes = [i32, f32p, f32, f32, f32, u32]
+        lib.ref_quantized_counter.restype = ctypes.c_int
+        lib.ref_quantized_counter.argtypes = [f32, f32, u32, u32, f32p,
+                                              i32, i32, u32p, i32, u32p]
+        lib.ref_sidechain_process.restype = ctypes.c_int
+        lib.ref_sidechain_process.argtypes = [u32, u32, u32, f32, f32, u32,
+                                              f32p, f32p, f32p, i32, i32]
         lib.ref_convolver_process.restype = ctypes.c_int
         lib.ref_convolver_process.argtypes = [
             f32p, i32, i32, f32, f32p, f32p, i32, i32]
@@ -286,6 +318,137 @@ def limiter_process(mode: int, thresh: float, attack_ms: float,
     if rc != 0:
         raise RuntimeError("ref_limiter_process failed")
     return gain, lat.value
+
+
+def mls(nbits: int, state: int, n: int, amplitude: float = 1.0,
+        offset: float = 0.0) -> np.ndarray:
+    lib = _lib()
+    dst = np.zeros(n, np.float32)
+    lib.ref_mls(nbits, state, amplitude, offset, _f32(dst), n)
+    return dst
+
+
+def lcg(seed: int, dist: int, n: int, amplitude: float = 1.0,
+        offset: float = 0.0) -> np.ndarray:
+    lib = _lib()
+    dst = np.zeros(n, np.float32)
+    lib.ref_lcg(seed, dist, amplitude, offset, _f32(dst), n)
+    return dst
+
+
+def velvet(core: int, vtype: int, n: int, randseed: int = 42,
+           mlsnbits: int = 23, mlsseed: int = 0, window_width: float = 0.01,
+           delta: float = 0.5, amplitude: float = 1.0, offset: float = 0.0,
+           crush: bool = False, crush_prob: float = 0.5,
+           sr: int = 48000) -> np.ndarray:
+    lib = _lib()
+    dst = np.zeros(n, np.float32)
+    lib.ref_velvet(core, vtype, randseed, mlsnbits, mlsseed, window_width,
+                   delta, amplitude, offset, int(crush), crush_prob, sr,
+                   _f32(dst), n)
+    return dst
+
+
+def randomizer(seed: int, func: int, n: int) -> np.ndarray:
+    lib = _lib()
+    dst = np.zeros(n, np.float32)
+    lib.ref_randomizer(seed, func, _f32(dst), n)
+    return dst
+
+
+def window(type_id: int, n: int) -> np.ndarray:
+    lib = _lib()
+    dst = np.zeros(n, np.float32)
+    lib.ref_window(type_id, _f32(dst), n)
+    return dst
+
+
+def lfo(func_id: int, phase: np.ndarray) -> np.ndarray:
+    lib = _lib()
+    phase = np.ascontiguousarray(phase, np.float32)
+    dst = np.zeros_like(phase)
+    rc = lib.ref_lfo(func_id, _f32(phase), _f32(dst), phase.size)
+    if rc != 0:
+        raise RuntimeError("bad lfo func id")
+    return dst
+
+
+def sigmoid(func_id: int, x: np.ndarray) -> np.ndarray:
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    dst = np.zeros_like(x)
+    rc = lib.ref_sigmoid(func_id, _f32(x), _f32(dst), x.size)
+    if rc != 0:
+        raise RuntimeError("bad sigmoid func id")
+    return dst
+
+
+def fade(src: np.ndarray, fade_len: int, out: bool = False) -> np.ndarray:
+    lib = _lib()
+    src = np.ascontiguousarray(src, np.float32)
+    dst = np.zeros_like(src)
+    lib.ref_fade(int(out), _f32(src), _f32(dst), fade_len, src.size)
+    return dst
+
+
+def envelope_noise(type_id: int, n: int, first: float, last: float,
+                   center: float, log_grid: bool = False) -> np.ndarray:
+    lib = _lib()
+    dst = np.zeros(n, np.float32)
+    lib.ref_envelope_noise(int(log_grid), type_id, first, last, center,
+                           _f32(dst), n)
+    return dst
+
+
+def fft_crossover_curve(freqs: np.ndarray, f0: float, slope: float,
+                        lo: bool) -> np.ndarray:
+    lib = _lib()
+    freqs = np.ascontiguousarray(freqs, np.float32)
+    gain = np.zeros_like(freqs)
+    lib.ref_fft_crossover(int(lo), _f32(freqs), _f32(gain), f0, slope,
+                          freqs.size)
+    return gain
+
+
+def fft_crossover_bins(rank: int, f0: float, slope: float, sr: float,
+                       lo: bool) -> np.ndarray:
+    lib = _lib()
+    mag = np.zeros((1 << rank), np.float32)
+    lib.ref_fft_crossover_fft(int(lo), _f32(mag), f0, slope, sr, rank)
+    return mag
+
+
+def quantized_counter(vmin: float, vmax: float, levels: int, history: int,
+                      x: np.ndarray, block: int = 0):
+    """Returns (counters[levels], below, above, count)."""
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    counters = np.zeros(levels, np.uint32)
+    extra = np.zeros(3, np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    rc = lib.ref_quantized_counter(
+        vmin, vmax, levels, history, _f32(x), x.size, block,
+        counters.ctypes.data_as(u32p), levels,
+        extra.ctypes.data_as(u32p))
+    if rc != 0:
+        raise RuntimeError("ref_quantized_counter failed")
+    return counters, int(extra[0]), int(extra[1]), int(extra[2])
+
+
+def sidechain_process(source: int, mode: int, stereo_mode: int,
+                      reactivity_ms: float, gain: float, sr: int,
+                      l: np.ndarray, r: np.ndarray,
+                      block: int = 0) -> np.ndarray:
+    lib = _lib()
+    l = np.ascontiguousarray(l, np.float32)
+    r = np.ascontiguousarray(r, np.float32)
+    out = np.zeros_like(l)
+    rc = lib.ref_sidechain_process(source, mode, stereo_mode,
+                                   reactivity_ms, gain, sr, _f32(l),
+                                   _f32(r), _f32(out), l.size, block)
+    if rc != 0:
+        raise RuntimeError("ref_sidechain_process failed")
+    return out
 
 
 def convolver_process(ir: np.ndarray, rank: int, x: np.ndarray,

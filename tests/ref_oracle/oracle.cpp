@@ -22,6 +22,18 @@
 #include <lsp-plug.in/dsp-units/dynamics/Limiter.h>
 #include <lsp-plug.in/dsp-units/filters/Equalizer.h>
 #include <lsp-plug.in/dsp-units/util/Convolver.h>
+#include <lsp-plug.in/dsp-units/util/Randomizer.h>
+#include <lsp-plug.in/dsp-units/util/Sidechain.h>
+#include <lsp-plug.in/dsp-units/noise/LCG.h>
+#include <lsp-plug.in/dsp-units/noise/MLS.h>
+#include <lsp-plug.in/dsp-units/noise/Velvet.h>
+#include <lsp-plug.in/dsp-units/misc/windows.h>
+#include <lsp-plug.in/dsp-units/misc/lfo.h>
+#include <lsp-plug.in/dsp-units/misc/sigmoid.h>
+#include <lsp-plug.in/dsp-units/misc/fade.h>
+#include <lsp-plug.in/dsp-units/misc/envelope.h>
+#include <lsp-plug.in/dsp-units/misc/fft_crossover.h>
+#include <lsp-plug.in/dsp-units/stat/QuantizedCounter.h>
 
 #include <math.h>
 #include <string.h>
@@ -474,6 +486,205 @@ extern "C"
         }
         if (n_bq == 0)
             dsp::copy(out, in, n);
+        return 0;
+    }
+
+    /* --- noise generators: bit-level parity targets --- */
+
+    int ref_mls(uint32_t nbits, uint64_t state, float amplitude,
+                float offset, float *dst, int n)
+    {
+        dspu::MLS mls;
+        mls.set_n_bits(nbits);
+        mls.set_state((dspu::MLS::mls_t) state);
+        mls.set_amplitude(amplitude);
+        mls.set_offset(offset);
+        mls.process_overwrite(dst, n);
+        return 0;
+    }
+
+    int ref_lcg(uint32_t seed, uint32_t dist, float amplitude,
+                float offset, float *dst, int n)
+    {
+        dspu::LCG lcg;
+        lcg.init(seed);
+        lcg.set_distribution((dspu::lcg_dist_t) dist);
+        lcg.set_amplitude(amplitude);
+        lcg.set_offset(offset);
+        lcg.process_overwrite(dst, n);
+        return 0;
+    }
+
+    int ref_velvet(uint32_t core, uint32_t type, uint32_t randseed,
+                   uint32_t mlsnbits, uint64_t mlsseed, float window_width,
+                   float delta, float amplitude, float offset, int crush,
+                   float crush_prob, uint32_t sr, float *dst, int n)
+    {
+        dspu::Velvet v;
+        v.init(randseed, mlsnbits, (dspu::MLS::mls_t) mlsseed);
+        v.set_core_type((dspu::vn_core_t) core);
+        v.set_velvet_type((dspu::vn_velvet_type_t) type);
+        v.set_velvet_window_width(window_width);
+        v.set_delta_value(delta);
+        v.set_amplitude(amplitude);
+        v.set_offset(offset);
+        v.set_crush(crush != 0);
+        v.set_crush_probability(crush_prob);
+        v.process_overwrite(dst, n);
+        (void) sr;
+        return 0;
+    }
+
+    int ref_randomizer(uint32_t seed, uint32_t func, float *dst, int n)
+    {
+        dspu::Randomizer r;
+        r.init(seed);
+        for (int i = 0; i < n; ++i)
+            dst[i] = r.random((dspu::random_function_t) func);
+        return 0;
+    }
+
+    /* --- misc pure functions --- */
+
+    int ref_window(uint32_t type, float *dst, int n)
+    {
+        dspu::windows::window(dst, n, (dspu::windows::window_t) type);
+        return 0;
+    }
+
+    /* function index = declaration order in the respective header */
+    int ref_lfo(uint32_t func, const float *phase, float *dst, int n)
+    {
+        static dspu::lfo::function_t funcs[] = {
+            dspu::lfo::triangular, dspu::lfo::sine, dspu::lfo::step_sine,
+            dspu::lfo::cubic, dspu::lfo::step_cubic, dspu::lfo::parabolic,
+            dspu::lfo::rev_parabolic, dspu::lfo::logarithmic,
+            dspu::lfo::rev_logarithmic, dspu::lfo::sqrt,
+            dspu::lfo::rev_sqrt, dspu::lfo::circular,
+            dspu::lfo::rev_circular,
+        };
+        if (func >= sizeof(funcs) / sizeof(funcs[0]))
+            return -1;
+        for (int i = 0; i < n; ++i)
+            dst[i] = funcs[func](phase[i]);
+        return 0;
+    }
+
+    int ref_sigmoid(uint32_t func, const float *x, float *dst, int n)
+    {
+        static dspu::sigmoid::function_t funcs[] = {
+            dspu::sigmoid::hard_clip, dspu::sigmoid::quadratic,
+            dspu::sigmoid::sine, dspu::sigmoid::logistic,
+            dspu::sigmoid::arctangent, dspu::sigmoid::hyperbolic_tangent,
+            dspu::sigmoid::hyperbolic, dspu::sigmoid::guidermannian,
+            dspu::sigmoid::error, dspu::sigmoid::smoothstep,
+            dspu::sigmoid::smootherstep, dspu::sigmoid::circle,
+        };
+        if (func >= sizeof(funcs) / sizeof(funcs[0]))
+            return -1;
+        for (int i = 0; i < n; ++i)
+            dst[i] = funcs[func](x[i]);
+        return 0;
+    }
+
+    int ref_fade(int out, const float *src, float *dst, int fade_len,
+                 int buf_len)
+    {
+        if (out)
+            dspu::fade_out(dst, src, fade_len, buf_len);
+        else
+            dspu::fade_in(dst, src, fade_len, buf_len);
+        return 0;
+    }
+
+    int ref_envelope_noise(int log_grid, uint32_t type, float first,
+                           float last, float center, float *dst, int n)
+    {
+        if (log_grid)
+            dspu::envelope::noise_log(dst, first, last, center, n,
+                                      (dspu::envelope::envelope_t) type);
+        else
+            dspu::envelope::noise_lin(dst, first, last, center, n,
+                                      (dspu::envelope::envelope_t) type);
+        return 0;
+    }
+
+    int ref_fft_crossover(int lo, const float *f, float *gain, float f0,
+                          float slope, int n)
+    {
+        if (lo)
+            dspu::crossover::lopass_set(gain, f, f0, slope, n);
+        else
+            dspu::crossover::hipass_set(gain, f, f0, slope, n);
+        return 0;
+    }
+
+    int ref_fft_crossover_fft(int lo, float *mag, float f0, float slope,
+                              float sample_rate, uint32_t rank)
+    {
+        if (lo)
+            dspu::crossover::lopass_fft_set(mag, f0, slope, sample_rate,
+                                            rank);
+        else
+            dspu::crossover::hipass_fft_set(mag, f0, slope, sample_rate,
+                                            rank);
+        return 0;
+    }
+
+    /* --- stat --- */
+
+    int ref_quantized_counter(float vmin, float vmax, uint32_t levels,
+                              uint32_t history, const float *x, int n,
+                              int block, uint32_t *counters, int max_levels,
+                              uint32_t *extra /* below, above, nan */)
+    {
+        dspu::QuantizedCounter qc;
+        if (qc.init(history, levels) != STATUS_OK)
+            return -1;
+        qc.set_period(history);
+        qc.set_range(vmin, vmax, levels);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            qc.process(x + off, todo);
+        }
+        const uint32_t *c = qc.counters();
+        for (uint32_t i = 0; i < levels && int(i) < max_levels; ++i)
+            counters[i] = c[i];
+        extra[0] = qc.below();
+        extra[1] = qc.above();
+        extra[2] = (uint32_t) qc.count();
+        return 0;
+    }
+
+    /* --- sidechain conditioner --- */
+
+    int ref_sidechain_process(uint32_t source, uint32_t mode,
+                              uint32_t stereo_mode, float reactivity_ms,
+                              float gain, uint32_t sr, const float *l,
+                              const float *r, float *out, int n, int block)
+    {
+        dspu::Sidechain sc;
+        if (!sc.init(2, reactivity_ms + 1.0f))
+            return -1;
+        sc.set_sample_rate(sr);
+        sc.set_source(source);
+        sc.set_mode(mode);
+        sc.set_stereo_mode((dspu::sidechain_stereo_mode_t) stereo_mode);
+        sc.set_reactivity(reactivity_ms);
+        sc.set_gain(gain);
+        if (block <= 0)
+            block = n;
+        const float *in[2];
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            in[0] = l + off;
+            in[1] = r + off;
+            sc.process(out + off, in, todo);
+        }
         return 0;
     }
 
