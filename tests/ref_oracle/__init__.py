@@ -147,6 +147,26 @@ def _lib() -> ctypes.CDLL:
         lib.ref_cascade_process.argtypes = [
             f32p, ctypes.c_int, f32p, f32p, ctypes.c_int]
         u64 = ctypes.c_uint64
+        lib.ref_spectral_tilt.restype = ctypes.c_int
+        lib.ref_spectral_tilt.argtypes = [u32, f32, u32, u32, f32, f32,
+                                          u32, f32p, f32p, i32, i32]
+        lib.ref_butterworth.restype = ctypes.c_int
+        lib.ref_butterworth.argtypes = [u32, u32, f32, u32, f32p, f32p,
+                                        i32, i32]
+        lib.ref_dynproc_process.restype = ctypes.c_int
+        lib.ref_dynproc_process.argtypes = [f32p, f32p, f32p, f32p, f32p,
+                                            f32, f32, u32, f32p, f32p,
+                                            f32p, i32, f32p, f32p, f32p,
+                                            i32]
+        lib.ref_autogain.restype = ctypes.c_int
+        lib.ref_autogain.argtypes = [f32, f32, f32, f32, f32, f32, f32,
+                                     i32, u32, f32p, f32p, f32, f32p, i32]
+        lib.ref_simple_autogain.restype = ctypes.c_int
+        lib.ref_simple_autogain.argtypes = [f32, f32, f32, f32, f32, u32,
+                                            f32p, f32p, i32]
+        lib.ref_surge_protector.restype = ctypes.c_int
+        lib.ref_surge_protector.argtypes = [f32, f32, u32, u32, f32p,
+                                            f32p, i32]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.ref_mls.restype = ctypes.c_int
         lib.ref_mls.argtypes = [u32, u64, f32, f32, f32p, i32]
@@ -318,6 +338,88 @@ def limiter_process(mode: int, thresh: float, attack_ms: float,
     if rc != 0:
         raise RuntimeError("ref_limiter_process failed")
     return gain, lat.value
+
+
+def spectral_tilt(order: int, slope: float, slope_unit: int, norm: int,
+                  lower: float, upper: float, sr: int, x: np.ndarray,
+                  block: int = 0) -> np.ndarray:
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.zeros_like(x)
+    lib.ref_spectral_tilt(order, slope, slope_unit, norm, lower, upper,
+                          sr, _f32(x), _f32(y), x.size, block)
+    return y
+
+
+def butterworth(type_id: int, order: int, cutoff: float, sr: int,
+                x: np.ndarray, block: int = 0) -> np.ndarray:
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.zeros_like(x)
+    lib.ref_butterworth(type_id, order, cutoff, sr, _f32(x), _f32(y),
+                        x.size, block)
+    return y
+
+
+def dynproc_process(dots, atk_lv, atk_t, rel_lv, rel_t, in_ratio, out_ratio,
+                    sr, x, levels=None):
+    """Returns (gain, env[, curve, model])."""
+    lib = _lib()
+    dots = np.ascontiguousarray(dots, np.float32)
+    atk_lv = np.ascontiguousarray(atk_lv, np.float32)
+    atk_t = np.ascontiguousarray(atk_t, np.float32)
+    rel_lv = np.ascontiguousarray(rel_lv, np.float32)
+    rel_t = np.ascontiguousarray(rel_t, np.float32)
+    x = np.ascontiguousarray(x, np.float32)
+    gain = np.zeros_like(x)
+    env = np.zeros_like(x)
+    if levels is None:
+        lv = np.zeros(1, np.float32)
+        curve = np.zeros(1, np.float32)
+        model = np.zeros(1, np.float32)
+        nl = 0
+    else:
+        lv = np.ascontiguousarray(levels, np.float32)
+        curve = np.zeros_like(lv)
+        model = np.zeros_like(lv)
+        nl = lv.size
+    lib.ref_dynproc_process(_f32(dots), _f32(atk_lv), _f32(atk_t),
+                            _f32(rel_lv), _f32(rel_t), in_ratio, out_ratio,
+                            sr, _f32(x), _f32(gain), _f32(env), x.size,
+                            _f32(curve), _f32(model), _f32(lv), nl)
+    if levels is None:
+        return gain, env
+    return gain, env, curve, model
+
+
+def autogain(silence, deviation, sgrow, sfall, lgrow, lfall, max_gain,
+             max_gain_on, sr, llong, lshort, lexp=1.0):
+    lib = _lib()
+    llong = np.ascontiguousarray(llong, np.float32)
+    lshort = np.ascontiguousarray(lshort, np.float32)
+    vca = np.zeros_like(llong)
+    lib.ref_autogain(silence, deviation, sgrow, sfall, lgrow, lfall,
+                     max_gain, int(max_gain_on), sr, _f32(llong),
+                     _f32(lshort), lexp, _f32(vca), llong.size)
+    return vca
+
+
+def simple_autogain(grow, fall, gmin, gmax, threshold, sr, level):
+    lib = _lib()
+    level = np.ascontiguousarray(level, np.float32)
+    gain = np.zeros_like(level)
+    lib.ref_simple_autogain(grow, fall, gmin, gmax, threshold, sr,
+                            _f32(level), _f32(gain), level.size)
+    return gain
+
+
+def surge_protector(on_th, off_th, transition, shutdown, x):
+    lib = _lib()
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.zeros_like(x)
+    lib.ref_surge_protector(on_th, off_th, transition, shutdown, _f32(x),
+                            _f32(out), x.size)
+    return out
 
 
 def mls(nbits: int, state: int, n: int, amplitude: float = 1.0,

@@ -34,6 +34,12 @@
 #include <lsp-plug.in/dsp-units/misc/envelope.h>
 #include <lsp-plug.in/dsp-units/misc/fft_crossover.h>
 #include <lsp-plug.in/dsp-units/stat/QuantizedCounter.h>
+#include <lsp-plug.in/dsp-units/filters/SpectralTilt.h>
+#include <lsp-plug.in/dsp-units/filters/ButterworthFilter.h>
+#include <lsp-plug.in/dsp-units/dynamics/DynamicProcessor.h>
+#include <lsp-plug.in/dsp-units/dynamics/AutoGain.h>
+#include <lsp-plug.in/dsp-units/dynamics/SimpleAutoGain.h>
+#include <lsp-plug.in/dsp-units/dynamics/SurgeProtector.h>
 
 #include <math.h>
 #include <string.h>
@@ -486,6 +492,162 @@ extern "C"
         }
         if (n_bq == 0)
             dsp::copy(out, in, n);
+        return 0;
+    }
+
+    /* --- remaining dynamics + filter units --- */
+
+    int ref_spectral_tilt(uint32_t order, float slope, uint32_t slope_unit,
+                          uint32_t norm, float lower, float upper,
+                          uint32_t sr, const float *in, float *out, int n,
+                          int block)
+    {
+        dspu::SpectralTilt st;
+        st.init();
+        st.set_order(order);
+        st.set_slope(slope, (dspu::stlt_slope_unit_t) slope_unit);
+        st.set_norm((dspu::stlt_norm_t) norm);
+        /* NOTE reference-verbatim BUG: set_frequency_range's normalizing
+         * swap is inverted (SpectralTilt.cpp: `if (upper > lower)
+         * lsp::swap(upper, lower)`), so any sane (lower, upper) call
+         * ends up reversed and update_settings resets BOTH to the
+         * 0.1 Hz / 20 kHz defaults -- the combined setter can never set
+         * a custom range upstream.  The individual setters work; the
+         * oracle uses them so the INTENDED design is compared. */
+        st.set_lower_frequency(lower);
+        st.set_upper_frequency(upper);
+        st.set_sample_rate(sr);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            st.process_overwrite(out + off, in + off, todo);
+        }
+        return 0;
+    }
+
+    int ref_spectral_tilt_chart(uint32_t order, float slope,
+                                uint32_t slope_unit, uint32_t norm,
+                                float lower, float upper, uint32_t sr,
+                                const float *freqs, float *re, float *im,
+                                int n)
+    {
+        dspu::SpectralTilt st;
+        st.init();
+        st.set_order(order);
+        st.set_slope(slope, (dspu::stlt_slope_unit_t) slope_unit);
+        st.set_norm((dspu::stlt_norm_t) norm);
+        /* NOTE reference-verbatim BUG: set_frequency_range's normalizing
+         * swap is inverted (SpectralTilt.cpp: `if (upper > lower)
+         * lsp::swap(upper, lower)`), so any sane (lower, upper) call
+         * ends up reversed and update_settings resets BOTH to the
+         * 0.1 Hz / 20 kHz defaults -- the combined setter can never set
+         * a custom range upstream.  The individual setters work; the
+         * oracle uses them so the INTENDED design is compared. */
+        st.set_lower_frequency(lower);
+        st.set_upper_frequency(upper);
+        st.set_sample_rate(sr);
+        st.freq_chart(re, im, freqs, n);
+        return 0;
+    }
+
+    int ref_butterworth(uint32_t type, uint32_t order, float cutoff,
+                        uint32_t sr, const float *in, float *out, int n,
+                        int block)
+    {
+        dspu::ButterworthFilter bw;
+        bw.init();
+        bw.set_filter_type((dspu::bw_filt_type_t) type);
+        bw.set_order(order);
+        bw.set_cutoff_frequency(cutoff);
+        bw.set_sample_rate(sr);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            bw.process_overwrite(out + off, in + off, todo);
+        }
+        return 0;
+    }
+
+    /* dots = 4 rows of [in, out, knee]; levels/times = 4 floats each */
+    int ref_dynproc_process(const float *dots, const float *atk_lv,
+                            const float *atk_t, const float *rel_lv,
+                            const float *rel_t, float in_ratio,
+                            float out_ratio, uint32_t sr, const float *in,
+                            float *gain, float *env, int n,
+                            float *curve_out, float *model_out,
+                            const float *levels, int n_levels)
+    {
+        dspu::DynamicProcessor dp;
+        dp.set_sample_rate(sr);
+        dp.set_in_ratio(in_ratio);
+        dp.set_out_ratio(out_ratio);
+        for (int i = 0; i < 4; ++i)
+        {
+            dp.set_dot(i, dots[3 * i], dots[3 * i + 1], dots[3 * i + 2]);
+            dp.set_attack_level(i, atk_lv[i]);
+            dp.set_release_level(i, rel_lv[i]);
+        }
+        for (int i = 0; i < 5; ++i)   /* 4 dots bound 5 ranges */
+        {
+            dp.set_attack_time(i, atk_t[i]);
+            dp.set_release_time(i, rel_t[i]);
+        }
+        dp.update_settings();   /* NOT called by process() upstream */
+        dp.process(gain, env, in, n);
+        if (curve_out != nullptr && n_levels > 0)
+        {
+            dp.curve(curve_out, levels, n_levels);
+            dp.model(model_out, levels, n_levels);
+        }
+        return 0;
+    }
+
+    int ref_autogain(float silence, float deviation, float sgrow,
+                     float sfall, float lgrow, float lfall, float max_gain,
+                     int max_gain_on, uint32_t sr, const float *llong,
+                     const float *lshort, float lexp, float *vca, int n)
+    {
+        dspu::AutoGain ag;
+        ag.init();
+        ag.set_sample_rate(sr);
+        ag.set_silence_threshold(silence);
+        ag.set_deviation(deviation);
+        ag.set_short_speed(sgrow, sfall);
+        ag.set_long_speed(lgrow, lfall);
+        ag.set_max_gain(max_gain, max_gain_on != 0);
+        ag.process(vca, llong, lshort, lexp, n);
+        return 0;
+    }
+
+    int ref_simple_autogain(float grow, float fall, float gmin, float gmax,
+                            float threshold, uint32_t sr,
+                            const float *level, float *gain, int n)
+    {
+        dspu::SimpleAutoGain sag;
+        sag.init();
+        sag.set_sample_rate(sr);
+        sag.set_speed(grow, fall);
+        sag.set_gain(gmin, gmax);
+        sag.set_threshold(threshold);
+        for (int i = 0; i < n; ++i)
+            gain[i] = sag.process(level[i]);
+        return 0;
+    }
+
+    int ref_surge_protector(float on_th, float off_th, uint32_t transition,
+                            uint32_t shutdown, const float *in, float *out,
+                            int n)
+    {
+        dspu::SurgeProtector sp;
+        sp.set_threshold(on_th, off_th);
+        sp.set_transition_time(transition);
+        sp.set_shutdown_time(shutdown);
+        for (int i = 0; i < n; ++i)
+            out[i] = sp.process(in[i]);
         return 0;
     }
 
