@@ -35,14 +35,20 @@ class CrossMode(enum.Enum):
 
 
 class CrossoverSlope(enum.Enum):
+    """Values mirror the reference enum (Crossover.h crossover_slope_t):
+    the LRX filter slope is derived as ``value - 1``
+    (Crossover.cpp select_slope), so the numbering is part of the
+    design contract."""
     OFF = 0
     LR2 = 1
     LR4 = 2
     LR8 = 3
     LR12 = 4
     LR16 = 5
-    LR24 = 6
-    LR32 = 7
+    LR20 = 6
+    LR24 = 7
+    LR28 = 8
+    LR32 = 9
 
 
 def _filter_type(kind: str, mode: CrossMode,
@@ -95,11 +101,18 @@ class Crossover:
         band_biquads: List[np.ndarray] = []
         for b in range(self.num_bands):
             chains = []
-            if b > 0:
-                # HPF of split b-1 (gain on the last band only; LR2 HPF
-                # gain negated — Crossover.cpp:409-412)
-                freq, slope = self.splits[b - 1]
-                gain = self.band_gains[b] if b == n else 1.0
+            # The reference topology is a SERIAL split tree
+            # (Crossover.h:43-59 diagram; reconfigure at
+            # Crossover.cpp:353-421): band b's signal passes through the
+            # HPFs of ALL splits below it (0..b-1), not just its own —
+            # their stopband phase is part of the band's contract and
+            # makes the band sum exactly allpass-complementary.  Each
+            # LR2 HPF negates its gain (Crossover.cpp:409-411); only the
+            # LAST split's HPF carries the top band's gain.
+            for j in range(b):
+                freq, slope = self.splits[j]
+                gain = self.band_gains[b] if (b == n and j == n - 1) \
+                    else 1.0
                 if slope == CrossoverSlope.LR2:
                     gain = -gain
                 p = FilterParams(

@@ -67,6 +67,12 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/ctl/Crossfade.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/ctl/Toggle.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/stat/QuantizedCounter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Crossover.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/meters/Correlometer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/meters/Panometer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/meters/LoudnessMeter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/meters/ILUFSMeter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/meters/PeakMeter.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -168,6 +174,21 @@ def _lib() -> ctypes.CDLL:
         lib.ref_surge_protector.argtypes = [f32, f32, u32, u32, f32p,
                                             f32p, i32]
         u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.ref_correlometer.restype = ctypes.c_int
+        lib.ref_correlometer.argtypes = [u32, u32, f32p, f32p, f32p,
+                                         i32, i32]
+        lib.ref_panometer.restype = ctypes.c_int
+        lib.ref_panometer.argtypes = [u32, u32, u32, f32, f32p, f32p,
+                                      f32p, i32, i32]
+        lib.ref_loudness_meter.restype = ctypes.c_int
+        lib.ref_loudness_meter.argtypes = [f32, u32, u32, f32p, f32p,
+                                           f32p, i32, i32]
+        lib.ref_ilufs_meter.restype = ctypes.c_int
+        lib.ref_ilufs_meter.argtypes = [f32, u32, u32, f32p, f32p, f32p,
+                                        i32, i32]
+        lib.ref_crossover.restype = ctypes.c_int
+        lib.ref_crossover.argtypes = [i32, f32p, u32p, u32, f32p, f32p,
+                                      i32, i32]
         lib.ref_mls.restype = ctypes.c_int
         lib.ref_mls.argtypes = [u32, u64, f32, f32, f32p, i32]
         lib.ref_lcg.restype = ctypes.c_int
@@ -420,6 +441,77 @@ def surge_protector(on_th, off_th, transition, shutdown, x):
     lib.ref_surge_protector(on_th, off_th, transition, shutdown, _f32(x),
                             _f32(out), x.size)
     return out
+
+
+def correlometer(max_period: int, period: int, a: np.ndarray,
+                 b: np.ndarray, block: int = 0) -> np.ndarray:
+    lib = _lib()
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    dst = np.zeros_like(a)
+    rc = lib.ref_correlometer(max_period, period, _f32(a), _f32(b),
+                              _f32(dst), a.size, block)
+    if rc != 0:
+        raise RuntimeError("ref_correlometer failed")
+    return dst
+
+
+def panometer(max_period: int, period: int, law: int, dfl: float,
+              a: np.ndarray, b: np.ndarray, block: int = 0) -> np.ndarray:
+    lib = _lib()
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    dst = np.zeros_like(a)
+    rc = lib.ref_panometer(max_period, period, law, dfl, _f32(a), _f32(b),
+                           _f32(dst), a.size, block)
+    if rc != 0:
+        raise RuntimeError("ref_panometer failed")
+    return dst
+
+
+def loudness_meter(period_ms: float, weighting: int, sr: int,
+                   l: np.ndarray, r: np.ndarray,
+                   block: int = 0) -> np.ndarray:
+    lib = _lib()
+    l = np.ascontiguousarray(l, np.float32)
+    r = np.ascontiguousarray(r, np.float32)
+    out = np.zeros_like(l)
+    rc = lib.ref_loudness_meter(period_ms, weighting, sr, _f32(l),
+                                _f32(r), _f32(out), l.size, block)
+    if rc != 0:
+        raise RuntimeError("ref_loudness_meter failed")
+    return out
+
+
+def ilufs_meter(int_time_s: float, weighting: int, sr: int, l: np.ndarray,
+                r: np.ndarray, block: int = 0) -> np.ndarray:
+    lib = _lib()
+    l = np.ascontiguousarray(l, np.float32)
+    r = np.ascontiguousarray(r, np.float32)
+    out = np.zeros_like(l)
+    rc = lib.ref_ilufs_meter(int_time_s, weighting, sr, _f32(l), _f32(r),
+                             _f32(out), l.size, block)
+    if rc != 0:
+        raise RuntimeError("ref_ilufs_meter failed")
+    return out
+
+
+def crossover(freqs, slopes, sr: int, x: np.ndarray,
+              block: int = 0) -> np.ndarray:
+    """Returns [nsplits+1, n] band outputs of the genuine LR tree."""
+    lib = _lib()
+    freqs = np.ascontiguousarray(freqs, np.float32)
+    slopes = np.ascontiguousarray(slopes, np.uint32)
+    x = np.ascontiguousarray(x, np.float32)
+    nb = freqs.size + 1
+    outs = np.zeros((nb, x.size), np.float32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    rc = lib.ref_crossover(freqs.size, _f32(freqs),
+                           slopes.ctypes.data_as(u32p), sr, _f32(x),
+                           _f32(outs), x.size, block)
+    if rc != 0:
+        raise RuntimeError("ref_crossover failed")
+    return outs
 
 
 def mls(nbits: int, state: int, n: int, amplitude: float = 1.0,

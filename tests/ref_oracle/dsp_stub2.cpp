@@ -244,6 +244,65 @@ namespace lsp
             }
         }
 
+        void corr_init(correlation_t *corr, const float *a, const float *b,
+                       size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                corr->v += a[i] * b[i];
+                corr->a += a[i] * a[i];
+                corr->b += b[i] * b[i];
+            }
+        }
+
+        void corr_incr(correlation_t *corr, float *dst,
+                       const float *a_head, const float *b_head,
+                       const float *a_tail, const float *b_tail,
+                       size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                corr->v += a_head[i] * b_head[i] - a_tail[i] * b_tail[i];
+                corr->a += a_head[i] * a_head[i] - a_tail[i] * a_tail[i];
+                corr->b += b_head[i] * b_head[i] - b_tail[i] * b_tail[i];
+                float d = corr->a * corr->b;
+                dst[i] = (d > 1e-18f) ? corr->v / sqrtf(d) : 0.0f;
+            }
+        }
+
+        float abs_max(const float *src, size_t count)
+        {
+            float m = 0.0f;
+            for (size_t i = 0; i < count; ++i)
+            {
+                float v = fabsf(src[i]);
+                if (v > m)
+                    m = v;
+            }
+            return m;
+        }
+
+        float h_sum(const float *src, size_t count)
+        {
+            float s = 0.0f;
+            for (size_t i = 0; i < count; ++i)
+                s += src[i];
+            return s;
+        }
+
+        void sqr2(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = src[i] * src[i];
+        }
+
+        void mix_copy2(float *dst, const float *a, const float *b,
+                       float ka, float kb, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = a[i] * ka + b[i] * kb;
+        }
+
         /* ---- packed-complex FFT (iterative radix-2, double-precision
          * butterflies, float storage) ---- */
 

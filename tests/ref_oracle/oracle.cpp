@@ -40,6 +40,11 @@
 #include <lsp-plug.in/dsp-units/dynamics/AutoGain.h>
 #include <lsp-plug.in/dsp-units/dynamics/SimpleAutoGain.h>
 #include <lsp-plug.in/dsp-units/dynamics/SurgeProtector.h>
+#include <lsp-plug.in/dsp-units/util/Crossover.h>
+#include <lsp-plug.in/dsp-units/meters/Correlometer.h>
+#include <lsp-plug.in/dsp-units/meters/Panometer.h>
+#include <lsp-plug.in/dsp-units/meters/LoudnessMeter.h>
+#include <lsp-plug.in/dsp-units/meters/ILUFSMeter.h>
 
 #include <math.h>
 #include <string.h>
@@ -648,6 +653,138 @@ extern "C"
         sp.set_shutdown_time(shutdown);
         for (int i = 0; i < n; ++i)
             out[i] = sp.process(in[i]);
+        return 0;
+    }
+
+    /* --- meters --- */
+
+    int ref_correlometer(uint32_t max_period, uint32_t period,
+                         const float *a, const float *b, float *dst,
+                         int n, int block)
+    {
+        dspu::Correlometer cm;
+        if (cm.init(max_period) != STATUS_OK)
+            return -1;
+        cm.set_period(period);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            cm.process(dst + off, a + off, b + off, todo);
+        }
+        return 0;
+    }
+
+    int ref_panometer(uint32_t max_period, uint32_t period, uint32_t law,
+                      float dfl, const float *a, const float *b,
+                      float *dst, int n, int block)
+    {
+        dspu::Panometer pm;
+        if (pm.init(max_period) != STATUS_OK)
+            return -1;
+        pm.set_pan_law((dspu::pan_law_t) law);
+        pm.set_default_pan(dfl);
+        pm.set_period(period);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            pm.process(dst + off, a + off, b + off, todo);
+        }
+        return 0;
+    }
+
+    /* stereo (LEFT/RIGHT designations) momentary/short-term loudness */
+    int ref_loudness_meter(float period_ms, uint32_t weighting,
+                           uint32_t sr, const float *l, const float *r,
+                           float *out, int n, int block)
+    {
+        dspu::LoudnessMeter lm;
+        if (lm.init(2, lsp_max(period_ms, 3000.0f)) != STATUS_OK)
+            return -1;
+        lm.set_sample_rate(sr);
+        lm.set_weighting((dspu::bs::weighting_t) weighting);
+        lm.set_period(period_ms);
+        lm.set_designation(0, dspu::bs::CHANNEL_LEFT);
+        lm.set_designation(1, dspu::bs::CHANNEL_RIGHT);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            lm.bind(0, nullptr, l + off);
+            lm.bind(1, nullptr, r + off);
+            lm.process(out + off, todo);
+        }
+        return 0;
+    }
+
+    /* stereo integrated loudness (BS.1770 gated) */
+    int ref_ilufs_meter(float int_time_s, uint32_t weighting, uint32_t sr,
+                        const float *l, const float *r, float *out, int n,
+                        int block)
+    {
+        dspu::ILUFSMeter im;
+        if (im.init(2, int_time_s) != STATUS_OK)
+            return -1;
+        im.set_sample_rate(sr);
+        im.set_weighting((dspu::bs::weighting_t) weighting);
+        im.set_integration_period(int_time_s);
+        im.set_designation(0, dspu::bs::CHANNEL_LEFT);
+        im.set_designation(1, dspu::bs::CHANNEL_RIGHT);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            im.bind(0, l + off);
+            im.bind(1, r + off);
+            im.process(out + off, todo);
+        }
+        return 0;
+    }
+
+    /* --- IIR Linkwitz-Riley crossover tree --- */
+
+    static void xover_collect(void *object, void *subject, size_t band,
+                              const float *data, size_t first, size_t count)
+    {
+        float *out = reinterpret_cast<float *>(object);
+        size_t n = (size_t) (uintptr_t) subject;
+        memcpy(out + band * n + first, data, count * sizeof(float));
+    }
+
+    /* nsplits split points -> nsplits+1 bands; outs = [bands][n] */
+    int ref_crossover(int nsplits, const float *freqs,
+                      const uint32_t *slopes, uint32_t sr, const float *in,
+                      float *outs, int n, int block)
+    {
+        dspu::Crossover cv;
+        if (!cv.init(nsplits + 1, block > 0 ? block : n))
+            return -1;
+        cv.set_sample_rate(sr);
+        for (int i = 0; i < nsplits; ++i)
+        {
+            cv.set_frequency(i, freqs[i]);
+            cv.set_slope(i, slopes[i]);
+        }
+        for (int b = 0; b <= nsplits; ++b)
+            cv.set_handler(b, xover_collect, outs,
+                           (void *) (uintptr_t) n);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            /* handlers write at first=<offset in block>; shift by off
+             * via per-call object pointer */
+            for (int b = 0; b <= nsplits; ++b)
+                cv.set_handler(b, xover_collect, outs + off,
+                               (void *) (uintptr_t) n);
+            cv.process(in + off, todo);
+        }
         return 0;
     }
 

@@ -37,6 +37,22 @@ namespace lsp
         return reinterpret_cast<T *>(p);
     }
 
+    template <class T, class P>
+    inline T *realloc_aligned(P *&ptr, size_t count,
+                              size_t align = DEFAULT_ALIGN)
+    {
+        /* simple grow: aligned alloc a fresh block (callers copy what
+         * they need; the reference uses it for whole-buffer resize) */
+        free(ptr);
+        ptr = nullptr;
+        void *p = nullptr;
+        size_t a = (align < sizeof(void *)) ? sizeof(void *) : align;
+        if (posix_memalign(&p, a, count * sizeof(T)) != 0)
+            return nullptr;
+        ptr = reinterpret_cast<P *>(p);
+        return reinterpret_cast<T *>(p);
+    }
+
     template <class P>
     inline void free_aligned(P *&ptr)
     {

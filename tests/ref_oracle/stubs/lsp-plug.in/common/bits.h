@@ -16,6 +16,20 @@ namespace lsp
     {
         return (v > 0) ? 63 - __builtin_clzll(v) : 0;
     }
+
+    template <class T>
+    inline T fixed_int(T v)
+    {
+        return v;
+    }
+
+    inline size_t round_pow2(size_t v)
+    {
+        size_t r = 1;
+        while (r < v)
+            r <<= 1;
+        return r;
+    }
 } /* namespace lsp */
 
 #endif /* LSP_PLUG_IN_COMMON_BITS_H_ */

@@ -56,6 +56,18 @@ inline auto lsp_max(A a, B b, C c) -> decltype(a + b + c)
     return lsp_max(lsp_max(a, b), c);
 }
 
+template <class A, class B, class C, class D>
+inline auto lsp_min(A a, B b, C c, D d) -> decltype(a + b + c + d)
+{
+    return lsp_min(lsp_min(a, b), lsp_min(c, d));
+}
+
+template <class A, class B, class C, class D>
+inline auto lsp_max(A a, B b, C c, D d) -> decltype(a + b + c + d)
+{
+    return lsp_max(lsp_max(a, b), lsp_max(c, d));
+}
+
 template <class T, class A, class B>
 inline T lsp_limit(T v, A mn, B mx)
 {

@@ -153,6 +153,30 @@ namespace lsp
         void ms_pamax3(float *dst, const float *m, const float *s,
                        size_t count);
 
+        /* normalized sliding correlation (Correlometer.cpp:134-185:
+         * corr_init accumulates the window sums, corr_incr slides by
+         * adding new / subtracting old samples and emits
+         * v / sqrt(a*b)) */
+        typedef struct correlation_t
+        {
+            float v;    /* sum of a[i]*b[i] */
+            float a;    /* sum of a[i]^2    */
+            float b;    /* sum of b[i]^2    */
+        } correlation_t;
+
+        void corr_init(correlation_t *corr, const float *a, const float *b,
+                       size_t count);
+        void corr_incr(correlation_t *corr, float *dst,
+                       const float *a_head, const float *b_head,
+                       const float *a_tail, const float *b_tail,
+                       size_t count);
+
+        float abs_max(const float *src, size_t count);
+        float h_sum(const float *src, size_t count);
+        void sqr2(float *dst, const float *src, size_t count);
+        void mix_copy2(float *dst, const float *a, const float *b,
+                       float ka, float kb, size_t count);
+
         /* packed-complex FFT layer (interleaved re,im pairs; rank =
          * log2(points); reverse is scaled by 1/N) + fast convolution
          * images.  The image format is OPAQUE to the reference sources
