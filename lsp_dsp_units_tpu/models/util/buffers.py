@@ -158,6 +158,23 @@ class ShiftBuffer:
         self.tail_pos += n
         return n
 
+    def process(self, v: float) -> float:
+        """Append one sample and pop the oldest (reference
+        ShiftBuffer::process, ShiftBuffer.cpp:251-270); the init gap
+        yields that many leading zeros."""
+        if self.tail_pos >= self.data.size:
+            if self.head <= 0:
+                return 0.0
+            used = self.tail_pos - self.head
+            self.data[:used] = self.data[self.head:self.tail_pos]
+            self.head = 0
+            self.tail_pos = used
+        self.data[self.tail_pos] = np.float32(v)
+        self.tail_pos += 1
+        out = float(self.data[self.head])
+        self.head += 1
+        return out
+
     def shift(self, n: int) -> np.ndarray:
         n = min(int(n), self.tail_pos - self.head)
         out = self.data[self.head:self.head + n].copy()
@@ -173,43 +190,67 @@ class ShiftBuffer:
 
 
 class MeterMethod(enum.Enum):
-    MAXIMUM = "maximum"
-    MINIMUM = "minimum"
-    PEAK = "peak"     # max of |x|
+    """reference meter_method_t (MeterGraph.h:33-64).  PEAK holds the
+    FIRST sample of each period (sample-and-hold), ABS_* reduce |x|,
+    SIGN_* keep the signed value with the extreme |x|."""
+    ABS_MAXIMUM = "abs_maximum"
+    ABS_MINIMUM = "abs_minimum"
+    SIGN_MAXIMUM = "sign_maximum"
+    SIGN_MINIMUM = "sign_minimum"
+    PEAK = "peak"
 
 
-class MeterGraph:
-    """UI meter history: decimates the input into per-period min/max/peak
-    frames kept in a ring (reference MeterGraph.cpp)."""
+def _sampler_accumulate(method: MeterMethod, acc: Optional[float],
+                        seg: np.ndarray, gain: float) -> float:
+    """One chunk of the reference's per-period accumulation
+    (MeterGraph.cpp:112-175 vector path): reduce the chunk with the
+    method's kernel, then merge into the running value.  ``acc is
+    None`` encodes the reference's nCount==0 unconditional take.
 
-    def __init__(self, frames: int, period: int,
-                 method: MeterMethod = MeterMethod.PEAK):
+    NOTE reference-verbatim divergence: the reference's GAIN variant of
+    MM_ABS_MAXIMUM (MeterGraph.cpp:258-264) compares with ``>`` —
+    keeping the SMALLEST chunk maximum when a period spans several
+    chunks — while its no-gain variant uses ``<``.  We implement the
+    consistent (no-gain) semantics for both paths; period-aligned
+    processing is identical either way."""
+    if method == MeterMethod.PEAK:
+        v = float(seg[0]) * gain
+        return v if acc is None else acc
+    if method == MeterMethod.ABS_MAXIMUM:
+        v = float(np.abs(seg).max()) * gain
+        return v if acc is None else max(acc, v)
+    if method == MeterMethod.ABS_MINIMUM:
+        v = float(np.abs(seg).min()) * gain
+        return v if acc is None else min(acc, v)
+    if method == MeterMethod.SIGN_MAXIMUM:
+        v = float(seg[np.argmax(np.abs(seg))]) * gain
+        return v if acc is None else (v if abs(v) > abs(acc) else acc)
+    v = float(seg[np.argmin(np.abs(seg))]) * gain
+    return v if acc is None else (v if abs(v) < abs(acc) else acc)
+
+
+class _Sampler:
+    """One decimating sampler: fCurrent/nCount/nPeriod over a frame ring
+    (reference MeterGraph.cpp process, ScaledMeterGraph.cpp sampler_t)."""
+
+    def __init__(self, frames: int, period: int, default: float = 0.0):
         self.period = max(1, int(period))
-        self.method = method
         self.ring = RingBuffer(int(frames))
+        self.default = float(default)
         self._acc: Optional[float] = None
         self._fill = 0
         self.current = 0.0
 
-    def process(self, x) -> np.ndarray:
-        """Consume samples; returns the frame values COMPLETED during
-        this call (empty array if none) so cascaded samplers can stay on
-        the sample-count timebase."""
+    def process(self, method: MeterMethod, x: np.ndarray,
+                gain: float = 1.0) -> np.ndarray:
+        """Consume samples; returns frames COMPLETED during this call."""
         x = np.atleast_1d(np.asarray(x, np.float32))
         pos = 0
         done = []
         while pos < x.size:
             take = min(self.period - self._fill, x.size - pos)
-            seg = x[pos:pos + take]
-            if self.method == MeterMethod.MAXIMUM:
-                v = float(seg.max())
-                self._acc = v if self._acc is None else max(self._acc, v)
-            elif self.method == MeterMethod.MINIMUM:
-                v = float(seg.min())
-                self._acc = v if self._acc is None else min(self._acc, v)
-            else:
-                v = float(np.abs(seg).max())
-                self._acc = v if self._acc is None else max(self._acc, v)
+            self._acc = _sampler_accumulate(method, self._acc,
+                                            x[pos:pos + take], gain)
             self._fill += take
             pos += take
             if self._fill >= self.period:
@@ -220,55 +261,139 @@ class MeterGraph:
                 self._fill = 0
         return np.asarray(done, np.float32)
 
+    def read(self, n: int) -> np.ndarray:
+        """Last n frames oldest-first, short history padded with the
+        default value (reference MeterGraph::read)."""
+        n = int(n)
+        out = np.full(n, self.default, np.float32)
+        take = min(n, self.ring.count)
+        if take:
+            out[n - take:] = self.ring.tail(take)
+        return out
+
+
+class MeterGraph:
+    """UI meter history: decimates the input into per-period frames kept
+    in a ring (reference MeterGraph.cpp)."""
+
+    def __init__(self, frames: int, period: int,
+                 method: MeterMethod = MeterMethod.ABS_MAXIMUM,
+                 default: float = 0.0):
+        self._s = _Sampler(frames, period, default)
+        self.method = method
+
+    @property
+    def period(self) -> int:
+        return self._s.period
+
+    @property
+    def current(self) -> float:
+        return self._s.current
+
+    def process(self, x, gain: float = 1.0) -> np.ndarray:
+        """Consume samples; returns the frame values COMPLETED during
+        this call (empty array if none)."""
+        return self._s.process(self.method, x, gain)
+
     def frames(self, n: int) -> np.ndarray:
-        return self.ring.tail(n)
+        return self._s.read(n)
+
+    read = frames
+
+    def level(self) -> float:
+        """Most recent completed frame (reference MeterGraph::level)."""
+        return self._s.ring.get(0)
+
+    def fill(self, level: float) -> None:
+        self._s.ring.fill(level)
+        self._s._acc = None
+        self._s._fill = 0
 
 
 class ScaledMeterGraph:
-    """Two-stage subsampling meter graph (reference
-    ScaledMeterGraph.cpp): a fast sampler decimates by ``subsampling``
-    and cascades into a slow one so zoomed-out views stay peak-accurate.
+    """Dual-resolution meter graph (reference ScaledMeterGraph.cpp):
+    TWO INDEPENDENT samplers over the same raw input — a history
+    sampler at the fixed ``subsampling`` period and a frames sampler at
+    the requested ``period`` (clamped to [subsampling, max_period]).
+    When the period changes, the frames ring is rebuilt by decimating
+    the history ring and the triggering block is consumed by the
+    history sampler only (reference process -> update_period,
+    ScaledMeterGraph.cpp:269-356).
 
-    The slow stage counts SAMPLES and carries the residual across
-    frames exactly like the reference (``nCount += subsampling`` per
-    subframe, emit when ``nCount >= period``, then ``nCount -= period``
-    — ScaledMeterGraph.cpp:330-336), so the long-run frame period
-    equals the requested ``period`` even when ``subsampling`` does not
-    divide it (each frame jitters by < subsampling, it never drifts)."""
+    NOTE reference-verbatim divergence: the reference's rebuild reads
+    the history ring with the ABSOLUTE-position ``read()`` accessor
+    (ScaledMeterGraph.cpp:297) where the head-relative ``get()`` matches
+    its own push discipline; we decimate head-relative."""
 
     def __init__(self, frames: int, period: int, subsampling: int,
-                 method: MeterMethod = MeterMethod.PEAK):
+                 method: MeterMethod = MeterMethod.ABS_MAXIMUM,
+                 max_period: Optional[int] = None):
         self.subsampling = max(1, int(subsampling))
-        # reference set_period clamps to [subsampling, max_period]
-        self.period = max(int(period), self.subsampling)
-        self.fast = MeterGraph(frames, self.subsampling, method)
+        self.max_period = int(max_period if max_period is not None
+                              else max(int(period), self.subsampling))
+        samples = int(frames) * self.max_period
+        subframes = -(-samples // self.subsampling)
+        self.history = _Sampler(subframes, self.subsampling)
+        self.frames_s = _Sampler(int(frames), 1)
+        self.frames_n = int(frames)
         self.method = method
-        self.ring = RingBuffer(int(frames))
-        self._acc: Optional[float] = None
-        self._count = 0
-        self.current = 0.0
+        self._period = 0           # active frames-sampler period
+        self.period = 0            # requested (set_period)
+        self.set_period(period)
 
-    def _combine(self, acc: Optional[float], v: float) -> float:
-        if acc is None:
-            return v
-        if self.method == MeterMethod.MINIMUM:
-            return min(acc, v)
-        return max(acc, v)
+    def set_period(self, period: int) -> None:
+        self.period = min(max(int(period), self.subsampling),
+                          self.max_period)
 
-    def process(self, x) -> None:
-        # feed every COMPLETED fast subframe into the slow accumulator,
-        # each worth `subsampling` samples on the slow timebase
-        for v in self.fast.process(x):
-            self._acc = self._combine(self._acc, float(v))
-            self._count += self.subsampling
-            if self._count >= self.period:
-                self.ring.push(self._acc)
-                self.current = self._acc
-                self._acc = None
-                self._count -= self.period
+    def _update_period(self) -> bool:
+        """reference update_period (ScaledMeterGraph.cpp:269-340):
+        flush the in-progress history frame, retarget the frames
+        sampler, rebuild its ring by decimating history subframes."""
+        if self.period == self._period:
+            return False
+        if self.history._fill > 0 and self.history._acc is not None:
+            self.history.ring.push(self.history._acc)
+            self.history._acc = None
+            self.history._fill = 0
+        self._period = self.period
+        s = self.frames_s
+        s.period = self._period
+        s._acc = None
+        s._fill = 0
+        s.ring.clear()
+        # decimate the history into whole frames
+        per_frame = -(-self._period // self.subsampling)
+        total = per_frame * self.frames_n
+        hist = self.history.read(total)
+        for i in range(self.frames_n):
+            seg = hist[i * per_frame:(i + 1) * per_frame]
+            acc = None
+            for v in seg:
+                acc = _sampler_accumulate(self.method, acc,
+                                          np.array([v], np.float32), 1.0)
+            s.ring.push(0.0 if acc is None else acc)
+        return True
+
+    def process(self, x, gain: float = 1.0) -> None:
+        self.history.process(self.method, x, gain)
+        if not self._update_period():
+            self.frames_s.process(self.method, x, gain)
 
     def frames(self, n: int) -> np.ndarray:
-        return self.ring.tail(n)
+        return self.frames_s.read(n)
+
+    read = frames
+
+    def level(self) -> float:
+        return self.frames_s.ring.get(0)
+
+    def fill(self, level: float) -> None:
+        self.frames_s.ring.fill(level)
+        self.frames_s._acc = None
+        self.frames_s._fill = 0
+        self.history.ring.fill(level)
+        self.history._acc = None
+        self.history._fill = 0
 
 
 class RawRingBuffer:

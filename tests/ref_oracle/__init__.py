@@ -73,6 +73,14 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/meters/LoudnessMeter.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/meters/ILUFSMeter.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/meters/PeakMeter.cpp"),
+    # wave 3: behavioral state machines + graph decimators
+    os.path.join(REFERENCE_ROOT, "src/main/util/ADSREnvelope.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Trigger.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/MeterGraph.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/ScaledMeterGraph.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/DynamicDelay.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Depopper.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/ShiftBuffer.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -86,6 +94,7 @@ def available() -> bool:
 
 def _build() -> str:
     srcs = [os.path.join(_HERE, "oracle.cpp"),
+            os.path.join(_HERE, "oracle2.cpp"),
             os.path.join(_HERE, "dsp_stub2.cpp")] + _REF_SOURCES
     if os.path.exists(_LIB_PATH) and all(
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s)
@@ -231,6 +240,30 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_uint32, f32p, f32p, f32p, ctypes.c_int]
+        # wave 3 (oracle2.cpp)
+        i32p_ = ctypes.POINTER(ctypes.c_int32)
+        lib.ref_adsr.restype = ctypes.c_int
+        lib.ref_adsr.argtypes = [f32p, f32, i32, f32, i32, f32,
+                                 f32p, f32p, i32]
+        lib.ref_trigger.restype = ctypes.c_int
+        lib.ref_trigger.argtypes = [u32, u32, f32, f32, u32, f32p,
+                                    i32p_, i32]
+        lib.ref_meter_graph.restype = ctypes.c_int
+        lib.ref_meter_graph.argtypes = [u32, u32, u32, f32p, f32, i32,
+                                        i32, i32, f32p, i32]
+        lib.ref_scaled_meter_graph.restype = ctypes.c_int
+        lib.ref_scaled_meter_graph.argtypes = [u32, u32, u32, u32, f32p,
+                                               f32, i32, i32, f32p, i32]
+        lib.ref_dynamic_delay.restype = ctypes.c_int
+        lib.ref_dynamic_delay.argtypes = [u32, f32p, f32p, f32p, f32p,
+                                          f32p, i32, i32]
+        lib.ref_depopper.restype = ctypes.c_int
+        lib.ref_depopper.argtypes = [u32, u32, f32, f32, f32, u32, f32,
+                                     f32, f32, f32, f32p, f32p, f32p,
+                                     i32, i32]
+        lib.ref_shift_buffer.restype = ctypes.c_int
+        lib.ref_shift_buffer.argtypes = [u32, u32, i32p_, i32p_, i32,
+                                         f32p, f32p, i32p]
         _LIB = lib
         return lib
 

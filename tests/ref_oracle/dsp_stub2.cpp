@@ -290,6 +290,37 @@ namespace lsp
             return s;
         }
 
+        float abs_min(const float *src, size_t count)
+        {
+            float m = (count > 0) ? fabsf(src[0]) : 0.0f;
+            for (size_t i = 1; i < count; ++i)
+            {
+                float v = fabsf(src[i]);
+                if (v < m)
+                    m = v;
+            }
+            return m;
+        }
+
+        /* value with the largest |.| (MeterGraph.cpp MM_SIGN_MAXIMUM) */
+        float sign_max(const float *src, size_t count)
+        {
+            float m = (count > 0) ? src[0] : 0.0f;
+            for (size_t i = 1; i < count; ++i)
+                if (fabsf(src[i]) > fabsf(m))
+                    m = src[i];
+            return m;
+        }
+
+        float sign_min(const float *src, size_t count)
+        {
+            float m = (count > 0) ? src[0] : 0.0f;
+            for (size_t i = 1; i < count; ++i)
+                if (fabsf(src[i]) < fabsf(m))
+                    m = src[i];
+            return m;
+        }
+
         void sqr2(float *dst, const float *src, size_t count)
         {
             for (size_t i = 0; i < count; ++i)

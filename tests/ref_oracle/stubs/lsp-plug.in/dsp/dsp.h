@@ -173,6 +173,9 @@ namespace lsp
 
         float abs_max(const float *src, size_t count);
         float h_sum(const float *src, size_t count);
+        float abs_min(const float *src, size_t count);
+        float sign_max(const float *src, size_t count);
+        float sign_min(const float *src, size_t count);
         void sqr2(float *dst, const float *src, size_t count);
         void mix_copy2(float *dst, const float *a, const float *b,
                        float ka, float kb, size_t count);

@@ -118,13 +118,24 @@ def test_adsr_envelope():
 def test_trigger_rising_edge():
     from lsp_dsp_units_tpu.models.util import Trigger, TriggerType
 
+    # SIMPLE_RISING fires on EVERY rising sample at/above the threshold
+    # (reference Trigger.cpp:104-119), so each 10-step ramp yields 5
     trg = Trigger(TriggerType.SIMPLE_RISING_EDGE, threshold=0.5)
     st = trg.init_state()
     x = np.concatenate([np.linspace(0, 1, 10), np.linspace(1, 0, 10),
                         np.linspace(0, 1, 10)]).astype(np.float32)
     st, states = trg.process(st, jnp.asarray(x))
     fired = np.where(np.asarray(states) == 2)[0]
-    assert fired.size == 2  # two rising crossings of 0.5
+    np.testing.assert_array_equal(fired, [5, 6, 7, 8, 9,
+                                          25, 26, 27, 28, 29])
+
+    # ADVANCED_RISING fires once per hysteresis-window sweep: armed on
+    # crossing threshold-hyst, fired on crossing threshold+hyst
+    adv = Trigger(TriggerType.ADVANCED_RISING_EDGE, threshold=0.5,
+                  hysteresis=0.2)
+    st = adv.init_state()
+    st, states = adv.process(st, jnp.asarray(x))
+    assert int(np.sum(np.asarray(states) == 2)) == 2  # one per ramp
 
 
 def test_ring_and_shift_buffers():
@@ -252,12 +263,21 @@ def test_raw_ring_buffer_placement_api():
 def test_meter_graph():
     from lsp_dsp_units_tpu.models.util import MeterGraph, MeterMethod
 
-    mg = MeterGraph(frames=16, period=10, method=MeterMethod.PEAK)
+    mg = MeterGraph(frames=16, period=10, method=MeterMethod.ABS_MAXIMUM)
     x = np.zeros(100, np.float32)
     x[25] = -3.0
     mg.process(x)
     frames = mg.frames(10)
     assert frames.max() == 3.0
+    # SIGN_MAXIMUM keeps the signed value of the largest |x|
+    sg = MeterGraph(frames=16, period=10, method=MeterMethod.SIGN_MAXIMUM)
+    sg.process(x)
+    assert sg.frames(10).min() == -3.0
+    # PEAK holds the FIRST sample of each period (MeterGraph.cpp:90-93)
+    pk = MeterGraph(frames=16, period=10, method=MeterMethod.PEAK)
+    seq = np.arange(100, dtype=np.float32)
+    pk.process(seq)
+    np.testing.assert_array_equal(pk.frames(10), seq[::10])
 
 
 def test_dither_statistics():
@@ -449,13 +469,15 @@ def test_profiling_helpers(tmp_path):
 
 
 def test_scaled_meter_graph_timebase_is_sample_count():
-    """Slow-graph frames complete every period*... SAMPLES regardless of
-    the caller's block size (regression: one slow input per CALL made
-    the slow timebase block-size dependent and dropped fast peaks)."""
+    """After the period-change rebuild (consumed by the first process
+    call, reference ScaledMeterGraph.cpp:347-356), slow-graph frames
+    complete every `period` SAMPLES regardless of the caller's block
+    size, and a peak is never dropped."""
     from lsp_dsp_units_tpu.models.util.buffers import ScaledMeterGraph
 
     def run(chunk):
         g = ScaledMeterGraph(frames=32, period=1000, subsampling=10)
+        g.process(np.zeros(10, np.float32))   # trigger the rebuild
         x = np.zeros(10000, np.float32)
         x[7777] = 1.0                     # single peak
         for i in range(0, x.size, chunk):
@@ -516,24 +538,26 @@ def test_trigger_single_mode_fires_once_per_block():
     assert int(np.sum(np.asarray(states) == FIRED)) == 1
 
 
-def test_scaled_meter_graph_period_residual_carry():
-    """When subsampling does not divide the period the frame period
-    must AVERAGE to the request (reference nCount -= nPeriod carry,
-    ScaledMeterGraph.cpp:330-336), not floor to a multiple of the
-    subsampling (0.8% drift for 1000/16)."""
+def test_scaled_meter_graph_frames_sampler_counts_raw_samples():
+    """The frames sampler counts RAW samples at the requested period —
+    it is an independent second sampler over the input, not a cascade
+    of the subsampled history (reference ScaledMeterGraph::process,
+    ScaledMeterGraph.cpp:351-356) — so the frame timebase is exact even
+    when subsampling does not divide the period (1000/16 here)."""
     from lsp_dsp_units_tpu.models.util.buffers import ScaledMeterGraph
 
     g = ScaledMeterGraph(frames=64, period=1000, subsampling=16)
+    g.process(np.zeros(0, np.float32))    # trigger the rebuild
     n = 40000
     x = np.zeros(n, np.float32)
+    x[5] = 2.0                             # first frame carries the peak
     for i in range(0, n, 160):
         g.process(x[i:i + 160])
-    # 40000 samples / period 1000 = exactly 40 frames with the residual
-    # carried (the floored-period variant would emit every 992 samples,
-    # i.e. 40 frames after only 39680 samples and a drifting timebase)
-    assert g._count < g.period
-    total_frames = (n - g._count) / 1000.0
-    assert total_frames == int(total_frames) == 40
+    # 40000 samples / period 1000 = exactly 40 streamed frames
+    assert g.frames_s._fill == 0
+    f = g.frames(41)
+    assert f[0] == 0.0                     # 41st-last is a rebuilt frame
+    assert f[1] == 2.0 and np.all(f[2:] == 0.0)
 
 
 def test_sample_normalize_above_below_semantics():

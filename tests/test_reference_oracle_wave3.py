@@ -1,0 +1,261 @@
+"""Parity vs the COMPILED genuine reference (wave 3): ADSREnvelope,
+Trigger, MeterGraph, ScaledMeterGraph-behavior, DynamicDelay, Depopper,
+ShiftBuffer.  tests/ref_oracle compiles the actual reference sources;
+every test here drives the real C++ unit and our TPU unit on the same
+input and compares."""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+import tests.ref_oracle as ro
+
+pytestmark = pytest.mark.skipif(not ro.available(),
+                                reason="reference sources not present")
+
+
+def _f32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+# ---------------------------------------------------------------- ADSR
+
+@pytest.mark.parametrize("func", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("use_hold,use_break", [(0, 0), (1, 1)])
+def test_adsr_matches_reference(func, use_hold, use_break):
+    from lsp_dsp_units_tpu.models.util.adsr import ADSREnvelope, ADSRFunction
+
+    lib = ro._lib()
+    curves = np.array([
+        0.15, 0.3, func,     # attack
+        0.45, 0.7, func,     # decay
+        0.6, 0.4, func,      # slope
+        0.8, 0.55, func,     # release
+    ], np.float32)
+    hold_time, break_level, sustain = 0.25, 0.8, 0.5
+    t = np.linspace(-0.05, 1.05, 1103).astype(np.float32)
+    out_ref = np.zeros_like(t)
+    rc = lib.ref_adsr(_f32(curves), hold_time, use_hold, break_level,
+                      use_break, sustain, _f32(t), _f32(out_ref), t.size)
+    assert rc == 0
+
+    env = ADSREnvelope(
+        attack=0.15, decay=0.45, sustain_level=sustain, release=0.8,
+        hold=hold_time if use_hold else None,
+        break_level=break_level if use_break else None, slope=0.6,
+        attack_func=ADSRFunction(func), decay_func=ADSRFunction(func),
+        slope_func=ADSRFunction(func), release_func=ADSRFunction(func),
+        attack_curve=0.3, decay_curve=0.7, slope_curve=0.4,
+        release_curve=0.55)
+    out = np.asarray(env.process(t))
+    np.testing.assert_allclose(out, out_ref, atol=2e-5,
+                               err_msg=f"func={func}")
+
+
+# -------------------------------------------------------------- Trigger
+
+@pytest.mark.parametrize("ttype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("mode,hold", [(2, 0), (2, 37), (0, 0)])
+def test_trigger_matches_reference(ttype, mode, hold):
+    from lsp_dsp_units_tpu.models.util.trigger import (
+        Trigger, TriggerMode, TriggerType)
+
+    lib = ro._lib()
+    rng = np.random.default_rng(ttype * 10 + mode)
+    n = 2000
+    x = (np.sin(np.arange(n) * 0.03)
+         + 0.3 * rng.standard_normal(n)).astype(np.float32)
+    st_ref = np.zeros(n, np.int32)
+    rc = lib.ref_trigger(mode, ttype, 0.4, 0.25, hold, _f32(x),
+                         _i32(st_ref), n)
+    assert rc == 0
+
+    trg = Trigger(TriggerType(ttype), TriggerMode(mode), threshold=0.4,
+                  hysteresis=0.25, hold_samples=hold)
+    st = trg.init_state()
+    # stream in odd chunks to prove state continuity
+    outs = []
+    import jax.numpy as jnp
+    for off in range(0, n, 333):
+        st, s = trg.process(st, jnp.asarray(x[off:off + 333]))
+        outs.append(np.asarray(s))
+    np.testing.assert_array_equal(np.concatenate(outs), st_ref,
+                                  err_msg=f"type={ttype} mode={mode}")
+
+
+# ------------------------------------------------------------ MeterGraph
+
+@pytest.mark.parametrize("method", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("block", [0, 700])   # 700 % period == 0
+def test_meter_graph_matches_reference(method, block):
+    from lsp_dsp_units_tpu.models.util.buffers import (
+        MeterGraph, MeterMethod)
+
+    order = [MeterMethod.ABS_MAXIMUM, MeterMethod.ABS_MINIMUM,
+             MeterMethod.SIGN_MAXIMUM, MeterMethod.SIGN_MINIMUM,
+             MeterMethod.PEAK]
+    ref_ids = {MeterMethod.ABS_MAXIMUM: None}  # resolved below
+    # reference meter_method_t order (MeterGraph.h:33-64):
+    # ABS_MAXIMUM, ABS_MINIMUM, SIGN_MAXIMUM, SIGN_MINIMUM, PEAK
+    mm = order[method]
+
+    lib = ro._lib()
+    rng = np.random.default_rng(method)
+    n, period, frames = 3500, 70, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    out_ref = np.zeros(frames, np.float32)
+    rc = lib.ref_meter_graph(method, period, frames, _f32(x), 1.0, 0,
+                             n, block, _f32(out_ref), frames)
+    assert rc == 0
+
+    mg = MeterGraph(frames=frames, period=period, method=mm)
+    if block <= 0:
+        mg.process(x)
+    else:
+        for off in range(0, n, block):
+            mg.process(x[off:off + block])
+    np.testing.assert_allclose(mg.frames(frames), out_ref, rtol=1e-6,
+                               err_msg=f"method={mm}")
+
+
+def test_meter_graph_gain_path_matches_reference_aligned():
+    """The gain variant agrees when periods don't span chunks (the
+    reference's inverted ABS_MAXIMUM comparison in that path is only
+    reachable mid-period — NOTE reference-verbatim divergence,
+    MeterGraph.cpp:258-264)."""
+    from lsp_dsp_units_tpu.models.util.buffers import (
+        MeterGraph, MeterMethod)
+
+    lib = ro._lib()
+    rng = np.random.default_rng(7)
+    n, period, frames = 2800, 70, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    out_ref = np.zeros(frames, np.float32)
+    rc = lib.ref_meter_graph(0, period, frames, _f32(x), 0.5, 1,
+                             n, 700, _f32(out_ref), frames)
+    assert rc == 0
+    mg = MeterGraph(frames=frames, period=period,
+                    method=MeterMethod.ABS_MAXIMUM)
+    for off in range(0, n, 700):
+        mg.process(x[off:off + 700], gain=0.5)
+    np.testing.assert_allclose(mg.frames(frames), out_ref, rtol=1e-6)
+
+
+# ---------------------------------------------------------- DynamicDelay
+
+@pytest.mark.parametrize("block", [0, 127])
+def test_dynamic_delay_matches_reference(block):
+    import jax.numpy as jnp
+    from lsp_dsp_units_tpu.models.util.delay import DynamicDelay
+
+    lib = ro._lib()
+    rng = np.random.default_rng(3)
+    n, max_delay = 1500, 64
+    x = rng.standard_normal(n).astype(np.float32)
+    delay = rng.integers(0, max_delay, n).astype(np.float32)
+    fgain = (rng.standard_normal(n) * 0.4).astype(np.float32)
+    fdelay = rng.integers(0, max_delay, n).astype(np.float32)
+    out_ref = np.zeros(n, np.float32)
+    rc = lib.ref_dynamic_delay(max_delay, _f32(x), _f32(delay),
+                               _f32(fgain), _f32(fdelay), _f32(out_ref),
+                               n, block)
+    assert rc == 0
+
+    dd = DynamicDelay(max_delay)
+    st = dd.init_state()
+    outs = []
+    step = block if block > 0 else n
+    for off in range(0, n, step):
+        sl = slice(off, off + step)
+        st, y = dd.process(st, jnp.asarray(x[sl]),
+                           jnp.asarray(delay[sl], jnp.int32),
+                           jnp.asarray(fgain[sl]),
+                           jnp.asarray(fdelay[sl], jnp.int32))
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs), out_ref, atol=1e-6)
+
+
+# -------------------------------------------------------------- Depopper
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3, 4])
+def test_depopper_matches_reference(mode):
+    import jax.numpy as jnp
+    from lsp_dsp_units_tpu.models.util.depopper import (
+        Depopper, DepopperMode)
+
+    lib = ro._lib()
+    sr = 8000
+    n = sr  # 1 s
+    # two bursts separated far beyond the fade windows
+    x = np.zeros(n, np.float32)
+    x[800:2400] = 0.5
+    x[4800:6400] = 0.7
+    env_ref = np.zeros(n, np.float32)
+    gain_ref = np.zeros(n, np.float32)
+    args = dict(fade_in_thresh=0.1, fade_in_ms=20.0, fade_out_thresh=0.05,
+                fade_out_ms=15.0, fade_in_delay_ms=5.0,
+                fade_out_delay_ms=3.0, rms_ms=6.0)
+    rc = lib.ref_depopper(sr, mode, args["fade_in_thresh"],
+                          args["fade_in_ms"], args["fade_in_delay_ms"],
+                          mode, args["fade_out_thresh"],
+                          args["fade_out_ms"], args["fade_out_delay_ms"],
+                          args["rms_ms"], _f32(x), _f32(env_ref),
+                          _f32(gain_ref), n, 512)
+    assert rc == 0
+
+    dp = Depopper(sr, fade_in_mode=DepopperMode(mode),
+                  fade_out_mode=DepopperMode(mode), **args)
+    st = dp.init_state()
+    gains, envs = [], []
+    for off in range(0, n, 512):
+        st, g, e = dp.process(st, jnp.asarray(x[off:off + 512]))
+        gains.append(np.asarray(g))
+        envs.append(np.asarray(e))
+    gain = np.concatenate(gains)
+    env = np.concatenate(envs)
+    np.testing.assert_allclose(env, env_ref, atol=2e-4,
+                               err_msg=f"mode={mode} env")
+    np.testing.assert_allclose(gain, gain_ref, atol=2e-4,
+                               err_msg=f"mode={mode} gain")
+
+
+# ------------------------------------------------------------ ShiftBuffer
+
+def test_shift_buffer_matches_reference():
+    from lsp_dsp_units_tpu.models.util.buffers import ShiftBuffer
+
+    lib = ro._lib()
+    rng = np.random.default_rng(11)
+    n_ops = 60
+    ops = rng.integers(0, 3, n_ops).astype(np.int32)
+    counts = rng.integers(1, 40, n_ops).astype(np.int32)
+    feed = rng.standard_normal(4000).astype(np.float32)
+    sink_ref = np.zeros(4000, np.float32)
+    size_ref = ctypes.c_int(0)
+    rc = lib.ref_shift_buffer(256, 16, _i32(ops), _i32(counts), n_ops,
+                              _f32(feed), _f32(sink_ref),
+                              ctypes.byref(size_ref))
+    assert rc == 0
+
+    sb = ShiftBuffer(256, gap=16)
+    fp, sp = 0, 0
+    sink = np.zeros(4000, np.float32)
+    for op, k in zip(ops, counts):
+        if op == 0:
+            took = sb.append(feed[fp:fp + k])
+            fp += took
+        elif op == 1:
+            got = sb.shift(k)
+            sink[sp:sp + got.size] = got
+            sp += got.size
+        else:
+            sink[sp] = sb.process(feed[fp])
+            fp += 1
+            sp += 1
+    assert sb.avail == size_ref.value
+    np.testing.assert_allclose(sink, sink_ref, atol=0)
