@@ -81,6 +81,7 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/util/DynamicDelay.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/util/Depopper.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/util/ShiftBuffer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/filters/DynamicFilters.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -95,7 +96,8 @@ def available() -> bool:
 def _build() -> str:
     srcs = [os.path.join(_HERE, "oracle.cpp"),
             os.path.join(_HERE, "oracle2.cpp"),
-            os.path.join(_HERE, "dsp_stub2.cpp")] + _REF_SOURCES
+            os.path.join(_HERE, "dsp_stub2.cpp"),
+            os.path.join(_HERE, "dsp_stub3.cpp")] + _REF_SOURCES
     if os.path.exists(_LIB_PATH) and all(
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s)
             for s in srcs if os.path.exists(s)):
@@ -264,6 +266,9 @@ def _lib() -> ctypes.CDLL:
         lib.ref_shift_buffer.restype = ctypes.c_int
         lib.ref_shift_buffer.argtypes = [u32, u32, i32p_, i32p_, i32,
                                          f32p, f32p, i32p]
+        lib.ref_dynamic_filters.restype = ctypes.c_int
+        lib.ref_dynamic_filters.argtypes = [u32, u32, f32, f32, f32, u32,
+                                            f32p, f32p, f32p, i32, i32]
         _LIB = lib
         return lib
 

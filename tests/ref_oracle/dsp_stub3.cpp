@@ -1,0 +1,253 @@
+/* Scalar stand-ins for the lsp-dsp-lib DYNAMIC filter kernels used by
+ * DynamicFilters.cpp (see stubs/lsp-plug.in/dsp/dsp.h header note).
+ *
+ * Pipelining contract inferred from DynamicFilters.cpp:245-314: the
+ * coefficient array is row-major [count + lanes - 1][lanes]; real data
+ * for lane k of output sample i sits at row i + k (the triangular
+ * sNormal padding the caller writes at the head/tail makes rows
+ * rectangular).  The bilinear math matches dsp_stub2.cpp / the
+ * reference's own Filter::bilinear_transform (Filter.cpp:2225-2267);
+ * the matched-Z math matches Filter::matched_transform
+ * (Filter.cpp:2291-2416) with TD passed in as `kf`.
+ */
+
+#include <lsp-plug.in/dsp/dsp.h>
+
+#include <math.h>
+
+namespace lsp
+{
+    namespace dsp
+    {
+        float irootf(float x, uint32_t n)
+        {
+            return powf(x, 1.0f / float(n));
+        }
+
+        static inline void bt_one(const f_cascade_t *c, float kf,
+                                  float *b0, float *b1, float *b2,
+                                  float *a1, float *a2)
+        {
+            double kf2 = double(kf) * double(kf);
+            double T0 = c->t[0], T1 = c->t[1] * kf, T2 = c->t[2] * kf2;
+            double B0 = c->b[0], B1 = c->b[1] * kf, B2 = c->b[2] * kf2;
+            double N = 1.0 / (B0 + B1 + B2);
+            *b0 = float((T0 + T1 + T2) * N);
+            *b1 = float(2.0 * (T0 - T2) * N);
+            *b2 = float((T0 - T1 + T2) * N);
+            *a1 = float(2.0 * (B2 - B0) * N);
+            *a2 = float((B1 - B2 - B0) * N);
+        }
+
+        /* matched-Z polynomial mapping (Filter.cpp:2302-2367) */
+        static inline void mt_poly(const float *p, float f, float td,
+                                   float *P)
+        {
+            if (p[2] == 0.0f)
+            {
+                P[2] = 0.0f;
+                if (p[1] == 0.0f)
+                {
+                    P[0] = p[0];
+                    P[1] = 0.0f;
+                }
+                else
+                {
+                    float k = p[1] / f;
+                    float R = -p[0] / k;
+                    P[0] = k;
+                    P[1] = -k * expf(R * td);
+                }
+            }
+            else
+            {
+                float k = p[2];
+                float a = 1.0f / (f * f);
+                float b = p[1] / (f * p[2]);
+                float c = p[0] / p[2];
+                float D = b * b - 4.0f * a * c;
+                if (D >= 0.0f)
+                {
+                    D = sqrtf(D);
+                    float R0 = (-b - D) / (2.0f * a);
+                    float R1 = (-b + D) / (2.0f * a);
+                    P[0] = k;
+                    P[1] = -k * (expf(R0 * td) + expf(R1 * td));
+                    P[2] = k * expf((R0 + R1) * td);
+                }
+                else
+                {
+                    D = sqrtf(-D);
+                    float R = -b / (2.0f * a);
+                    float K = D / (2.0f * a);
+                    P[0] = k;
+                    P[1] = -2.0f * k * expf(R * td) * cosf(K * td);
+                    P[2] = k * expf(2.0f * R * td);
+                }
+            }
+        }
+
+        static inline void mt_one(const f_cascade_t *c, float f, float td,
+                                  float *b0, float *b1, float *b2,
+                                  float *a1, float *a2)
+        {
+            float T[3] = {0.0f, 0.0f, 0.0f}, B[3] = {0.0f, 0.0f, 0.0f};
+            double A[2], I[2];
+            for (int i = 0; i < 2; ++i)
+            {
+                const float *p = (i) ? c->b : c->t;
+                float *P = (i) ? B : T;
+                mt_poly(p, f, td, P);
+                /* amplitude normalization at f/10
+                 * (Filter.cpp:2369-2391): w = PI*0.2*f/sr = 0.1*f*td */
+                double w = 0.1 * double(f) * double(td);
+                double re = P[0] * cos(2.0 * w) + P[1] * cos(w) + P[2];
+                double im = P[0] * sin(2.0 * w) + P[1] * sin(w);
+                A[i] = sqrt(re * re + im * im);
+                w = 0.1;
+                re = p[0] - p[2] * w * w;
+                im = p[1] * w;
+                I[i] = sqrt(re * re + im * im);
+            }
+            double AN = (A[1] * I[0]) / (A[0] * I[1]);
+            double N = 1.0 / B[0];
+            *b0 = float(T[0] * N * AN);
+            *b1 = float(T[1] * N * AN);
+            *b2 = float(T[2] * N * AN);
+            *a1 = float(-B[1] * N);
+            *a2 = float(-B[2] * N);
+        }
+
+        void bilinear_transform_x2(biquad_x2_t *bf, const f_cascade_t *bc,
+                                   float kf, size_t count)
+        {
+            for (size_t r = 0; r < count; ++r)
+                for (int k = 0; k < 2; ++k)
+                    bt_one(&bc[r * 2 + k], kf, &bf[r].b0[k], &bf[r].b1[k],
+                           &bf[r].b2[k], &bf[r].a1[k], &bf[r].a2[k]);
+        }
+
+        void bilinear_transform_x4(biquad_x4_t *bf, const f_cascade_t *bc,
+                                   float kf, size_t count)
+        {
+            for (size_t r = 0; r < count; ++r)
+                for (int k = 0; k < 4; ++k)
+                    bt_one(&bc[r * 4 + k], kf, &bf[r].b0[k], &bf[r].b1[k],
+                           &bf[r].b2[k], &bf[r].a1[k], &bf[r].a2[k]);
+        }
+
+        void bilinear_transform_x8(biquad_x8_t *bf, const f_cascade_t *bc,
+                                   float kf, size_t count)
+        {
+            for (size_t r = 0; r < count; ++r)
+                for (int k = 0; k < 8; ++k)
+                    bt_one(&bc[r * 8 + k], kf, &bf[r].b0[k], &bf[r].b1[k],
+                           &bf[r].b2[k], &bf[r].a1[k], &bf[r].a2[k]);
+        }
+
+        void matched_transform_x1(biquad_x1_t *bf, f_cascade_t *bc,
+                                  float freq, float td, size_t count)
+        {
+            for (size_t r = 0; r < count; ++r)
+                mt_one(&bc[r], freq, td, &bf[r].b0, &bf[r].b1, &bf[r].b2,
+                       &bf[r].a1, &bf[r].a2);
+        }
+
+        void matched_transform_x2(biquad_x2_t *bf, f_cascade_t *bc,
+                                  float freq, float td, size_t count)
+        {
+            for (size_t r = 0; r < count; ++r)
+                for (int k = 0; k < 2; ++k)
+                    mt_one(&bc[r * 2 + k], freq, td, &bf[r].b0[k],
+                           &bf[r].b1[k], &bf[r].b2[k], &bf[r].a1[k],
+                           &bf[r].a2[k]);
+        }
+
+        void matched_transform_x4(biquad_x4_t *bf, f_cascade_t *bc,
+                                  float freq, float td, size_t count)
+        {
+            for (size_t r = 0; r < count; ++r)
+                for (int k = 0; k < 4; ++k)
+                    mt_one(&bc[r * 4 + k], freq, td, &bf[r].b0[k],
+                           &bf[r].b1[k], &bf[r].b2[k], &bf[r].a1[k],
+                           &bf[r].a2[k]);
+        }
+
+        void matched_transform_x8(biquad_x8_t *bf, f_cascade_t *bc,
+                                  float freq, float td, size_t count)
+        {
+            for (size_t r = 0; r < count; ++r)
+                for (int k = 0; k < 8; ++k)
+                    mt_one(&bc[r * 8 + k], freq, td, &bf[r].b0[k],
+                           &bf[r].b1[k], &bf[r].b2[k], &bf[r].a1[k],
+                           &bf[r].a2[k]);
+        }
+
+        /* DF2-transposed step (matches oracle.cpp bq_step; a1/a2 stored
+         * sign-negated) */
+        static inline float dyn_step(float s, float b0, float b1, float b2,
+                                     float a1, float a2, float *d)
+        {
+            float s2 = b0 * s + d[0];
+            d[0] = d[1] + b1 * s + a1 * s2;
+            d[1] = b2 * s + a2 * s2;
+            return s2;
+        }
+
+        void dyn_biquad_process_x1(float *dst, const float *src, float *d,
+                                   size_t count, const biquad_x1_t *f)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = dyn_step(src[i], f[i].b0, f[i].b1, f[i].b2,
+                                  f[i].a1, f[i].a2, d);
+        }
+
+        void dyn_biquad_process_x2(float *dst, const float *src, float *d,
+                                   size_t count, const biquad_x2_t *f)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float s = src[i];
+                for (int k = 0; k < 2; ++k)
+                {
+                    const biquad_x2_t *q = &f[i + k];
+                    s = dyn_step(s, q->b0[k], q->b1[k], q->b2[k],
+                                 q->a1[k], q->a2[k], &d[2 * k]);
+                }
+                dst[i] = s;
+            }
+        }
+
+        void dyn_biquad_process_x4(float *dst, const float *src, float *d,
+                                   size_t count, const biquad_x4_t *f)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float s = src[i];
+                for (int k = 0; k < 4; ++k)
+                {
+                    const biquad_x4_t *q = &f[i + k];
+                    s = dyn_step(s, q->b0[k], q->b1[k], q->b2[k],
+                                 q->a1[k], q->a2[k], &d[2 * k]);
+                }
+                dst[i] = s;
+            }
+        }
+
+        void dyn_biquad_process_x8(float *dst, const float *src, float *d,
+                                   size_t count, const biquad_x8_t *f)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float s = src[i];
+                for (int k = 0; k < 8; ++k)
+                {
+                    const biquad_x8_t *q = &f[i + k];
+                    s = dyn_step(s, q->b0[k], q->b1[k], q->b2[k],
+                                 q->a1[k], q->a2[k], &d[2 * k]);
+                }
+                dst[i] = s;
+            }
+        }
+    } /* namespace dsp */
+} /* namespace lsp */

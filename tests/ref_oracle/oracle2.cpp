@@ -7,6 +7,7 @@
  */
 
 #include <lsp-plug.in/dsp/dsp.h>
+#include <lsp-plug.in/dsp-units/filters/DynamicFilters.h>
 #include <lsp-plug.in/dsp-units/util/ADSREnvelope.h>
 #include <lsp-plug.in/dsp-units/util/Trigger.h>
 #include <lsp-plug.in/dsp-units/util/MeterGraph.h>
@@ -22,6 +23,39 @@ namespace dspu = lsp::dspu;
 
 extern "C"
 {
+    /* Genuine DynamicFilters (DynamicFilters.cpp:204-314): one filter,
+     * per-sample gain signal, streamed in `block` chunks.  The filter
+     * params mirror ref_filter_process (oracle.cpp). */
+    int ref_dynamic_filters(uint32_t type, uint32_t slope, float freq,
+                            float freq2, float quality, uint32_t sr,
+                            const float *gain, const float *x, float *y,
+                            int n, int block)
+    {
+        dspu::DynamicFilters df;
+        if (df.init(1) != lsp::STATUS_OK)
+            return -1;
+        df.set_sample_rate(sr);
+        dspu::filter_params_t fp;
+        fp.nType = type;
+        fp.nSlope = slope;
+        fp.fFreq = freq;
+        fp.fFreq2 = freq2;
+        fp.fGain = 1.0f;
+        fp.fQuality = quality;
+        if (!df.set_params(0, &fp))
+            return -2;
+        df.set_filter_active(0, true);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            df.process(0, y + off, x + off, gain + off, todo);
+        }
+        df.destroy();
+        return 0;
+    }
+
     /* Genuine ADSREnvelope (ADSREnvelope.cpp:124-330).  Curve rows:
      * [time, curve, function] for attack/decay/slope/release;
      * hold_time/break_level apply when use_hold/use_break set. */

@@ -176,6 +176,36 @@ namespace lsp
         float abs_min(const float *src, size_t count);
         float sign_max(const float *src, size_t count);
         float sign_min(const float *src, size_t count);
+
+        /* dynamic (per-sample-coefficient) filter kernels
+         * (DynamicFilters.cpp:204-314).  Coefficient arrays are
+         * software-pipelined: stage k of output sample i reads row
+         * i + k, lane k; rows run count + (lanes-1). */
+        float irootf(float x, uint32_t n);
+        void bilinear_transform_x1(biquad_x1_t *bf, const f_cascade_t *bc,
+                                   float kf, size_t count);
+        void bilinear_transform_x2(biquad_x2_t *bf, const f_cascade_t *bc,
+                                   float kf, size_t count);
+        void bilinear_transform_x4(biquad_x4_t *bf, const f_cascade_t *bc,
+                                   float kf, size_t count);
+        void bilinear_transform_x8(biquad_x8_t *bf, const f_cascade_t *bc,
+                                   float kf, size_t count);
+        void matched_transform_x1(biquad_x1_t *bf, f_cascade_t *bc,
+                                  float freq, float td, size_t count);
+        void matched_transform_x2(biquad_x2_t *bf, f_cascade_t *bc,
+                                  float freq, float td, size_t count);
+        void matched_transform_x4(biquad_x4_t *bf, f_cascade_t *bc,
+                                  float freq, float td, size_t count);
+        void matched_transform_x8(biquad_x8_t *bf, f_cascade_t *bc,
+                                  float freq, float td, size_t count);
+        void dyn_biquad_process_x1(float *dst, const float *src, float *d,
+                                   size_t count, const biquad_x1_t *f);
+        void dyn_biquad_process_x2(float *dst, const float *src, float *d,
+                                   size_t count, const biquad_x2_t *f);
+        void dyn_biquad_process_x4(float *dst, const float *src, float *d,
+                                   size_t count, const biquad_x4_t *f);
+        void dyn_biquad_process_x8(float *dst, const float *src, float *d,
+                                   size_t count, const biquad_x8_t *f);
         void sqr2(float *dst, const float *src, size_t count);
         void mix_copy2(float *dst, const float *a, const float *b,
                        float ka, float kb, size_t count);
