@@ -1,11 +1,14 @@
-"""FFTCrossover — linear-phase crossover via per-band FFT magnitude masks
-(reference: src/main/util/FFTCrossover.cpp).
+"""FFTCrossover — linear-phase multiband splitter over ONE shared FFT
+(reference: src/main/util/FFTCrossover.cpp over a SpectralSplitter).
 
-Per-band masks are built from the analytic ``hipass``/``lopass`` slopes
-with flatten (misc.fft_crossover, reference misc/fft_crossover.cpp) and
-applied inside ONE shared spectral pass — a single forward FFT fans out
-into B masked inverse FFTs (reference uses a shared SpectralSplitter;
-here the splitter batches all band masks as one [B, F] multiply).
+Per-band FFT-bin magnitude masks are built exactly like the reference's
+``update_band`` (FFTCrossover.cpp:456-483): ``hipass_fft_set`` /
+``lopass_fft_apply`` analytic slopes (complementary around each split,
+misc/fft_crossover.cpp:194-358), capped by the flatten level
+(``dsp::limit1``), scaled by the band gain.  The masks fan out of one
+shared forward FFT inside a :class:`SpectralSplitter` — the reference's
+own architecture — so band outputs match the genuine unit sample-for-
+sample (tests/test_reference_oracle_wave3.py: >= 90 dB).
 """
 
 from __future__ import annotations
@@ -18,8 +21,8 @@ import numpy as np
 
 from lsp_dsp_units_tpu.models.misc import fft_crossover as fxo
 from lsp_dsp_units_tpu.ops.cplx import crmul
-from lsp_dsp_units_tpu.models.util.spectral import SpectralProcessor, \
-    SpectralState
+from lsp_dsp_units_tpu.models.util.spectral import (SpectralSplitter,
+                                                    SplitterState)
 
 Array = jax.Array
 
@@ -29,7 +32,8 @@ class FFTCrossoverBand(NamedTuple):
     lo_freq: Optional[float]    # high-pass split (None = from DC)
     hi_freq: Optional[float]    # low-pass split (None = to Nyquist)
     slope: float                # dB/oct (negative)
-    flatten: float              # in dB — shallow-slope special handled
+    flatten: float              # passband cap in dB (reference: linear
+    #                             fFlatten; 0 dB = no capping)
     gain: float
 
 
@@ -37,77 +41,74 @@ class FFTCrossover:
     """Static config: rank + bands; masks precomputed on the host."""
 
     def __init__(self, sample_rate: int = 48000, rank: int = 12,
-                 bands: Optional[List[FFTCrossoverBand]] = None):
+                 bands: Optional[List[FFTCrossoverBand]] = None,
+                 chunk_rank: Optional[int] = None):
         self.sample_rate = int(sample_rate)
-        self.proc = SpectralProcessor(rank)
-        self.rank = rank
+        self.rank = int(rank)
         self.bands = bands or []
-        f = np.fft.rfftfreq(self.proc.frame, 1.0 / sample_rate)
+        self.splitter = SpectralSplitter(rank, max(len(self.bands), 1),
+                                         chunk_rank)
         masks = []
         for b in self.bands:
-            m = np.ones_like(f)
+            # reference update_band (FFTCrossover.cpp:456-483)
             if b.lo_freq is not None:
-                m = m * fxo.hipass(np.maximum(f, 1e-3), b.lo_freq, b.slope)
-            if b.hi_freq is not None:
-                m = m * fxo.lopass(np.maximum(f, 1e-3), b.hi_freq, b.slope)
-            m *= b.gain
+                m = fxo.hipass_fft_set(b.lo_freq, b.slope, sample_rate,
+                                       self.rank)
+                if b.hi_freq is not None:
+                    m = fxo.lopass_fft_apply(m, b.hi_freq, b.slope,
+                                             sample_rate, self.rank)
+                m = np.clip(m, 0.0, 10.0 ** (b.flatten / 20.0)) * b.gain
+            elif b.hi_freq is not None:
+                m = fxo.lopass_fft_set(b.hi_freq, b.slope, sample_rate,
+                                       self.rank)
+                m = np.clip(m, 0.0, 10.0 ** (b.flatten / 20.0)) * b.gain
+            else:
+                m = np.full((1 << self.rank) // 2 + 1,
+                            10.0 ** (b.flatten / 20.0) * b.gain)
             if not b.enabled:
-                m *= 0.0
+                m = m * 0.0
             masks.append(m)
         if masks:
             self.masks = jnp.asarray(np.stack(masks), jnp.float32)
         else:
-            self.masks = jnp.zeros((0, f.size), jnp.float32)
+            self.masks = jnp.zeros((0, (1 << self.rank) // 2 + 1),
+                                   jnp.float32)
 
     @property
     def num_bands(self) -> int:
         return self.masks.shape[0]
 
     def latency(self) -> int:
-        return self.proc.latency()
+        return self.splitter.latency()
 
     @property
     def block(self) -> int:
-        return self.proc.block
+        return self.splitter.block
 
-    def init_state(self, batch_shape: Tuple[int, ...] = ()) -> SpectralState:
-        """ONE shared analysis history; per-band ([B] leading) synthesis
-        tails — the forward FFT is computed once and fanned out."""
-        b = self.num_bands
-        h = self.proc.hop
-        z = lambda shape: jnp.zeros(shape + (h,), jnp.float32)
-        return SpectralState(hist=z(batch_shape),
-                             tail=z((b,) + batch_shape),
-                             pending=z((b,) + batch_shape))
+    def init_state(self, batch_shape: Tuple[int, ...] = (),
+                   ) -> SplitterState:
+        st = SpectralSplitter(self.rank, max(self.num_bands, 1),
+                              self.splitter.chunk_rank).init_state(
+                                  batch_shape)
+        return st
 
-    def process(self, state: SpectralState, x: Array,
-                ) -> Tuple[SpectralState, Array]:
+    def process(self, state: SplitterState, x: Array,
+                ) -> Tuple[SplitterState, Array]:
         """x [..., T] -> band signals [B, ..., T] (sum ~= linear-phase
         allpass within mask accuracy).
 
-        One forward FFT for ALL bands (the reference shares a
-        SpectralSplitter the same way, FFTCrossover.cpp): the masked
-        spectrum fans out to B inverse FFTs + per-band overlap-add."""
+        One forward FFT for ALL bands: the masked spectrum fans out to B
+        inverse FFTs + per-band overlap-add, exactly like the reference
+        sharing a SpectralSplitter (FFTCrossover::process)."""
         b = self.num_bands
-        p = self.proc
-        frames, hops, m = p._frames_from_hist(state.hist, x)
-        spec = jnp.fft.rfft(frames * p._win, axis=-1)     # [..., M, F]
-        masks = self.masks.reshape((b,) + (1,) * x.ndim
-                                   + (self.masks.shape[-1],))
-        spec_b = crmul(spec[None], masks)                 # [B, ..., M, F]
-        y = jnp.fft.irfft(spec_b, p.frame, axis=-1) * p._win
-        h = p.hop
-        heads = y[..., :h]
-        tails = y[..., h:]
-        prev_t = jnp.concatenate(
-            [state.tail[..., None, :], tails[..., :-1, :]], axis=-2)
-        computed = heads + prev_t
-        emitted = jnp.concatenate(
-            [state.pending[..., None, :], computed[..., :-1, :]], axis=-2)
-        out = emitted.reshape((b,) + x.shape).astype(x.dtype)
-        return SpectralState(hist=hops[..., -1, :],
-                             tail=tails[..., -1, :],
-                             pending=computed[..., -1, :]), out
+        if b == 0:
+            return state, jnp.zeros((0,) + x.shape, x.dtype)
+        fns = [(lambda spec, _m=self.masks[i]: crmul(spec, _m))
+               for i in range(b)]
+        state, y = self.splitter.process(state, x, fns)
+        # splitter output is [..., H, T] -> [B, ..., T]
+        y = jnp.moveaxis(y, -2, 0)
+        return state, y.astype(x.dtype)
 
     def band_mask(self, band: int) -> np.ndarray:
         """Per-bin gains of a band (reference band_t vFFT)."""

@@ -82,6 +82,9 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/util/Depopper.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/util/ShiftBuffer.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/filters/DynamicFilters.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/SpectralSplitter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/MultiSpectralProcessor.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/FFTCrossover.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -269,6 +272,18 @@ def _lib() -> ctypes.CDLL:
         lib.ref_dynamic_filters.restype = ctypes.c_int
         lib.ref_dynamic_filters.argtypes = [u32, u32, f32, f32, f32, u32,
                                             f32p, f32p, f32p, i32, i32]
+        lib.ref_spectral_splitter.restype = ctypes.c_int
+        lib.ref_spectral_splitter.argtypes = [u32, u32, f32p, f32p, f32p,
+                                              i32, i32]
+        lib.ref_multi_spectral.restype = ctypes.c_int
+        lib.ref_multi_spectral.argtypes = [u32, f32p, f32p, f32p, f32p,
+                                           i32, i32]
+        lib.ref_fft_crossover_unit.restype = ctypes.c_int
+        lib.ref_fft_crossover_unit.argtypes = [u32, u32, f32p, i32, f32p,
+                                               f32p, i32, i32]
+        lib.ref_fft_crossover_unit_chart.restype = ctypes.c_int
+        lib.ref_fft_crossover_unit_chart.argtypes = [f32p, u32, f32p,
+                                                     f32p, i32]
         _LIB = lib
         return lib
 

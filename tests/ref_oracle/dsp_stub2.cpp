@@ -403,13 +403,20 @@ namespace lsp
 
         void pcomplex_r2c(float *dst, const float *src, size_t count)
         {
-            /* back-to-front: callers expand a real buffer in place */
-            for (size_t i = count; i-- > 0;)
+            /* callers expand real buffers in place with either overlap
+             * direction: src == dst (SpectralProcessor) needs
+             * back-to-front, src == dst + count (MultiSpectralProcessor
+             * windows into the back half first) needs front-to-back —
+             * stage through a copy to be safe for any overlap */
+            float *tmp = new float[count];
+            for (size_t i = 0; i < count; ++i)
+                tmp[i] = src[i];
+            for (size_t i = 0; i < count; ++i)
             {
-                float v = src[i];
-                dst[2 * i] = v;
+                dst[2 * i] = tmp[i];
                 dst[2 * i + 1] = 0.0f;
             }
+            delete[] tmp;
         }
 
         void pcomplex_c2r(float *dst, const float *src, size_t count)

@@ -24,6 +24,23 @@ namespace lsp
             return powf(x, 1.0f / float(n));
         }
 
+        void limit1(float *dst, float min, float max, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = (dst[i] < min) ? min
+                       : (dst[i] > max) ? max : dst[i];
+        }
+
+        /* packed-complex *= real vector (FFTCrossover.cpp:139) */
+        void pcomplex_r2c_mul2(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                dst[2 * i] *= src[i];
+                dst[2 * i + 1] *= src[i];
+            }
+        }
+
         static inline void bt_one(const f_cascade_t *c, float kf,
                                   float *b0, float *b1, float *b2,
                                   float *a1, float *a2)

@@ -9,6 +9,9 @@
 #include <lsp-plug.in/dsp/dsp.h>
 #include <lsp-plug.in/dsp-units/filters/DynamicFilters.h>
 #include <lsp-plug.in/dsp-units/util/ADSREnvelope.h>
+#include <lsp-plug.in/dsp-units/util/SpectralSplitter.h>
+#include <lsp-plug.in/dsp-units/util/MultiSpectralProcessor.h>
+#include <lsp-plug.in/dsp-units/util/FFTCrossover.h>
 #include <lsp-plug.in/dsp-units/util/Trigger.h>
 #include <lsp-plug.in/dsp-units/util/MeterGraph.h>
 #include <lsp-plug.in/dsp-units/util/ScaledMeterGraph.h>
@@ -21,8 +24,183 @@
 
 namespace dspu = lsp::dspu;
 
+namespace
+{
+    /* shared fixed spectral mask for splitter/multi tests: bin k of an
+     * N-bin packed-complex spectrum scaled by 1/(1 + min(k, N-k)/16) —
+     * real and conjugate-symmetric, so outputs stay real */
+    inline float bin_mask(size_t k, size_t n)
+    {
+        size_t d = (k < n - k) ? k : n - k;
+        return 1.0f / (1.0f + float(d) / 16.0f);
+    }
+
+    void mask_func(void *object, void *subject, float *out,
+                   const float *in, size_t rank)
+    {
+        (void) object; (void) subject;
+        size_t n = size_t(1) << rank;
+        for (size_t k = 0; k < n; ++k)
+        {
+            float m = bin_mask(k, n);
+            out[2 * k] = in[2 * k] * m;
+            out[2 * k + 1] = in[2 * k + 1] * m;
+        }
+    }
+
+    struct sink_ctx
+    {
+        float *out;
+        size_t base;
+    };
+
+    void split_sink(void *object, void *subject, const float *samples,
+                    size_t first, size_t count)
+    {
+        (void) subject;
+        sink_ctx *c = (sink_ctx *) object;
+        for (size_t i = 0; i < count; ++i)
+            c->out[c->base + first + i] = samples[i];
+    }
+
+    void avg_func(void *object, void *subject, float * const *spectrum,
+                  size_t rank)
+    {
+        (void) object; (void) subject;
+        size_t n = size_t(1) << rank;
+        float *l = spectrum[0], *r = spectrum[1];
+        for (size_t k = 0; k < 2 * n; ++k)
+        {
+            float a = 0.5f * (l[k] + r[k]);
+            l[k] = a;
+            r[k] = a;
+        }
+    }
+
+    void xover_sink(void *object, void *subject, size_t band,
+                    const float *data, size_t sample, size_t count)
+    {
+        (void) subject;
+        sink_ctx *c = (sink_ctx *) object;
+        for (size_t i = 0; i < count; ++i)
+            c[band].out[c[band].base + sample + i] = data[i];
+    }
+} /* anonymous namespace */
+
 extern "C"
 {
+    /* Genuine SpectralSplitter (SpectralSplitter.cpp:250-387): handler
+     * 0 = passthrough (NULL func), handler 1 = the fixed bin mask. */
+    int ref_spectral_splitter(uint32_t rank, uint32_t chunk_rank,
+                              const float *x, float *y_pass,
+                              float *y_mask, int n, int block)
+    {
+        dspu::SpectralSplitter sp;
+        if (sp.init(rank, 2) != lsp::STATUS_OK)
+            return -1;
+        sp.set_rank(rank);
+        sp.set_chunk_rank(chunk_rank);
+        sink_ctx c0 = {y_pass, 0};
+        sink_ctx c1 = {y_mask, 0};
+        if (sp.bind(0, &c0, nullptr, nullptr, split_sink)
+            != lsp::STATUS_OK)
+            return -2;
+        if (sp.bind(1, &c1, nullptr, mask_func, split_sink)
+            != lsp::STATUS_OK)
+            return -3;
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            c0.base = size_t(off);
+            c1.base = size_t(off);
+            sp.process(x + off, todo);
+        }
+        sp.destroy();
+        return 0;
+    }
+
+    /* Genuine MultiSpectralProcessor (MultiSpectralProcessor.cpp):
+     * 2 channels, handler averages the channel spectra. */
+    int ref_multi_spectral(uint32_t rank, const float *xl, const float *xr,
+                           float *yl, float *yr, int n, int block)
+    {
+        dspu::MultiSpectralProcessor mp;
+        if (!mp.init(2, rank))
+            return -1;
+        mp.set_rank(rank);
+        mp.bind_handler(avg_func, nullptr, nullptr);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            mp.bind(0, yl + off, xl + off);
+            mp.bind(1, yr + off, xr + off);
+            mp.process(todo);
+        }
+        mp.destroy();
+        return 0;
+    }
+
+    /* Genuine FFTCrossover (FFTCrossover.cpp over a shared
+     * SpectralSplitter).  Band rows: [hpf_on, hpf_freq, lpf_on,
+     * lpf_freq, slope, gain, flatten_gain]; y is [bands][n]. */
+    int ref_fft_crossover_unit(uint32_t rank, uint32_t sr,
+                               const float *bands, int n_bands,
+                               const float *x, float *y, int n, int block)
+    {
+        dspu::FFTCrossover fc;
+        if (fc.init(rank, n_bands) != lsp::STATUS_OK)
+            return -1;
+        fc.set_rank(rank);
+        fc.set_sample_rate(sr);
+        sink_ctx *ctx = new sink_ctx[n_bands];
+        for (int b = 0; b < n_bands; ++b)
+        {
+            const float *r = &bands[b * 7];
+            fc.set_hpf(b, r[1], r[4], r[0] != 0.0f);
+            fc.set_lpf(b, r[3], r[4], r[2] != 0.0f);
+            fc.set_gain(b, r[5]);
+            fc.set_flatten(b, r[6]);
+            fc.set_handler(b, xover_sink, ctx, nullptr);
+            fc.enable_band(b, true);
+            ctx[b].out = y + size_t(b) * size_t(n);
+            ctx[b].base = 0;
+        }
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            for (int b = 0; b < n_bands; ++b)
+                ctx[b].base = size_t(off);
+            fc.process(x + off, todo);
+        }
+        fc.destroy();
+        delete[] ctx;
+        return 0;
+    }
+
+    /* Analytic per-band magnitude mask of the genuine FFTCrossover
+     * (freq_chart, FFTCrossover.cpp:472-516). */
+    int ref_fft_crossover_unit_chart(const float *band, uint32_t sr,
+                                     const float *freqs, float *m, int n)
+    {
+        dspu::FFTCrossover fc;
+        if (fc.init(10, 1) != lsp::STATUS_OK)
+            return -1;
+        fc.set_sample_rate(sr);
+        fc.set_hpf(0, band[1], band[4], band[0] != 0.0f);
+        fc.set_lpf(0, band[3], band[4], band[2] != 0.0f);
+        fc.set_gain(0, band[5]);
+        fc.set_flatten(0, band[6]);
+        bool ok = fc.freq_chart(0, m, freqs, n);
+        fc.destroy();
+        return ok ? 0 : -2;
+    }
+
     /* Genuine DynamicFilters (DynamicFilters.cpp:204-314): one filter,
      * per-sample gain signal, streamed in `block` chunks.  The filter
      * params mirror ref_filter_process (oracle.cpp). */

@@ -15,6 +15,8 @@ namespace lsp
         STATUS_BAD_ARGUMENTS,
         STATUS_BAD_STATE,
         STATUS_OVERFLOW,
+        STATUS_INVALID_VALUE,
+        STATUS_NOT_BOUND,
         STATUS_UNKNOWN_ERR
     };
 } /* namespace lsp */

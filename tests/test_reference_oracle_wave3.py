@@ -270,6 +270,128 @@ def test_dynamic_filters_match_reference(name, ours):
     assert snr_db(y, y_ref.astype(np.float64)) > 90.0, name
 
 
+# ----------------------------------------------- FFT-layer units (wave 3b)
+
+def test_spectral_splitter_matches_reference():
+    """One shared forward FFT fanned out to handlers (SpectralSplitter.cpp
+    :250-387): passthrough handler and a fixed bin-mask handler, streamed
+    in odd chunks, sample-aligned vs the genuine unit."""
+    import jax.numpy as jnp
+    from lsp_dsp_units_tpu.models.util.spectral import SpectralSplitter
+    from lsp_dsp_units_tpu.utils.units import snr_db
+
+    lib = ro._lib()
+    rank, n = 10, 8192
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    y_pass = np.zeros(n, np.float32)
+    y_mask = np.zeros(n, np.float32)
+    rc = lib.ref_spectral_splitter(rank, rank, _f32(x), _f32(y_pass),
+                                   _f32(y_mask), n, 512)
+    assert rc == 0
+
+    sp = SpectralSplitter(rank=rank, handlers=2)
+    st = sp.init_state()
+    N = 1 << rank
+    k = np.arange(N // 2 + 1)
+    mask = jnp.asarray((1.0 / (1.0 + np.minimum(k, N - k) / 16.0))
+                       .astype(np.float32))
+    fn = lambda spec: spec * mask
+    outs = []
+    for off in range(0, n, 2048):
+        st, y = sp.process(st, jnp.asarray(x[off:off + 2048]), [None, fn])
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs, axis=-1)
+    assert snr_db(y[0][1500:], y_pass[1500:].astype(np.float64)) > 120.0
+    assert snr_db(y[1][1500:], y_mask[1500:].astype(np.float64)) > 110.0
+
+
+def test_multi_spectral_processor_matches_reference():
+    """Cross-channel spectral hook (MultiSpectralProcessor.cpp): the
+    handler averages both channels' spectra; ours matches the genuine
+    unit sample-aligned."""
+    import jax.numpy as jnp
+    from lsp_dsp_units_tpu.models.util.spectral import (
+        MultiSpectralProcessor)
+    from lsp_dsp_units_tpu.utils.units import snr_db
+
+    lib = ro._lib()
+    rank, n = 10, 8192
+    rng = np.random.default_rng(1)
+    xl = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    xr = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    yl = np.zeros(n, np.float32)
+    yr = np.zeros(n, np.float32)
+    rc = lib.ref_multi_spectral(rank, _f32(xl), _f32(xr), _f32(yl),
+                                _f32(yr), n, 512)
+    assert rc == 0
+
+    mp = MultiSpectralProcessor(2, rank)
+    st = mp.init_state()
+
+    def fn(spec):
+        avg = jnp.mean(spec, axis=0, keepdims=True)
+        return jnp.broadcast_to(avg, spec.shape)
+
+    st, y = mp.process(st, jnp.asarray(np.stack([xl, xr])), fn)
+    y = np.asarray(y)
+    assert snr_db(y[0][1500:], yl[1500:].astype(np.float64)) > 110.0
+    assert snr_db(y[1][1500:], yr[1500:].astype(np.float64)) > 110.0
+
+
+def test_fft_crossover_unit_matches_reference():
+    """Full FFTCrossover unit (FFTCrossover.cpp over a shared
+    SpectralSplitter): 3 bands with hpf/lpf splits, flatten capping and
+    band gain, streamed — every band sample-aligned >= 90 dB."""
+    import jax.numpy as jnp
+    from lsp_dsp_units_tpu.models.util.fft_crossover_unit import (
+        FFTCrossover, FFTCrossoverBand)
+    from lsp_dsp_units_tpu.utils.units import snr_db
+
+    lib = ro._lib()
+    rank, n, sr = 12, 16384, 48000
+    bands = np.array([
+        # hpf_on, hpf_freq, lpf_on, lpf_freq, slope, gain, flatten_gain
+        [0, 0.0,    1, 300.0,  -48.0, 1.0, 1.0],
+        [1, 300.0,  1, 3000.0, -48.0, 0.8, 0.891],
+        [1, 3000.0, 0, 0.0,    -48.0, 1.0, 1.0],
+    ], np.float32)
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    y_ref = np.zeros((3, n), np.float32)
+    rc = lib.ref_fft_crossover_unit(rank, sr, _f32(bands), 3, _f32(x),
+                                    _f32(y_ref), n, 1024)
+    assert rc == 0
+
+    fc = FFTCrossover(sr, rank, [
+        FFTCrossoverBand(True, None, 300.0, -48.0, 0.0, 1.0),
+        FFTCrossoverBand(True, 300.0, 3000.0, -48.0,
+                         float(20 * np.log10(0.891)), 0.8),
+        FFTCrossoverBand(True, 3000.0, None, -48.0, 0.0, 1.0),
+    ])
+    st = fc.init_state()
+    outs = []
+    for off in range(0, n, 4096):
+        st, yb = fc.process(st, jnp.asarray(x[off:off + 4096]))
+        outs.append(np.asarray(yb))
+    y = np.concatenate(outs, axis=-1)
+    for b in range(3):
+        assert snr_db(y[b][3000:], y_ref[b][3000:].astype(np.float64)) \
+            > 90.0, b
+
+    # analytic freq chart parity (freq_chart, FFTCrossover.cpp:472-516)
+    freqs = np.geomspace(20, 22000, 200).astype(np.float32)
+    m_ref = np.zeros(200, np.float32)
+    rc = lib.ref_fft_crossover_unit_chart(_f32(bands[1]), sr, _f32(freqs),
+                                          _f32(m_ref), 200)
+    assert rc == 0
+    from lsp_dsp_units_tpu.models.misc import fft_crossover as fxo
+    m = fxo.hipass(freqs.astype(np.float64), 300.0, -48.0) \
+        * fxo.lopass(freqs.astype(np.float64), 3000.0, -48.0)
+    m = np.clip(m, 0.0, 0.891) * 0.8
+    np.testing.assert_allclose(m, m_ref, atol=3e-6)
+
+
 # ------------------------------------------------------------ ShiftBuffer
 
 def test_shift_buffer_matches_reference():
