@@ -43,13 +43,13 @@ class Oversampler:
         self.lobes = resample.QUALITY_LOBES[quality]
         self.filtering = bool(filtering) and self.ratio > 1
         if self.filtering:
-            # reference Oversampler::update_settings (Oversampler.cpp:108-126):
-            # BWC low-pass, 30 poles (slope 15 cascades), cutoff
-            # min(20k, 0.42 * base sample rate), designed at the high rate
+            # reference Oversampler::set_sample_rate (Oversampler.cpp:
+            # 108-127): BWC low-pass, 30 poles, cutoff min(20k, 0.42 *
+            # base sample rate), quality 0.1, designed at the high rate
             fp = FilterParams(
                 ftype=FilterType.BT_BWC_LOPASS, slope=30,
                 freq=min(0.42 * self.sample_rate, 20000.0), gain=1.0,
-                quality=0.0)
+                quality=0.1)
             d = design_filter(fp, self.sample_rate * self.ratio)
             self._flt_coeffs = jnp.asarray(d.biquads, jnp.float32)
         else:

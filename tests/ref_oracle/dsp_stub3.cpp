@@ -200,6 +200,81 @@ namespace lsp
                            &bf[r].a2[k]);
         }
 
+        /* Lanczos polyphase upsampling kernels
+         * (dsp::lanczos_resample_{2..8}x{2,3,4,12bit,16bit,24bit}).
+         * Contract inferred from Oversampler.cpp:197-330: ACCUMULATE
+         * `count` input samples' interpolation kernels into dst, kernel
+         * for input i causal with support dst[i*N .. i*N + 2*L*N]
+         * (peak at i*N + L*N -> latency L input samples, matching the
+         * reference's latency() table, Oversampler.cpp:955-1010).
+         *
+         * NOTE: the true kernels live in lsp-dsp-lib (not vendored);
+         * these stubs use the same Lanczos windows as
+         * lsp_dsp_units_tpu/ops/resample.py (sinc(t)*sinc(t/L), L =
+         * 2/3/4 lobes or 4/10/62 for the 12/16/24-bit tiers), so
+         * oracle tests validate the BUFFERING/LATENCY logic of the
+         * compiled reference around identical taps, not lsp-dsp-lib's
+         * exact coefficients. */
+        static void lanczos_up(float *dst, const float *src, size_t count,
+                               int ratio, int lobes)
+        {
+            const int c = lobes * ratio;
+            for (size_t i = 0; i < count; ++i)
+            {
+                const double v = src[i];
+                float *d = &dst[i * ratio];
+                for (int j = 0; j <= 2 * c; ++j)
+                {
+                    const double t = double(j - c) / ratio;
+                    double k;
+                    if (t == 0.0)
+                        k = 1.0;
+                    else
+                    {
+                        const double p1 = M_PI * t;
+                        const double p2 = p1 / lobes;
+                        k = (sin(p1) / p1) * (sin(p2) / p2);
+                    }
+                    d[j] += float(v * k);
+                }
+            }
+        }
+
+#define LSP_STUB_LANCZOS(N, SUF, L) \
+        void lanczos_resample_##N##x##SUF(float *dst, const float *src, \
+                                          size_t count) \
+        { lanczos_up(dst, src, count, N, L); }
+
+#define LSP_STUB_LANCZOS_SET(N) \
+        LSP_STUB_LANCZOS(N, 2, 2) \
+        LSP_STUB_LANCZOS(N, 3, 3) \
+        LSP_STUB_LANCZOS(N, 4, 4) \
+        LSP_STUB_LANCZOS(N, 12bit, 4) \
+        LSP_STUB_LANCZOS(N, 16bit, 10) \
+        LSP_STUB_LANCZOS(N, 24bit, 62)
+
+        LSP_STUB_LANCZOS_SET(2)
+        LSP_STUB_LANCZOS_SET(3)
+        LSP_STUB_LANCZOS_SET(4)
+        LSP_STUB_LANCZOS_SET(6)
+        LSP_STUB_LANCZOS_SET(8)
+
+#undef LSP_STUB_LANCZOS_SET
+#undef LSP_STUB_LANCZOS
+
+#define LSP_STUB_DOWNSAMPLE(N) \
+        void downsample_##N##x(float *dst, const float *src, \
+                               size_t count) \
+        { for (size_t i = 0; i < count; ++i) dst[i] = src[i * N]; }
+
+        LSP_STUB_DOWNSAMPLE(2)
+        LSP_STUB_DOWNSAMPLE(3)
+        LSP_STUB_DOWNSAMPLE(4)
+        LSP_STUB_DOWNSAMPLE(6)
+        LSP_STUB_DOWNSAMPLE(8)
+
+#undef LSP_STUB_DOWNSAMPLE
+
         /* DF2-transposed step (matches oracle.cpp bq_step; a1/a2 stored
          * sign-negated) */
         static inline float dyn_step(float s, float b0, float b1, float b2,

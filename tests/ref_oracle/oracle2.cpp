@@ -12,6 +12,8 @@
 #include <lsp-plug.in/dsp-units/util/SpectralSplitter.h>
 #include <lsp-plug.in/dsp-units/util/MultiSpectralProcessor.h>
 #include <lsp-plug.in/dsp-units/util/FFTCrossover.h>
+#include <lsp-plug.in/dsp-units/util/Oversampler.h>
+#include <lsp-plug.in/dsp-units/meters/TruePeakMeter.h>
 #include <lsp-plug.in/dsp-units/util/Trigger.h>
 #include <lsp-plug.in/dsp-units/util/MeterGraph.h>
 #include <lsp-plug.in/dsp-units/util/ScaledMeterGraph.h>
@@ -231,6 +233,74 @@ extern "C"
             df.process(0, y + off, x + off, gain + off, todo);
         }
         df.destroy();
+        return 0;
+    }
+
+    /* Genuine Oversampler (Oversampler.cpp): upsample / full
+     * process-with-callback / downsample paths.  `cb_kind`: 0 = none
+     * (plain up+down), 1 = tanh waveshaper at the high rate.  Returns
+     * the reported latency. */
+    static void tanh_cb(float *out, const float *in, size_t samples,
+                        void *arg)
+    {
+        (void) arg;
+        for (size_t i = 0; i < samples; ++i)
+            out[i] = tanhf(1.5f * in[i]);
+    }
+
+    int ref_oversampler(uint32_t mode, uint32_t sr, int filtering,
+                        int cb_kind, const float *x, float *up,
+                        float *down, int n, int block, int *latency)
+    {
+        dspu::Oversampler os;
+        if (!os.init())
+            return -1;
+        os.set_sample_rate(sr);
+        os.set_mode((dspu::over_mode_t) mode);
+        os.set_filtering(filtering != 0);
+        os.update_settings();
+        if (latency != nullptr)
+            *latency = (int) os.latency();
+        const size_t ratio = os.get_oversampling();
+        if (block <= 0)
+            block = n;
+        if (up != nullptr)
+        {
+            for (int off = 0; off < n; off += block)
+            {
+                int todo = (n - off) < block ? (n - off) : block;
+                os.upsample(up + size_t(off) * ratio, x + off, todo);
+            }
+            return 0;
+        }
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            if (cb_kind == 1)
+                os.process(down + off, x + off, todo, tanh_cb, nullptr);
+            else
+                os.process(down + off, x + off, todo);
+        }
+        return 0;
+    }
+
+    /* Genuine TruePeakMeter (TruePeakMeter.cpp:85-186): per-sample
+     * true-peak envelope via the smallest >=192k Lanczos oversampler. */
+    int ref_true_peak(uint32_t sr, const float *x, float *env, int n,
+                      int block)
+    {
+        dspu::TruePeakMeter tp;
+        if (!tp.init())
+            return -1;
+        tp.set_sample_rate(sr);
+        tp.update_settings();
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            tp.process(env + off, x + off, todo);
+        }
         return 0;
     }
 

@@ -15,6 +15,9 @@
 
 #define LSP_DSP_BIQUAD_ALIGN    64
 #define LSP_DSP_BIQUAD_D_ITEMS  16
+/* head/tail reserve for the resampling kernels' spill; must cover the
+ * longest stub kernel (24-bit tier: 2*62*8 + 1 = 993 samples) */
+#define LSP_DSP_RESAMPLING_RSV_SAMPLES  1024
 
 namespace lsp
 {
@@ -208,6 +211,31 @@ namespace lsp
                                    size_t count, const biquad_x4_t *f);
         void dyn_biquad_process_x8(float *dst, const float *src, float *d,
                                    size_t count, const biquad_x8_t *f);
+
+        /* Lanczos polyphase resamplers + decimators (Oversampler,
+         * TruePeakMeter, Oscillator) — see dsp_stub3.cpp kernel note */
+        typedef void (*resampling_function_t)(float *dst, const float *src,
+                                              size_t count);
+#define LSP_STUB_LANCZOS_DECL(N) \
+        void lanczos_resample_##N##x2(float *dst, const float *src, \
+                                      size_t count); \
+        void lanczos_resample_##N##x3(float *dst, const float *src, \
+                                      size_t count); \
+        void lanczos_resample_##N##x4(float *dst, const float *src, \
+                                      size_t count); \
+        void lanczos_resample_##N##x12bit(float *dst, const float *src, \
+                                          size_t count); \
+        void lanczos_resample_##N##x16bit(float *dst, const float *src, \
+                                          size_t count); \
+        void lanczos_resample_##N##x24bit(float *dst, const float *src, \
+                                          size_t count); \
+        void downsample_##N##x(float *dst, const float *src, size_t count);
+        LSP_STUB_LANCZOS_DECL(2)
+        LSP_STUB_LANCZOS_DECL(3)
+        LSP_STUB_LANCZOS_DECL(4)
+        LSP_STUB_LANCZOS_DECL(6)
+        LSP_STUB_LANCZOS_DECL(8)
+#undef LSP_STUB_LANCZOS_DECL
         void sqr2(float *dst, const float *src, size_t count);
         void mix_copy2(float *dst, const float *a, const float *b,
                        float ka, float kb, size_t count);
