@@ -87,6 +87,7 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/util/FFTCrossover.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/util/Oversampler.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/meters/TruePeakMeter.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Oscillator.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -286,6 +287,8 @@ def _lib() -> ctypes.CDLL:
         lib.ref_oversampler.restype = ctypes.c_int
         lib.ref_oversampler.argtypes = [u32, u32, i32, i32, f32p, f32p,
                                         f32p, i32, i32, i32p]
+        lib.ref_oscillator.restype = ctypes.c_int
+        lib.ref_oscillator.argtypes = [u32, u32, u32, f32p, f32p, i32, i32]
         lib.ref_true_peak.restype = ctypes.c_int
         lib.ref_true_peak.argtypes = [u32, f32p, f32p, i32, i32]
         lib.ref_fft_crossover_unit_chart.restype = ctypes.c_int

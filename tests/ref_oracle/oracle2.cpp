@@ -13,6 +13,7 @@
 #include <lsp-plug.in/dsp-units/util/MultiSpectralProcessor.h>
 #include <lsp-plug.in/dsp-units/util/FFTCrossover.h>
 #include <lsp-plug.in/dsp-units/util/Oversampler.h>
+#include <lsp-plug.in/dsp-units/util/Oscillator.h>
 #include <lsp-plug.in/dsp-units/meters/TruePeakMeter.h>
 #include <lsp-plug.in/dsp-units/util/Trigger.h>
 #include <lsp-plug.in/dsp-units/util/MeterGraph.h>
@@ -281,6 +282,43 @@ extern "C"
             else
                 os.process(down + off, x + off, todo);
         }
+        return 0;
+    }
+
+    /* Genuine Oscillator (Oscillator.cpp): all fg_function_t modes.
+     * params = [frequency, amplitude, dc_offset, init_phase, dc_ref,
+     * duty, width, raise, fall, pos_width, neg_width, par_width,
+     * invert] */
+    int ref_oscillator(uint32_t function, uint32_t sr, uint32_t over_mode,
+                       const float *p, float *out, int n, int block)
+    {
+        dspu::Oscillator osc;
+        if (!osc.init())
+            return -1;
+        osc.set_sample_rate(sr);
+        osc.set_function((dspu::fg_function_t) function);
+        osc.set_frequency(p[0]);
+        osc.set_amplitude(p[1]);
+        osc.set_dc_offset(p[2]);
+        osc.set_phase(p[3]);
+        osc.set_dc_reference((dspu::dc_reference_t) (int) p[4]);
+        osc.set_duty_ratio(p[5]);
+        osc.set_width(p[6]);
+        osc.set_trapezoid_ratios(p[7], p[8]);
+        osc.set_pulsetrain_ratios(p[9], p[10]);
+        osc.set_parabolic_width(p[11]);
+        osc.set_squared_sinusoid_inversion(p[12] != 0.0f);
+        osc.set_parabolic_inversion(p[12] != 0.0f);
+        osc.set_oversampler_mode((dspu::over_mode_t) over_mode);
+        osc.update_settings();
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            osc.process_overwrite(out + off, todo);
+        }
+        osc.destroy();
         return 0;
     }
 

@@ -490,6 +490,47 @@ def test_true_peak_meter_matches_reference():
     assert snr_db(env[500:], env_ref[500:].astype(np.float64)) > 120.0
 
 
+# -------------------------------------------------------------- Oscillator
+
+@pytest.mark.parametrize("fi", range(14))
+def test_oscillator_matches_reference(fi):
+    """All 14 fg_function_t modes vs the genuine Oscillator
+    (Oscillator.cpp:359-700): exact control words, float32 segment
+    coefficients, and the BL oversampled-synthesis path (incl. the
+    un-attenuated zero segments of BL_PULSETRAIN)."""
+    import jax.numpy as jnp  # noqa: F401
+    from lsp_dsp_units_tpu.models.util.oscillator import (
+        Oscillator, FunctionGenerator, DCReference)
+    from lsp_dsp_units_tpu.utils.units import snr_db
+
+    lib = ro._lib()
+    sr, n = 48000, 8192
+    fg = list(FunctionGenerator)[fi]
+    p = np.array([441.7, 0.8, 0.1, 0.7, 0, 0.3, 0.65, 0.2, 0.35,
+                  0.3, 0.45, 0.6, 0.0], np.float32)
+    over_mode = 29 if fg.value.startswith("bl_") else 0  # OM_LANCZOS_8X16BIT
+    out_ref = np.zeros(n, np.float32)
+    rc = lib.ref_oscillator(fi, sr, over_mode, _f32(p), _f32(out_ref),
+                            n, 1024)
+    assert rc == 0
+
+    osc = Oscillator(sr, fg, frequency=441.7, amplitude=0.8,
+                     dc_offset=0.1, initial_phase=0.7,
+                     dc_reference=DCReference.WAVEDC, duty_ratio=0.3,
+                     width=0.65, raise_ratio=0.2, fall_ratio=0.35,
+                     pos_width_ratio=0.3, neg_width_ratio=0.45,
+                     parabolic_width=0.6, oversampling=8,
+                     quality="16bit")
+    st = osc.init_state()
+    outs = []
+    for _ in range(n // 1024):
+        st, y = osc.process(st, 1024)
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs)
+    assert snr_db(y[500:], out_ref[500:y.size].astype(np.float64)) \
+        > 80.0, fg
+
+
 # ------------------------------------------------------------ ShiftBuffer
 
 def test_shift_buffer_matches_reference():
