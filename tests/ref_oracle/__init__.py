@@ -88,6 +88,11 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/util/Oversampler.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/meters/TruePeakMeter.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/util/Oscillator.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/sampling/SamplePlayer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/sampling/Playback.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/sampling/PlaySettings.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/sampling/helpers/playback.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/sampling/helpers/batch.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -287,6 +292,11 @@ def _lib() -> ctypes.CDLL:
         lib.ref_oversampler.restype = ctypes.c_int
         lib.ref_oversampler.argtypes = [u32, u32, i32, i32, f32p, f32p,
                                         f32p, i32, i32, i32p]
+        lib.ref_sample_player.restype = ctypes.c_int
+        lib.ref_sample_player.argtypes = [f32p, i32, u32, u32, u32, u32,
+                                          i32, u32, u32, f32, u32, i32,
+                                          u32, i32, u32, u32, f32p, i32,
+                                          i32]
         lib.ref_oscillator.restype = ctypes.c_int
         lib.ref_oscillator.argtypes = [u32, u32, u32, f32p, f32p, i32, i32]
         lib.ref_true_peak.restype = ctypes.c_int

@@ -15,6 +15,7 @@
 #include <lsp-plug.in/dsp-units/util/Oversampler.h>
 #include <lsp-plug.in/dsp-units/util/Oscillator.h>
 #include <lsp-plug.in/dsp-units/meters/TruePeakMeter.h>
+#include <lsp-plug.in/dsp-units/sampling/SamplePlayer.h>
 #include <lsp-plug.in/dsp-units/util/Trigger.h>
 #include <lsp-plug.in/dsp-units/util/MeterGraph.h>
 #include <lsp-plug.in/dsp-units/util/ScaledMeterGraph.h>
@@ -282,6 +283,62 @@ extern "C"
             else
                 os.process(down + off, x + off, todo);
         }
+        return 0;
+    }
+
+    /* Genuine SamplePlayer + helpers/playback + helpers/batch
+     * (SamplePlayer.cpp:305-412, helpers/playback.cpp loop-pass
+     * planning + stop/cancel gating, helpers/batch.cpp fades): one
+     * mono sample, one playback with full PlaySettings, optional
+     * stop()/cancel() at given block offsets. */
+    int ref_sample_player(const float *data, int sample_len,
+                          uint32_t loop_mode, uint32_t xfade_type,
+                          uint32_t xfade_len, uint32_t start, int reverse,
+                          uint32_t loop_start, uint32_t loop_end,
+                          float volume, uint32_t delay,
+                          int stop_at, uint32_t stop_delay,
+                          int cancel_at, uint32_t cancel_fadeout,
+                          uint32_t cancel_delay,
+                          float *out, int n, int block)
+    {
+        dspu::Sample *s = new dspu::Sample();
+        if (!s->init(1, sample_len, sample_len))
+            return -1;
+        for (int i = 0; i < sample_len; ++i)
+            s->channel(0)[i] = data[i];
+
+        dspu::SamplePlayer sp;
+        if (!sp.init(1, 4))
+            return -2;
+        sp.bind(0, s);
+
+        dspu::PlaySettings ps;
+        ps.set_channel(0, 0);
+        ps.set_volume(volume);
+        ps.set_delay(delay);
+        ps.set_start(start, reverse != 0);
+        ps.set_loop_range((dspu::sample_loop_t) loop_mode, loop_start,
+                          loop_end);
+        ps.set_loop_xfade((dspu::sample_crossfade_t) xfade_type,
+                          xfade_len);
+        dspu::Playback pb = sp.play(&ps);
+        if (!pb.valid())
+            return -3;
+
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            if (stop_at >= 0 && off >= stop_at
+                && off < stop_at + block)
+                pb.stop(stop_delay);
+            if (cancel_at >= 0 && off >= cancel_at
+                && off < cancel_at + block)
+                pb.cancel(cancel_fadeout, cancel_delay);
+            int todo = (n - off) < block ? (n - off) : block;
+            sp.process(out + off, todo);
+        }
+        sp.destroy();   /* unbinds + gc's the sample */
         return 0;
     }
 

@@ -18,6 +18,8 @@ namespace lsp
     /* machine-word types (lsp-common-lib convention) */
     typedef uintptr_t   umword_t;
     typedef intptr_t    smword_t;
+    typedef uint64_t    wsize_t;
+    typedef int64_t     wssize_t;
 
     template <class T>
     inline void swap(T &a, T &b)

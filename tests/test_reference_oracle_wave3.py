@@ -531,6 +531,79 @@ def test_oscillator_matches_reference(fi):
         > 80.0, fg
 
 
+# ------------------------------------------------------------ SamplePlayer
+
+def _player_case(lib, case, data, n, block):
+    from lsp_dsp_units_tpu.models.sampling.player import (
+        SamplePlayer, PlaySettings, LoopMode, XFadeType)
+    from lsp_dsp_units_tpu.models.sampling.sample import Sample
+
+    c = case
+    out_ref = np.zeros(n, np.float32)
+    rc = lib.ref_sample_player(
+        _f32(data), data.size, c["loop_mode"], c["xfade_type"],
+        c["xfade_len"], c["start"], c["reverse"], c["loop_start"],
+        c["loop_end"], c["volume"], c["delay"], c["stop_at"],
+        c["stop_delay"], c["cancel_at"], c["cancel_fadeout"],
+        c["cancel_delay"], _f32(out_ref), n, block)
+    assert rc == 0
+
+    s = Sample(1, data.size, 48000)
+    s.data[0] = data
+    sp = SamplePlayer()
+    sp.bind(0, s)
+    ps = PlaySettings(sample_id=0, channel=0, volume=c["volume"],
+                      delay=c["delay"], start=c["start"],
+                      loop_start=c["loop_start"], loop_end=c["loop_end"],
+                      loop_mode=list(LoopMode)[c["loop_mode"]],
+                      xfade_type=list(XFadeType)[c["xfade_type"]],
+                      xfade_length=c["xfade_len"],
+                      reverse=bool(c["reverse"]))
+    pb = sp.play(ps)
+    outs = []
+    for off in range(0, n, block):
+        if 0 <= c["stop_at"] <= off < c["stop_at"] + block:
+            pb.stop(c["stop_delay"])
+        if 0 <= c["cancel_at"] <= off < c["cancel_at"] + block:
+            pb.cancel(c["cancel_fadeout"], c["cancel_delay"])
+        outs.append(sp.process(block))
+    return np.concatenate(outs), out_ref
+
+
+@pytest.mark.parametrize("loop_mode", range(9))
+@pytest.mark.parametrize("xfade_type,xfade_len", [(0, 8), (1, 10)])
+def test_sample_player_matches_reference(loop_mode, xfade_type, xfade_len):
+    """Genuine SamplePlayer + helpers/playback + helpers/batch
+    (playback.cpp loop-pass planning :263-405, batch fades) vs our
+    vectorized batch scheduler: every loop mode x crossfade type with a
+    mid-stream stop(), to float32 epsilon."""
+    lib = ro._lib()
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal(240).astype(np.float32) * 0.5
+    case = dict(loop_mode=loop_mode, xfade_type=xfade_type,
+                xfade_len=xfade_len, start=5, reverse=0, loop_start=40,
+                loop_end=120, volume=0.8, delay=7, stop_at=600,
+                stop_delay=3, cancel_at=-1, cancel_fadeout=0,
+                cancel_delay=0)
+    y, y_ref = _player_case(lib, case, data, 1024, 128)
+    np.testing.assert_allclose(y, y_ref, atol=1e-6)
+
+
+def test_sample_player_cancel_reverse_matches_reference():
+    """Reverse start inside a ping-pong loop, cancelled with a fadeout
+    (Playback::cancel -> playback.cpp stop/cancel gating :42-63,
+    732-765)."""
+    lib = ro._lib()
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal(240).astype(np.float32) * 0.5
+    case = dict(loop_mode=3, xfade_type=0, xfade_len=12, start=50,
+                reverse=1, loop_start=30, loop_end=200, volume=1.0,
+                delay=0, stop_at=-1, stop_delay=0, cancel_at=384,
+                cancel_fadeout=25, cancel_delay=5)
+    y, y_ref = _player_case(lib, case, data, 1024, 128)
+    np.testing.assert_allclose(y, y_ref, atol=1e-6)
+
+
 # ------------------------------------------------------------ ShiftBuffer
 
 def test_shift_buffer_matches_reference():
