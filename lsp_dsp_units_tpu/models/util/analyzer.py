@@ -21,12 +21,17 @@ from lsp_dsp_units_tpu.models.misc import envelope as env
 
 Array = jax.Array
 
-SPEC_FREQ_CENTER = 1000.0   # reference LSP_DSP_UNITS_SPEC_FREQ_CENTER
+SPEC_FREQ_CENTER = 100.0    # reference LSP_DSP_UNITS_SPEC_FREQ_CENTER
+#                             (const.h:32 — 100 Hz, not 1 kHz)
 
 
 class AnalyzerState(NamedTuple):
     buffer: Array    # [C, N] rolling signal window
-    amp: Array       # [C, F] averaged magnitudes
+    amp: Array       # [C, F] averaged magnitudes (live EMA)
+    data: Array      # [C, F] strobe copy read by get_spectrum
+    #                  (reference vData, synced at each period start
+    #                  BEFORE that period's FFT mixes — Analyzer.cpp
+    #                  process: nCounter==0 strobe)
 
 
 class Analyzer:
@@ -52,9 +57,10 @@ class Analyzer:
         self._envelope = jnp.asarray(e * (shift / self.n), jnp.float32)
 
     def init_state(self) -> AnalyzerState:
+        z = lambda: jnp.zeros((self.channels, self.f), jnp.float32)
         return AnalyzerState(
             buffer=jnp.zeros((self.channels, self.n), jnp.float32),
-            amp=jnp.zeros((self.channels, self.f), jnp.float32))
+            amp=z(), data=z())
 
     def process(self, state: AnalyzerState, x: Array) -> AnalyzerState:
         """x: [C, T], T a multiple of the analysis period."""
@@ -67,23 +73,29 @@ class Analyzer:
                 f"utils.blocks.BlockStream for arbitrary chunk sizes")
         m = t // p
         full = jnp.concatenate([state.buffer, x], axis=-1)
-        # analysis frames: last N samples at each period boundary
-        starts = state.buffer.shape[-1] + (jnp.arange(m) + 1) * p - self.n
+        # analysis frames END at each period START (reference: the FFT
+        # fires when nCounter hits the channel slot at the top of the
+        # period, over the buffer committed so far — all channels'
+        # staggered windows compensate back to the same time point)
+        starts = state.buffer.shape[-1] + jnp.arange(m) * p - self.n
         idx = starts[:, None] + jnp.arange(self.n)[None, :]
         frames = full[:, idx]                       # [C, M, N]
         mags = jnp.abs(jnp.fft.rfft(frames * self._window, axis=-1))
 
         def step(amp, new):
-            return amp * (1.0 - self.tau) + new * self.tau, None
+            # the strobe copy precedes the mix, so `data` lags by one
+            # frame (reference nCounter==0: copy vAmp->vData, then FFT)
+            return amp * (1.0 - self.tau) + new * self.tau, amp
 
-        amp, _ = jax.lax.scan(step, state.amp,
-                              jnp.moveaxis(mags, 1, 0))
-        return AnalyzerState(buffer=full[:, -self.n:], amp=amp)
+        amp, datas = jax.lax.scan(step, state.amp,
+                                  jnp.moveaxis(mags, 1, 0))
+        data = datas[-1] if m > 0 else state.data
+        return AnalyzerState(buffer=full[:, -self.n:], amp=amp, data=data)
 
     def get_spectrum(self, state: AnalyzerState, channel: int) -> Array:
-        """Envelope-compensated averaged magnitude [F]
-        (reference Analyzer::get_spectrum)."""
-        return state.amp[channel] * self._envelope
+        """Envelope-compensated averaged magnitude [F] as of the LAST
+        period strobe (reference Analyzer::get_spectrum over vData)."""
+        return state.data[channel] * self._envelope
 
     def frequencies(self) -> np.ndarray:
         return np.fft.rfftfreq(self.n, 1.0 / self.sample_rate)

@@ -1,6 +1,16 @@
 """ResponseTaker — capture impulse/test responses by playing a test
-sample and recording the return (reference: src/main/util/ResponseTaker.cpp,
-with the same ip/op state-machine pattern as LatencyDetector).
+sample and recording the return (reference: src/main/util/
+ResponseTaker.cpp; parity: tests/test_reference_oracle_wave3.py).
+
+Exact reference mechanics: the OUTPUT machine fades the passthrough out
+(``fading`` seconds), pauses (``pause`` seconds of silence), emits the
+test sample, then emits silence while the INPUT machine acquires
+``test_len + tail + latency`` samples into the capture buffer — the
+acquisition starts exactly when the test emission starts (the PAUSE ->
+TEST_SIG_EMIT transition arms IP_ACQUIRE, ResponseTaker.cpp:250-276).
+When the capture completes the output fades back in.  ``process(x)``
+returns the passthrough output; the per-sample machines run on the host
+(UI-rate control), the capture itself is a bulk copy.
 """
 
 from __future__ import annotations
@@ -12,79 +22,155 @@ import numpy as np
 
 from lsp_dsp_units_tpu.models.sampling.sample import Sample
 
+DFL_FADE = 0.01
+DFL_PAUSE = 0.5
+DFL_TAIL = 1.0
 
-class RTState(enum.Enum):
+
+class OpState(enum.Enum):
     BYPASS = "bypass"
-    WAIT = "wait"       # pre-roll silence
-    EMIT = "emit"       # playing the test sample
-    CAPTURE = "capture"  # recording the tail
-    DONE = "done"
+    FADEOUT = "fadeout"
+    PAUSE = "pause"
+    EMIT = "emit"
+    TAIL = "tail"
+    FADEIN = "fadein"
+
+
+class IpState(enum.Enum):
+    BYPASS = "bypass"
+    WAIT = "wait"
+    ACQUIRE = "acquire"
 
 
 class ResponseTaker:
-    def __init__(self, sample_rate: int = 48000, pre_silence_s: float = 0.1,
-                 tail_s: float = 1.0):
+    def __init__(self, sample_rate: int = 48000,
+                 fading_s: float = DFL_FADE, pause_s: float = DFL_PAUSE,
+                 tail_s: float = DFL_TAIL, latency_samples: int = 0):
         self.sample_rate = int(sample_rate)
-        self.pre = int(sample_rate * pre_silence_s)
-        self.tail = int(sample_rate * tail_s)
+        self.fade_n = int(sample_rate * fading_s)
+        self.pause_n = int(sample_rate * pause_s)
+        self.tail_n = int(sample_rate * tail_s)
+        self.latency = int(latency_samples)
+        # float32 accumulation like the reference: the fade length in
+        # samples depends on the rounding of the repeated subtraction
+        self.gain = np.float32(1.0)
+        self.gain_delta = np.float32(1.0) / np.float32(self.fade_n + 1)
         self.test: Optional[Sample] = None
-        self.state = RTState.BYPASS
-        self._pos = 0
-        self._captured: List[np.ndarray] = []
-        self._cap_count = 0
-        self.response: Optional[Sample] = None
+        self.op = OpState.BYPASS
+        self.ip = IpState.BYPASS
+        self._pause_left = 0
+        self._emit_pos = 0
+        self._acq_pos = 0
+        self._capture: Optional[np.ndarray] = None
+        self.cycle_complete = False
 
-    def set_test_sample(self, sample: Sample) -> None:
-        self.test = sample
+    # -- configuration (reference reconfigure/set_*) -----------------------
+    def set_latency_samples(self, latency: int) -> None:
+        self.latency = int(latency)
+
+    def reconfigure(self, test: Sample) -> None:
+        self.test = test
+        n = test.length + self.tail_n + self.latency
+        self._capture = np.zeros(n, np.float32)
+
+    set_test_sample = reconfigure
 
     def start_capture(self) -> None:
-        assert self.test is not None, "bind a test sample first"
-        self.state = RTState.WAIT
-        self._pos = 0
-        self._captured = []
-        self._cap_count = 0
-        self.response = None
+        """reference ResponseTaker::start_capture (:344-359)."""
+        assert self.test is not None, "reconfigure(test) first"
+        self.ip = IpState.WAIT
+        self.op = OpState.FADEOUT
+        self._pause_left = 0
+        self._emit_pos = 0
+        self._acq_pos = 0
+        self.cycle_complete = False
 
-    def capturing(self) -> bool:
-        return self.state in (RTState.WAIT, RTState.EMIT, RTState.CAPTURE)
-
-    def process_out(self, count: int) -> np.ndarray:
-        out = np.zeros(count, np.float32)
-        off = 0
-        if self.state == RTState.WAIT:
-            take = min(count, self.pre - self._pos)
-            self._pos += take
-            off = take
-            if self._pos >= self.pre:
-                self.state = RTState.EMIT
-                self._pos = 0
-        if self.state == RTState.EMIT and off < count:
-            data = self.test.data[0]
-            take = min(count - off, data.size - self._pos)
-            out[off:off + take] = data[self._pos:self._pos + take]
-            self._pos += take
-            if self._pos >= data.size:
-                self.state = RTState.CAPTURE
-                self._pos = 0
-        return out
-
-    def process_in(self, x: np.ndarray) -> None:
-        if not self.capturing():
-            return
-        self._captured.append(np.asarray(x, np.float32))
-        self._cap_count += x.size
-        total_needed = self.pre + self.test.data.shape[1] + self.tail
-        if self._cap_count >= total_needed:
-            rec = np.concatenate(self._captured)[:total_needed]
-            # drop the pre-roll: the response is aligned to emission start
-            resp = Sample(1, total_needed - self.pre, self.sample_rate)
-            resp.data[0] = rec[self.pre:]
-            self.response = resp
-            self.state = RTState.DONE
-
-    def process(self, x: np.ndarray) -> np.ndarray:
-        self.process_in(x)
-        return self.process_out(len(x))
+    def get_capture(self) -> Optional[np.ndarray]:
+        return self._capture
 
     def get_response(self) -> Optional[Sample]:
-        return self.response
+        if self._capture is None:
+            return None
+        s = Sample(1, self._capture.size, self.sample_rate)
+        s.data[0] = self._capture
+        return s
+
+    # -- streaming (reference process/process_in/process_out) ---------------
+    def process_in(self, x: np.ndarray) -> np.ndarray:
+        """Consume captured input; returns the passthrough copy."""
+        x = np.asarray(x, np.float32)
+        pos = 0
+        n = x.size
+        while pos < n:
+            if self.ip == IpState.ACQUIRE:
+                take = min(self._capture.size - self._acq_pos, n - pos)
+                self._capture[self._acq_pos:self._acq_pos + take] = \
+                    x[pos:pos + take]
+                self._acq_pos += take
+                pos += take
+                if self._acq_pos >= self._capture.size:
+                    self.ip = IpState.BYPASS
+                    self.op = OpState.FADEIN
+                    self.cycle_complete = True
+            else:
+                break
+        return x
+
+    def process_out(self, src: np.ndarray) -> np.ndarray:
+        """Output machine over the passthrough signal ``src``."""
+        src = np.asarray(src, np.float32)
+        out = np.empty_like(src)
+        n = src.size
+        pos = 0
+        while pos < n:
+            if self.op == OpState.FADEOUT:
+                while pos < n:
+                    self.gain = np.float32(self.gain - self.gain_delta)
+                    if self.gain <= 0.0:
+                        self.gain = np.float32(0.0)
+                        self._pause_left = self.pause_n
+                        self.op = OpState.PAUSE
+                        break
+                    out[pos] = src[pos] * self.gain
+                    pos += 1
+            elif self.op == OpState.PAUSE:
+                take = min(self._pause_left, n - pos)
+                out[pos:pos + take] = 0.0
+                self._pause_left -= take
+                pos += take
+                if self._pause_left <= 0:
+                    self.op = OpState.EMIT
+                    self._emit_pos = 0
+                    self.ip = IpState.ACQUIRE
+                    self._acq_pos = 0
+            elif self.op == OpState.EMIT:
+                data = self.test.data[0]
+                take = min(data.size - self._emit_pos, n - pos)
+                out[pos:pos + take] = data[self._emit_pos:
+                                           self._emit_pos + take]
+                self._emit_pos += take
+                pos += take
+                if self._emit_pos >= data.size:
+                    self.op = OpState.TAIL
+            elif self.op == OpState.TAIL:
+                out[pos:n] = 0.0
+                pos = n
+            elif self.op == OpState.FADEIN:
+                while pos < n:
+                    self.gain = np.float32(self.gain + self.gain_delta)
+                    if self.gain >= 1.0:
+                        self.gain = np.float32(1.0)
+                        self.op = OpState.BYPASS
+                        break
+                    out[pos] = src[pos] * self.gain
+                    pos += 1
+            else:  # BYPASS
+                out[pos:n] = src[pos:n]
+                pos = n
+        return out
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        """reference ResponseTaker::process: capture the input, then run
+        the output machine over it (passthrough when idle)."""
+        y = self.process_in(x)
+        return self.process_out(y)

@@ -259,9 +259,13 @@ class SyncChirpProcessor:
             w[:fade_in] = 0.5 * (np.sin(np.pi * (i / fade_in - 0.5))
                                  + 1.0)
         if fade_out > 0:
+            # 0.5*(1 - cos(pi*(D - idx)/fo)) for idx in (D-fo, D)
+            # == 0.5*(1 + cos(pi*i/fo)) at i = idx - (D - fo)
+            # (calculate_fading_window_sample :812-813; i = 0 gives 1.0,
+            # matching the strict > boundary)
             i = np.arange(fade_out, dtype=np.float64)
-            w[n_total - fade_out:] = 0.5 * (
-                np.sin(-np.pi * ((i + 1.0) / fade_out - 0.5)) + 1.0)
+            w[n_total - fade_out:] = 0.5 * (1.0 + np.cos(
+                np.pi * i / fade_out))
         return w
 
     def _synthesize(self) -> None:

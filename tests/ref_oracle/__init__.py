@@ -93,6 +93,10 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/sampling/PlaySettings.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/sampling/helpers/playback.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/sampling/helpers/batch.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/LatencyDetector.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/ResponseTaker.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/Analyzer.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/util/SyncChirpProcessor.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -292,6 +296,21 @@ def _lib() -> ctypes.CDLL:
         lib.ref_oversampler.restype = ctypes.c_int
         lib.ref_oversampler.argtypes = [u32, u32, i32, i32, f32p, f32p,
                                         f32p, i32, i32, i32p]
+        f64 = ctypes.c_double
+        lib.ref_sync_chirp.restype = ctypes.c_int
+        lib.ref_sync_chirp.argtypes = [u32, f64, f64, f32, f32, u32, f32,
+                                       f32, f32p, i32, u32, f32, f32,
+                                       f32p, i32, i32p, f32p, i32, i32p,
+                                       f32p]
+        lib.ref_latency_detector.restype = ctypes.c_int
+        lib.ref_latency_detector.argtypes = [u32, f32, i32, f32, f32, f32,
+                                             i32, i32, i32p]
+        lib.ref_analyzer.restype = ctypes.c_int
+        lib.ref_analyzer.argtypes = [u32, u32, u32, f32, f32, u32, u32,
+                                     f32, f32p, i32, i32, f32p]
+        lib.ref_response_taker.restype = ctypes.c_int
+        lib.ref_response_taker.argtypes = [u32, f32p, i32, i32, f32, i32,
+                                           i32, i32, f32p, i32, i32p]
         lib.ref_sample_player.restype = ctypes.c_int
         lib.ref_sample_player.argtypes = [f32p, i32, u32, u32, u32, u32,
                                           i32, u32, u32, f32, u32, i32,

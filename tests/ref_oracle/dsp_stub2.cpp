@@ -454,6 +454,132 @@ namespace lsp
             }
         }
 
+        void complex_mul3(float *dst_re, float *dst_im, const float *a_re,
+                          const float *a_im, const float *b_re,
+                          const float *b_im, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float ar = a_re[i], ai = a_im[i];
+                float br = b_re[i], bi = b_im[i];
+                dst_re[i] = ar * br - ai * bi;
+                dst_im[i] = ar * bi + ai * br;
+            }
+        }
+
+        void complex_rcp2(float *dst_re, float *dst_im, const float *src_re,
+                          const float *src_im, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                float re = src_re[i], im = src_im[i];
+                float k = 1.0f / (re * re + im * im);
+                dst_re[i] = re * k;
+                dst_im[i] = -im * k;
+            }
+        }
+
+        /* split-form FFT pair (SyncChirpProcessor.cpp:675-760,
+         * LatencyDetector.cpp:241): direct unscaled, reverse 1/N —
+         * interleave through the packed kernel */
+        void direct_fft(float *dst_re, float *dst_im, const float *src_re,
+                        const float *src_im, size_t rank)
+        {
+            const size_t n = size_t(1) << rank;
+            float *tmp = new float[2 * n];
+            for (size_t i = 0; i < n; ++i)
+            {
+                tmp[2 * i] = src_re[i];
+                tmp[2 * i + 1] = src_im[i];
+            }
+            fft_inplace(tmp, rank, false);
+            for (size_t i = 0; i < n; ++i)
+            {
+                dst_re[i] = tmp[2 * i];
+                dst_im[i] = tmp[2 * i + 1];
+            }
+            delete[] tmp;
+        }
+
+        void reverse_fft(float *dst_re, float *dst_im, const float *src_re,
+                         const float *src_im, size_t rank)
+        {
+            const size_t n = size_t(1) << rank;
+            float *tmp = new float[2 * n];
+            for (size_t i = 0; i < n; ++i)
+            {
+                tmp[2 * i] = src_re[i];
+                tmp[2 * i + 1] = src_im[i];
+            }
+            fft_inplace(tmp, rank, true);
+            const float k = 1.0f / float(n);
+            for (size_t i = 0; i < n; ++i)
+            {
+                dst_re[i] = tmp[2 * i] * k;
+                dst_im[i] = tmp[2 * i + 1] * k;
+            }
+            delete[] tmp;
+        }
+
+        void normalize(float *dst, const float *src, size_t count)
+        {
+            float m = 0.0f;
+            for (size_t i = 0; i < count; ++i)
+            {
+                float v = fabsf(src[i]);
+                if (v > m)
+                    m = v;
+            }
+            if (m == 0.0f)
+            {
+                if (dst != src)
+                    memmove(dst, src, count * sizeof(float));
+                return;
+            }
+            float k = 1.0f / m;
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = src[i] * k;
+        }
+
+        size_t abs_max_index(const float *src, size_t count)
+        {
+            size_t idx = 0;
+            float m = (count > 0) ? fabsf(src[0]) : 0.0f;
+            for (size_t i = 1; i < count; ++i)
+            {
+                float v = fabsf(src[i]);
+                if (v > m)
+                {
+                    m = v;
+                    idx = i;
+                }
+            }
+            return idx;
+        }
+
+        void sub2(float *dst, const float *src, size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] -= src[i];
+        }
+
+        void mix2(float *dst, const float *src, float k1, float k2,
+                  size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+                dst[i] = dst[i] * k1 + src[i] * k2;
+        }
+
+        void reverse1(float *dst, size_t count)
+        {
+            for (size_t i = 0, j = count - 1; i < j; ++i, --j)
+            {
+                float t = dst[i];
+                dst[i] = dst[j];
+                dst[j] = t;
+            }
+        }
+
         /* fastconv image = packed spectrum of the first 2^(rank-1)
          * samples zero-padded to 2^rank (Convolver.cpp:146-199 sizes
          * each image at 2^(rank+1) floats) */

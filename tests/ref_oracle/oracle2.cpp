@@ -16,6 +16,12 @@
 #include <lsp-plug.in/dsp-units/util/Oscillator.h>
 #include <lsp-plug.in/dsp-units/meters/TruePeakMeter.h>
 #include <lsp-plug.in/dsp-units/sampling/SamplePlayer.h>
+#include <lsp-plug.in/dsp-units/util/LatencyDetector.h>
+#include <lsp-plug.in/dsp-units/util/ResponseTaker.h>
+#include <lsp-plug.in/dsp-units/util/Analyzer.h>
+#include <lsp-plug.in/dsp-units/util/SyncChirpProcessor.h>
+
+#include <vector>
 #include <lsp-plug.in/dsp-units/util/Trigger.h>
 #include <lsp-plug.in/dsp-units/util/MeterGraph.h>
 #include <lsp-plug.in/dsp-units/util/ScaledMeterGraph.h>
@@ -283,6 +289,228 @@ extern "C"
             else
                 os.process(down + off, x + off, todo);
         }
+        return 0;
+    }
+
+    /* Genuine SyncChirpProcessor (SyncChirpProcessor.cpp): synthesize
+     * the Farina chirp, convolve it with a known IR (the simulated
+     * measurement), deconvolve via do_linear_convolutions, then
+     * postprocess (background noise profile + backward integration +
+     * RT regression).  Returns the chirp, the middle-centered
+     * convolution result, and [RT seconds, correlation, IL seconds]. */
+    int ref_sync_chirp(uint32_t sr, double f0, double f1, float duration,
+                       float amplitude, uint32_t fade_method,
+                       float fade_in, float fade_out, const float *ir,
+                       int ir_len, uint32_t rt_calc, float window_size,
+                       float tolerance,
+                       float *chirp_out, int chirp_cap, int *chirp_len,
+                       float *conv_out, int conv_cap, int *conv_len,
+                       float *rt_out /* [4]: rt_s, corr, il_s, rt_smp */)
+    {
+        dspu::SyncChirpProcessor scp;
+        if (!scp.init())
+            return -1;
+        scp.set_sample_rate(sr);
+        scp.set_chirp_synthesis_method(dspu::SCP_SYNTH_SIMPLE);
+        scp.set_chirp_initial_frequency(f0);
+        scp.set_chirp_final_frequency(f1);
+        scp.set_chirp_duration(duration);
+        scp.set_chirp_amplitude(amplitude);
+        scp.set_fader_fading_method((dspu::scp_fade_t) fade_method);
+        scp.set_fader_fadein(fade_in);
+        scp.set_fader_fadeout(fade_out);
+        lsp::status_t res = scp.reconfigure();
+        if (res != lsp::STATUS_OK)
+            return -2;
+
+        dspu::Sample *chirp = scp.get_chirp();
+        if ((chirp == NULL) || (!chirp->valid()))
+            return -3;
+        const float *cd = chirp->channel(0);
+        int cl = (int) chirp->length();
+        *chirp_len = cl;
+        for (int i = 0; i < cl && i < chirp_cap; ++i)
+            chirp_out[i] = cd[i];
+
+        /* simulated measurement: response = chirp (*) ir */
+        int rl = cl + ir_len - 1;
+        dspu::Sample resp;
+        if (!resp.init(1, rl, rl))
+            return -4;
+        float *rd = resp.channel(0);
+        for (int i = 0; i < cl; ++i)
+        {
+            float v = cd[i];
+            if (v == 0.0f)
+                continue;
+            for (int j = 0; j < ir_len; ++j)
+                rd[i + j] += v * ir[j];
+        }
+
+        dspu::Sample *data[1];
+        size_t offsets[1] = {0};
+        data[0] = &resp;
+        res = scp.do_linear_convolutions(data, offsets, 1, 1 << 15);
+        if (res != lsp::STATUS_OK)
+            return -5;
+
+        dspu::Sample *cr = scp.get_convolution_result();
+        if (cr == NULL)
+            return -6;
+        int n = (int) cr->length();
+        *conv_len = n;
+        const float *cv = cr->channel(0);
+        for (int i = 0; i < n && i < conv_cap; ++i)
+            conv_out[i] = cv[i];
+
+        res = scp.postprocess_linear_convolution(
+            0, 0, (dspu::scp_rtcalc_t) rt_calc, window_size, tolerance);
+        if (res != lsp::STATUS_OK)
+            return -7;
+        rt_out[0] = scp.get_reverberation_time_seconds();
+        rt_out[1] = scp.get_reverberation_correlation();
+        rt_out[2] = scp.get_integration_limit_seconds();
+        rt_out[3] = (float) scp.get_reverberation_time_samples();
+        scp.destroy();
+        return 0;
+    }
+
+    /* Genuine LatencyDetector (LatencyDetector.cpp): emits its chirp
+     * through process_out, we loop it back through a `true_delay`
+     * sample delay line with gain into process_in. */
+    int ref_latency_detector(uint32_t sr, float duration, int true_delay,
+                             float gain, float abs_thresh,
+                             float peak_thresh, int n, int block,
+                             int *latency)
+    {
+        dspu::LatencyDetector ld;
+        ld.init();
+        ld.set_sample_rate(sr);
+        ld.set_duration(duration);
+        ld.set_abs_threshold(abs_thresh);
+        ld.set_peak_threshold(peak_thresh);
+        ld.start_capture();
+
+        std::vector<float> dline(true_delay, 0.0f);
+        std::vector<float> out(block), in(block);
+        size_t dpos = 0;
+        *latency = -1;
+        for (int off = 0; off < n; off += block)
+        {
+            /* feed back the PREVIOUS output through the delay line */
+            for (int i = 0; i < block; ++i)
+            {
+                float v = (true_delay > 0) ? dline[dpos] : out[i];
+                if (true_delay > 0)
+                    dline[dpos] = out[i];
+                in[i] = v * gain;
+                if (true_delay > 0)
+                    dpos = (dpos + 1) % true_delay;
+            }
+            ld.process(out.data(), in.data(), block);
+            if (ld.latency_detected())
+            {
+                *latency = (int) ld.get_latency_samples();
+                return 0;
+            }
+        }
+        return 0;
+    }
+
+    /* Genuine Analyzer (Analyzer.cpp): N channels of input, returns
+     * the per-channel spectrum estimate at the given FFT rank. */
+    int ref_analyzer(uint32_t channels, uint32_t rank, uint32_t sr,
+                     float rate, float reactivity, uint32_t window,
+                     uint32_t envelope, float shift, const float *x,
+                     int n, int block, float *spectra /* [C][1<<rank>>1] */)
+    {
+        dspu::Analyzer an;
+        if (!an.init(channels, rank, sr, rate))
+            return -1;
+        an.set_sample_rate(sr);
+        an.set_rank(rank);
+        an.set_rate(rate);
+        an.set_reactivity(reactivity);
+        an.set_window(window);
+        an.set_envelope(envelope);
+        an.set_shift(shift);
+        an.set_activity(true);
+        for (size_t c = 0; c < channels; ++c)
+            an.enable_channel(c, true);
+
+        std::vector<const float *> ins(channels);
+        if (block <= 0)
+            block = n;
+        for (int off = 0; off < n; off += block)
+        {
+            int todo = (n - off) < block ? (n - off) : block;
+            for (size_t c = 0; c < channels; ++c)
+                ins[c] = x + size_t(c) * size_t(n) + off;
+            an.process(ins.data(), todo);
+        }
+
+        const size_t bins = (size_t(1) << rank) >> 1;
+        std::vector<uint32_t> idx(bins);
+        for (size_t i = 0; i < bins; ++i)
+            idx[i] = uint32_t(i);
+        for (size_t c = 0; c < channels; ++c)
+        {
+            if (!an.get_spectrum(c, spectra + c * bins, idx.data(), bins))
+                return -2;
+        }
+        return 0;
+    }
+
+    /* Genuine ResponseTaker (ResponseTaker.cpp): plays a test sample
+     * through process_out, records the loopback through process_in,
+     * returns the captured response. */
+    int ref_response_taker(uint32_t sr, const float *test, int test_len,
+                           int true_delay, float gain, int latency_hint,
+                           int n, int block, float *captured, int cap_len,
+                           int *cap_out_len)
+    {
+        dspu::Sample tsample;
+        if (!tsample.init(1, test_len, test_len))
+            return -1;
+        for (int i = 0; i < test_len; ++i)
+            tsample.channel(0)[i] = test[i];
+
+        dspu::ResponseTaker rt;
+        rt.init();
+        rt.set_sample_rate(sr);
+        rt.set_latency_samples(latency_hint);
+        if (rt.reconfigure(&tsample) != lsp::STATUS_OK)
+            return -2;
+        rt.start_capture();
+
+        std::vector<float> dline(true_delay, 0.0f);
+        std::vector<float> out(block), in(block);
+        size_t dpos = 0;
+        for (int off = 0; off < n; off += block)
+        {
+            for (int i = 0; i < block; ++i)
+            {
+                float v = (true_delay > 0) ? dline[dpos] : out[i];
+                if (true_delay > 0)
+                    dline[dpos] = out[i];
+                in[i] = v * gain;
+                if (true_delay > 0)
+                    dpos = (dpos + 1) % true_delay;
+            }
+            rt.process(out.data(), in.data(), block);
+            if (rt.cycle_complete())
+                break;
+        }
+
+        dspu::Sample *cap = rt.get_capture();
+        if (cap == NULL || !cap->valid())
+            return -3;
+        int m = (int) cap->length();
+        *cap_out_len = m;
+        const float *cd = cap->channel(0);
+        for (int i = 0; i < m && i < cap_len; ++i)
+            captured[i] = cd[i];
+        rt.destroy();
         return 0;
     }
 

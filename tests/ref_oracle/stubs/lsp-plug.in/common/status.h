@@ -16,6 +16,16 @@ namespace lsp
         STATUS_BAD_STATE,
         STATUS_OVERFLOW,
         STATUS_INVALID_VALUE,
+        STATUS_NOT_IMPLEMENTED,
+        STATUS_NO_DATA,
+        STATUS_NOT_FOUND,
+        STATUS_CORRUPTED,
+        STATUS_BAD_FORMAT,
+        STATUS_EOF,
+        STATUS_UNSPECIFIED,
+        STATUS_CORRUPTED_FILE,
+        STATUS_BIG_ENDIAN,
+        STATUS_UNSUPPORTED_FORMAT,
         STATUS_NOT_BOUND,
         STATUS_UNKNOWN_ERR
     };

@@ -127,6 +127,38 @@ namespace lsp
                 inline const float *channel(size_t ch, size_t offset) const
                 { return &vBuffer[nMaxLength * ch + offset]; }
 
+                bool resize(size_t channels, size_t max_length,
+                            size_t length = 0)
+                {
+                    float *nb = static_cast<float *>(
+                        calloc(channels * max_length, sizeof(float)));
+                    if (nb == NULL)
+                        return false;
+                    if (vBuffer != NULL)
+                    {
+                        size_t cc = (channels < nChannels) ? channels
+                                                           : nChannels;
+                        size_t cl = (max_length < nMaxLength) ? max_length
+                                                              : nMaxLength;
+                        for (size_t c = 0; c < cc; ++c)
+                            memcpy(&nb[c * max_length],
+                                   &vBuffer[c * nMaxLength],
+                                   cl * sizeof(float));
+                        free(vBuffer);
+                    }
+                    vBuffer     = nb;
+                    nChannels   = channels;
+                    nMaxLength  = max_length;
+                    nLength     = length;
+                    return true;
+                }
+
+                /* file I/O is not vendored; tests read channel() data
+                 * directly */
+                template <class P>
+                ssize_t save_range(const P *, size_t, ssize_t) const
+                { return -((ssize_t) STATUS_NOT_IMPLEMENTED); }
+
                 void dump(IStateDumper *v) const
                 {
                     v->write("vBuffer", vBuffer);

@@ -252,6 +252,21 @@ namespace lsp
         void pcomplex_c2r(float *dst, const float *src, size_t count);
         void pcomplex_mod(float *dst, const float *src, size_t count);
         void pcomplex_mul2(float *dst, const float *src, size_t count);
+        void complex_mul3(float *dst_re, float *dst_im, const float *a_re,
+                          const float *a_im, const float *b_re,
+                          const float *b_im, size_t count);
+        void complex_rcp2(float *dst_re, float *dst_im, const float *src_re,
+                          const float *src_im, size_t count);
+        void direct_fft(float *dst_re, float *dst_im, const float *src_re,
+                        const float *src_im, size_t rank);
+        void reverse_fft(float *dst_re, float *dst_im, const float *src_re,
+                         const float *src_im, size_t rank);
+        void normalize(float *dst, const float *src, size_t count);
+        size_t abs_max_index(const float *src, size_t count);
+        void sub2(float *dst, const float *src, size_t count);
+        void mix2(float *dst, const float *src, float k1, float k2,
+                  size_t count);
+        void reverse1(float *dst, size_t count);
         void complex_mul2(float *dst_re, float *dst_im, const float *src_re,
                           const float *src_im, size_t count);
         void fastconv_parse(float *dst, const float *src, size_t rank);

@@ -48,26 +48,36 @@ def test_latency_detector(true_latency):
 
 
 def test_response_taker():
-    rt = ResponseTaker(SR, pre_silence_s=0.01, tail_s=0.05)
+    """Emission and capture arm at the same instant (reference
+    ResponseTaker.cpp:250-276), so a loopback with delay d peaks at
+    index d of the capture — with pause chosen so the arming lands on a
+    block boundary (fade 480 + pause 288 = 768 = 3 blocks)."""
+    blk = 256
+    latency = 300           # >= blk so the harness block-lag is covered
+    rt = ResponseTaker(SR, pause_s=288.0 / SR, tail_s=0.05)
     test = Sample(1, 1000, SR)
     test.data[0, 0] = 1.0     # unit impulse test signal
-    rt.set_test_sample(test)
+    rt.reconfigure(test)
     rt.start_capture()
 
-    blk = 256
-    played = []
-    latency = 100
-    while rt.capturing():
-        out = rt.process_out(blk)
-        played.append(out)
-        loop = np.concatenate(played)
-        resp = _simulate_loop(loop, latency, gain=0.5, noise=0.0)
-        rt.process_in(resp[loop.size - blk: loop.size])
+    dline = np.zeros(latency, np.float32)
+    out = np.zeros(blk, np.float32)
+    for _ in range(SR // blk):
+        inbuf = np.empty(blk, np.float32)
+        for i in range(blk):
+            inbuf[i] = dline[0] * 0.5
+            dline = np.roll(dline, -1)
+            dline[-1] = out[i]
+        out = rt.process(inbuf)
+        if rt.cycle_complete:
+            break
     resp_sample = rt.get_response()
     assert resp_sample is not None
-    # the captured response contains the impulse at `latency`
     peak = int(np.argmax(np.abs(resp_sample.data[0])))
-    assert abs(peak - latency) <= 1
+    # the one-block-lagged loopback adds blk to the observed latency
+    # (same as the oracle harness in test_reference_oracle_wave3)
+    assert peak == latency + blk
+    assert abs(resp_sample.data[0][peak] - 0.5) < 1e-6
 
 
 def test_sync_chirp_identity_system():
