@@ -266,14 +266,119 @@ class Sample:
         return self
 
     # -- resampling (reference Sample.cpp:1021-1207) -------------------------
+    # -- resampling (reference Sample.cpp:961-1207; parity:
+    #    tests/test_reference_oracle_wave3.py) ----------------------------
+    _RS_KPERIODS = 32.0
+    _RS_RPERIODS = 1.0 / 32.0
+
+    @staticmethod
+    def _lanczos1(k_step: float, p: float, t: float, a: float,
+                  count: int) -> np.ndarray:
+        """dsp::lanczos1: dst[i] = sinc(x)*sinc(x*a) at x = i*k - p,
+        zero outside |x| < t (x carries the pi factor)."""
+        x = np.arange(count, dtype=np.float64) * float(k_step) - float(p)
+        ax = np.abs(x)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = (np.sin(x) / x) * (np.sin(x * a) / (x * a))
+        v = np.where(ax < 1e-10, 1.0, v)
+        v = np.where(ax >= t, 0.0, v)
+        return v.astype(np.float32)
+
+    def _complex_resample(self, new_rate: int) -> np.ndarray:
+        """Polyphase Lanczos scatter (complex_upsample/complex_downsample,
+        Sample.cpp:1015-1207): per source phase i, a fractional-offset
+        kernel accumulates src[i::src_step] at stride dst_step."""
+        import math
+        f32 = np.float32
+        sr = self.sample_rate
+        gcd = math.gcd(int(new_rate), int(sr))
+        src_step = sr // gcd
+        dst_step = int(new_rate) // gcd
+        kf = f32(dst_step) / f32(src_step)
+        rkf = f32(np.float32(np.pi) * f32(src_step) / f32(dst_step))
+        if new_rate > sr:
+            k_base = int(f32(self._RS_KPERIODS) * kf)
+            k_center = k_base + 1
+            k_len = 2 * k_center + 1
+            t = self._RS_KPERIODS * np.pi
+        else:
+            t = float(f32(self._RS_KPERIODS) * f32(np.pi) * rkf)
+            k_center = int(f32(self._RS_KPERIODS + 1.0))
+            k_len = int(2 * k_center + float(rkf) + 1)
+        k_size = (k_len + 1 + 3) & ~3          # align_size(k_len+1, 4)
+        n = self.length
+        new_samples = int(kf * f32(n))
+        b_len = new_samples + k_size
+        dst = np.zeros((self.channels, b_len), np.float32)
+        for i in range(src_step):
+            p = int(kf * f32(i))
+            dt = float(f32(i) * kf - f32(p))
+            k = self._lanczos1(float(rkf), (k_center + dt) * float(rkf),
+                               t, self._RS_RPERIODS, k_size)
+            sj = self.data[:, i:n:src_step]
+            if sj.shape[1] == 0:
+                continue
+            # scatter-add kernels at xp = p + m*dst_step == convolution
+            # of the zero-stuffed phase with the kernel
+            up_len = p + (sj.shape[1] - 1) * dst_step + 1
+            up = np.zeros((self.channels, up_len), np.float32)
+            up[:, p::dst_step] = sj
+            for c in range(self.channels):
+                conv = np.convolve(up[c], k)
+                m = min(conv.size, b_len)
+                dst[c, :m] += conv[:m]
+        # shift by k_center and drop k_len samples (Sample.cpp:1119-1129)
+        out = dst[:, k_center:]
+        final = b_len - k_len
+        return np.ascontiguousarray(out[:, :final])
+
     def resample(self, new_rate: int) -> "Sample":
-        if new_rate == self.sample_rate:
+        """reference Sample::resample (Sample.cpp:1209-1270): integer
+        up-ratios use the single-phase kernel, any down-conversion first
+        pre-filters with an LRX low-pass at 0.475 * new_rate (slope 4,
+        Q 0.75), integer down-ratios then decimate."""
+        new_rate = int(new_rate)
+        if new_rate == self.sample_rate or self.channels == 0:
+            self.sample_rate = new_rate if self.channels else \
+                self.sample_rate
             return self
-        out = np.stack([
-            rs.resample_fractional(self.data[c], self.sample_rate,
-                                   new_rate)
-            for c in range(self.channels)]) if self.channels else \
-            np.zeros((0, 0))
-        self.data = out.astype(np.float32)
-        self.sample_rate = int(new_rate)
+        if new_rate > self.sample_rate:
+            self.data = self._complex_resample(new_rate)
+        else:
+            # pre-filter: remove content above the new Nyquist
+            from lsp_dsp_units_tpu.models.filters.design import (
+                FilterParams, FilterType, design_filter)
+            fp = FilterParams(ftype=FilterType.BT_LRX_LOPASS, slope=4,
+                              freq=0.475 * new_rate, gain=1.0,
+                              quality=0.75)
+            coeffs = np.asarray(
+                design_filter(fp, self.sample_rate).biquads, np.float64)
+            filtered = np.empty_like(self.data)
+            for c in range(self.channels):
+                y = self.data[c].astype(np.float32)
+                for b0, b1, b2, a1, a2 in coeffs:
+                    s1 = np.float32(0.0)
+                    s2 = np.float32(0.0)
+                    x = y
+                    y = np.empty_like(x)
+                    b0, b1, b2, a1, a2 = (np.float32(b0), np.float32(b1),
+                                          np.float32(b2), np.float32(a1),
+                                          np.float32(a2))
+                    for j in range(x.size):
+                        out = np.float32(b0 * x[j] + s1)
+                        s1 = np.float32(b1 * x[j] + a1 * out + s2)
+                        s2 = np.float32(b2 * x[j] + a2 * out)
+                        y[j] = out
+                filtered[c] = y
+            tmp = Sample(self.channels, filtered.shape[1],
+                         self.sample_rate)
+            tmp.data = filtered
+            if self.sample_rate % new_rate == 0:
+                # fast_downsample: plain decimation (Sample.cpp:986-1008)
+                step = self.sample_rate // new_rate
+                self.data = np.ascontiguousarray(
+                    filtered[:, ::step][:, : self.length // step])
+            else:
+                self.data = tmp._complex_resample(new_rate)
+        self.sample_rate = new_rate
         return self

@@ -97,6 +97,7 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/util/ResponseTaker.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/util/Analyzer.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/util/SyncChirpProcessor.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/sampling/Sample.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -296,6 +297,14 @@ def _lib() -> ctypes.CDLL:
         lib.ref_oversampler.restype = ctypes.c_int
         lib.ref_oversampler.argtypes = [u32, u32, i32, i32, f32p, f32p,
                                         f32p, i32, i32, i32p]
+        cch = ctypes.c_char_p
+        lib.ref_sample_edit.restype = ctypes.c_int
+        lib.ref_sample_edit.argtypes = [f32p, i32, u32, u32, f32, f32,
+                                        f32, f32, f32p, i32, i32p, i32p]
+        lib.ref_sample_wav_roundtrip.restype = ctypes.c_int
+        lib.ref_sample_wav_roundtrip.argtypes = [f32p, i32, i32, u32, cch,
+                                                 f32p, i32, i32p, i32p,
+                                                 i32p]
         f64 = ctypes.c_double
         lib.ref_sync_chirp.restype = ctypes.c_int
         lib.ref_sync_chirp.argtypes = [u32, f64, f64, f32, f32, u32, f32,

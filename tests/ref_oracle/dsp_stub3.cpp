@@ -343,3 +343,28 @@ namespace lsp
         }
     } /* namespace dsp */
 } /* namespace lsp */
+
+namespace lsp
+{
+    namespace dsp
+    {
+        /* Lanczos window generator for Sample::resample
+         * (Sample.cpp:1040-1107): dst[i] = sinc(x)*sinc(x*a) at
+         * x = i*k - p, windowed to |x| < t (x carries the pi factor) */
+        void lanczos1(float *dst, float k, float p, float t, float a,
+                      size_t count)
+        {
+            for (size_t i = 0; i < count; ++i)
+            {
+                double x = double(i) * k - p;
+                double ax = (x < 0.0) ? -x : x;
+                if (ax >= t)
+                    dst[i] = 0.0f;
+                else if (ax < 1e-10)
+                    dst[i] = 1.0f;
+                else
+                    dst[i] = float((sin(x) / x) * (sin(x * a) / (x * a)));
+            }
+        }
+    } /* namespace dsp */
+} /* namespace lsp */

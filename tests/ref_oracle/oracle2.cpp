@@ -292,6 +292,87 @@ extern "C"
         return 0;
     }
 
+    /* Genuine Sample editing ops (Sample.cpp): op 0 insert(a0,a1),
+     * 1 append(a0), 2 prepend(a0), 3 remove(a0,a1), 4 reverse(),
+     * 5 normalize(a0, mode a1), 6 apply_gain(a0, first a1, count a2),
+     * 7 resample(a0), 8 stretch(new_len a0, chunk a1, fade_type a2,
+     * fade_size a3).  Returns the edited data + new length/rate. */
+    int ref_sample_edit(const float *data, int len, uint32_t sr,
+                        uint32_t op, float a0, float a1, float a2,
+                        float a3, float *out, int out_cap, int *out_len,
+                        int *out_sr)
+    {
+        dspu::Sample s;
+        if (!s.init(1, len, len))
+            return -1;
+        for (int i = 0; i < len; ++i)
+            s.channel(0)[i] = data[i];
+        s.set_sample_rate(sr);
+        lsp::status_t res = lsp::STATUS_OK;
+        switch (op)
+        {
+            case 0: res = s.insert(size_t(a0), size_t(a1)); break;
+            case 1: res = s.append(size_t(a0)); break;
+            case 2: res = s.prepend(size_t(a0)); break;
+            case 3: res = s.remove(size_t(a0), size_t(a1)); break;
+            case 4: s.reverse(); break;
+            case 5: s.normalize(a0, (dspu::sample_normalize_t) (int) a1);
+                break;
+            case 6: res = s.apply_gain(a0, size_t(a1), size_t(a2)); break;
+            case 7: res = s.resample(size_t(a0)); break;
+            case 8: res = s.stretch(size_t(a0), size_t(a1),
+                                    (dspu::sample_crossfade_t) (int) a2,
+                                    a3); break;
+            default: return -2;
+        }
+        if (res != lsp::STATUS_OK)
+            return -3;
+        int n = (int) s.length();
+        *out_len = n;
+        *out_sr = (int) s.sample_rate();
+        const float *cd = s.channel(0);
+        for (int i = 0; i < n && i < out_cap; ++i)
+            out[i] = cd[i];
+        return 0;
+    }
+
+    /* Genuine Sample WAV save/load round trip (Sample.cpp save_range /
+     * loads over the float32-WAV stream stubs). */
+    int ref_sample_wav_roundtrip(const float *data, int len, int channels,
+                                 uint32_t sr, const char *path,
+                                 float *out, int out_cap, int *out_len,
+                                 int *out_channels, int *out_sr)
+    {
+        dspu::Sample s;
+        if (!s.init(channels, len, len))
+            return -1;
+        for (int c = 0; c < channels; ++c)
+            for (int i = 0; i < len; ++i)
+                s.channel(c)[i] = data[c * len + i];
+        s.set_sample_rate(sr);
+        ssize_t saved = s.save(path);
+        if (saved < 0)
+            return -2;
+        dspu::Sample l;
+        lsp::status_t res = l.load(path);
+        if (res != lsp::STATUS_OK)
+            return -3;
+        *out_len = (int) l.length();
+        *out_channels = (int) l.channels();
+        *out_sr = (int) l.sample_rate();
+        for (int c = 0; c < (int) l.channels(); ++c)
+        {
+            const float *cd = l.channel(c);
+            for (int i = 0; i < (int) l.length(); ++i)
+            {
+                int idx = c * (int) l.length() + i;
+                if (idx < out_cap)
+                    out[idx] = cd[i];
+            }
+        }
+        return 0;
+    }
+
     /* Genuine SyncChirpProcessor (SyncChirpProcessor.cpp): synthesize
      * the Farina chirp, convolve it with a known IR (the simulated
      * measurement), deconvolve via do_linear_convolutions, then

@@ -9,8 +9,6 @@
 #define lsp_error(...)      do { } while (0)
 #define lsp_info(...)       do { } while (0)
 
-#endif /* LSP_PLUG_IN_COMMON_DEBUG_H_ */
-
 #define lsp_assert(...)     do { } while (0)
 
 /* lsp-common-lib's scope-exit helper (finally.h): the usage is
@@ -36,3 +34,5 @@ namespace lsp
         ::lsp::lsp_finally_helper_t{} + [&]()
 
 #define lsp_guard_assert(...)
+
+#endif /* LSP_PLUG_IN_COMMON_DEBUG_H_ */

@@ -23,6 +23,7 @@ namespace lsp
         STATUS_BAD_FORMAT,
         STATUS_EOF,
         STATUS_UNSPECIFIED,
+        STATUS_INCOMPATIBLE,
         STATUS_CORRUPTED_FILE,
         STATUS_BIG_ENDIAN,
         STATUS_UNSUPPORTED_FORMAT,

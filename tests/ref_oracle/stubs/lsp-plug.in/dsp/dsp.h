@@ -185,6 +185,8 @@ namespace lsp
          * software-pipelined: stage k of output sample i reads row
          * i + k, lane k; rows run count + (lanes-1). */
         float irootf(float x, uint32_t n);
+        void lanczos1(float *dst, float k, float p, float t, float a,
+                      size_t count);
         void limit1(float *dst, float min, float max, size_t count);
         void pcomplex_r2c_mul2(float *dst, const float *src, size_t count);
         void bilinear_transform_x1(biquad_x1_t *bf, const f_cascade_t *bc,

@@ -11,6 +11,7 @@
 
 #define LSPC_CHUNK_AUDIO    0x41554449u
 #define LSPC_CHUNK_PROFILE  0x50524F46u
+#define LSPC_CHUNK_PATH     0x50415448u
 
 namespace lsp
 {
@@ -26,6 +27,8 @@ namespace lsp
             SAMPLE_FMT_F32LE = 10,
             SAMPLE_FMT_F32BE = 11
         };
+
+        typedef uint32_t chunk_id_t;
 
         typedef struct chunk_common_t
         {
@@ -82,6 +85,8 @@ namespace lsp
                 status_t close() { return STATUS_OK; }
                 ChunkWriter *write_chunk(uint32_t) { return nullptr; }
                 ChunkReader *find_chunk(uint32_t, uint32_t *) { return nullptr; }
+                ssize_t enumerate_chunks(uint32_t, chunk_id_t **)
+                { return -((ssize_t) STATUS_NOT_IMPLEMENTED); }
         };
     } /* namespace lspc */
 } /* namespace lsp */

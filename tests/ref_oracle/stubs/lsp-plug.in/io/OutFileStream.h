@@ -1,0 +1,30 @@
+/* Minimal stand-in: temp-file extraction is not exercised by the
+ * oracle tests. */
+#ifndef LSP_PLUG_IN_IO_OUTFILESTREAM_H_
+#define LSP_PLUG_IN_IO_OUTFILESTREAM_H_
+
+#include <lsp-plug.in/common/status.h>
+#include <lsp-plug.in/io/Path.h>
+
+namespace lsp
+{
+    namespace io
+    {
+        class OutFileStream
+        {
+            public:
+                status_t open_temp(Path *) { return STATUS_NOT_IMPLEMENTED; }
+                status_t close() { return STATUS_OK; }
+        };
+
+        class IInStream
+        {
+            public:
+                virtual ~IInStream() {}
+                virtual wssize_t sink(OutFileStream *)
+                { return -((wssize_t) STATUS_NOT_IMPLEMENTED); }
+        };
+    } /* namespace io */
+} /* namespace lsp */
+
+#endif

@@ -1,15 +1,25 @@
-/* Minimal stand-in for lsp-runtime-lib's LSPString (see common/types.h
- * header note): only passed around as an opaque const pointer by the
- * compiled-in sources. */
+/* Minimal stand-in for lsp-runtime-lib's LSPString (std::string
+ * backed; only the surface the compiled-in sources touch). */
 #ifndef LSP_PLUG_IN_RUNTIME_LSPSTRING_H_
 #define LSP_PLUG_IN_RUNTIME_LSPSTRING_H_
+
+#include <string>
 
 namespace lsp
 {
     class LSPString
     {
+        private:
+            std::string s;
+
         public:
             LSPString() {}
+            bool set_utf8(const char *v) { s = (v != NULL) ? v : ""; return true; }
+            const char *get_utf8() const { return s.c_str(); }
+            bool is_empty() const { return s.empty(); }
+            void swap(LSPString *o) { s.swap(o->s); }
+            const std::string &str() const { return s; }
+            std::string &str() { return s; }
     };
 } /* namespace lsp */
 

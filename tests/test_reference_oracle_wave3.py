@@ -531,6 +531,96 @@ def test_oscillator_matches_reference(fi):
         > 80.0, fg
 
 
+# ------------------------------------------------------------ Sample edits
+
+def test_sample_edit_ops_match_reference():
+    """Genuine Sample editing ops (Sample.cpp): insert/append/prepend/
+    remove/reverse/normalize/apply_gain are EXACT, resampling >= 95 dB
+    with identical output lengths."""
+    from lsp_dsp_units_tpu.models.sampling.sample import Sample
+    from lsp_dsp_units_tpu.utils.units import snr_db
+
+    lib = ro._lib()
+    rng = np.random.default_rng(0)
+    data = (rng.standard_normal(1000) * 0.5).astype(np.float32)
+    sr = 48000
+
+    def ref_edit(op, a0=0.0, a1=0.0, a2=0.0, a3=0.0):
+        out = np.zeros(400000, np.float32)
+        ol = ctypes.c_int(0)
+        osr = ctypes.c_int(0)
+        rc = lib.ref_sample_edit(_f32(data), data.size, sr, op, a0, a1,
+                                 a2, a3, _f32(out), out.size,
+                                 ctypes.byref(ol), ctypes.byref(osr))
+        assert rc == 0, op
+        return out[:ol.value], osr.value
+
+    def fresh():
+        s = Sample(1, data.size, sr)
+        s.data[0] = data
+        return s
+
+    r, _ = ref_edit(0, 100, 64)
+    s = fresh(); s.insert(100, 64)
+    np.testing.assert_array_equal(s.data[0][:s.length], r)
+
+    r, _ = ref_edit(3, 200, 300)
+    s = fresh(); s.cut(200, 300)
+    np.testing.assert_array_equal(s.data[0][:s.length], r)
+
+    r, _ = ref_edit(4)
+    s = fresh(); s.reverse()
+    np.testing.assert_array_equal(s.data[0][:s.length], r)
+
+    r, _ = ref_edit(5, 0.25, 1)
+    s = fresh(); s.normalize(0.25, "above")
+    np.testing.assert_allclose(s.data[0][:s.length], r, rtol=1e-6)
+
+    r, _ = ref_edit(6, 0.5, 100, 300)
+    s = fresh(); s.apply_gain(0.5, 100, 300)
+    np.testing.assert_array_equal(s.data[0][:s.length], r)
+
+    for new_sr in (44100, 96000, 24000, 32000):
+        r, osr = ref_edit(7, new_sr)
+        s = fresh(); s.resample(new_sr)
+        assert s.length == r.size and s.sample_rate == osr == new_sr
+        assert snr_db(s.data[0][:s.length],
+                      r.astype(np.float64)) > 95.0, new_sr
+
+
+def test_sample_wav_roundtrip_matches_reference(tmp_path):
+    """The genuine Sample::save/load (float32 WAV) interoperates with
+    our wavio bit-exactly in both directions."""
+    from lsp_dsp_units_tpu.models.sampling.sample import Sample
+    from lsp_dsp_units_tpu.utils.wavio import read_wav, write_wav
+
+    lib = ro._lib()
+    rng = np.random.default_rng(1)
+    data = (rng.standard_normal((2, 500)) * 0.5).astype(np.float32)
+    sr = 44100
+    path = str(tmp_path / "ref.wav").encode()
+    out = np.zeros(2 * 500, np.float32)
+    ol = ctypes.c_int(0)
+    oc = ctypes.c_int(0)
+    osr = ctypes.c_int(0)
+    rc = lib.ref_sample_wav_roundtrip(
+        _f32(np.ascontiguousarray(data)), 500, 2, sr, path, _f32(out),
+        out.size, ctypes.byref(ol), ctypes.byref(oc), ctypes.byref(osr))
+    assert rc == 0
+    assert (ol.value, oc.value, osr.value) == (500, 2, sr)
+    np.testing.assert_array_equal(out.reshape(2, 500), data)
+
+    # the reference-saved WAV reads back bit-exactly through our wavio
+    x, got_sr = read_wav(str(tmp_path / "ref.wav"))
+    assert got_sr == sr
+    np.testing.assert_array_equal(np.asarray(x, np.float32), data)
+
+    # and a wavio-written file loads through our Sample.load
+    write_wav(str(tmp_path / "ours.wav"), data, sr)
+    s = Sample.load(str(tmp_path / "ours.wav"))
+    np.testing.assert_array_equal(s.data[:, :500], data)
+
+
 # ------------------------------------------------------------ SamplePlayer
 
 def _player_case(lib, case, data, n, block):
