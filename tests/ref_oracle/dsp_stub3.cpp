@@ -368,3 +368,122 @@ namespace lsp
         }
     } /* namespace dsp */
 } /* namespace lsp */
+
+namespace lsp
+{
+    namespace dsp
+    {
+        /* 3D geometry ops (3d/raytrace.cpp).  Column-major 4x4, points
+         * transform as p' = M * p; plane = normalized cross product of
+         * the triangle edges with dw = -n.p0. */
+        void init_point_xyz(point3d_t *p, float x, float y, float z)
+        {
+            p->x = x; p->y = y; p->z = z; p->w = 1.0f;
+        }
+
+        void init_vector_dxyz(vector3d_t *v, float dx, float dy, float dz)
+        {
+            v->dx = dx; v->dy = dy; v->dz = dz; v->dw = 0.0f;
+        }
+
+        void init_matrix3d_translate(matrix3d_t *m, float dx, float dy,
+                                     float dz)
+        {
+            for (int i = 0; i < 16; ++i)
+                m->m[i] = (i % 5 == 0) ? 1.0f : 0.0f;
+            m->m[12] = dx;
+            m->m[13] = dy;
+            m->m[14] = dz;
+        }
+
+        void init_matrix3d_translate_p1(matrix3d_t *m, const point3d_t *p)
+        {
+            init_matrix3d_translate(m, p->x, p->y, p->z);
+        }
+
+        static void init_rotate(matrix3d_t *m, float angle, int a, int b)
+        {
+            for (int i = 0; i < 16; ++i)
+                m->m[i] = (i % 5 == 0) ? 1.0f : 0.0f;
+            float c = cosf(angle), s = sinf(angle);
+            m->m[a * 4 + a] = c;
+            m->m[b * 4 + b] = c;
+            m->m[a * 4 + b] = s;    /* column a, row b */
+            m->m[b * 4 + a] = -s;
+        }
+
+        void init_matrix3d_rotate_x(matrix3d_t *m, float angle)
+        { init_rotate(m, angle, 1, 2); }
+        void init_matrix3d_rotate_y(matrix3d_t *m, float angle)
+        { init_rotate(m, angle, 2, 0); }
+        void init_matrix3d_rotate_z(matrix3d_t *m, float angle)
+        { init_rotate(m, angle, 0, 1); }
+
+        void apply_matrix3d_mm1(matrix3d_t *dst, const matrix3d_t *src)
+        {
+            /* dst = dst * src (column-major) */
+            float r[16];
+            for (int c = 0; c < 4; ++c)
+                for (int rI = 0; rI < 4; ++rI)
+                {
+                    float s = 0.0f;
+                    for (int k = 0; k < 4; ++k)
+                        s += dst->m[k * 4 + rI] * src->m[c * 4 + k];
+                    r[c * 4 + rI] = s;
+                }
+            for (int i = 0; i < 16; ++i)
+                dst->m[i] = r[i];
+        }
+
+        void apply_matrix3d_mp2(point3d_t *dst, const point3d_t *src,
+                                const matrix3d_t *m)
+        {
+            float x = src->x, y = src->y, z = src->z, w = src->w;
+            dst->x = m->m[0] * x + m->m[4] * y + m->m[8] * z + m->m[12] * w;
+            dst->y = m->m[1] * x + m->m[5] * y + m->m[9] * z + m->m[13] * w;
+            dst->z = m->m[2] * x + m->m[6] * y + m->m[10] * z + m->m[14] * w;
+            dst->w = m->m[3] * x + m->m[7] * y + m->m[11] * z + m->m[15] * w;
+        }
+
+        void apply_matrix3d_mp1(point3d_t *p, const matrix3d_t *m)
+        {
+            point3d_t t = *p;
+            apply_matrix3d_mp2(p, &t, m);
+        }
+
+        void scale_point2(point3d_t *dst, const point3d_t *src, float k)
+        {
+            dst->x = src->x * k;
+            dst->y = src->y * k;
+            dst->z = src->z * k;
+            dst->w = 1.0f;
+        }
+
+        void add_vector_pvk1(point3d_t *p, const vector3d_t *v, float k)
+        {
+            p->x += v->dx * k;
+            p->y += v->dy * k;
+            p->z += v->dz * k;
+        }
+
+        void calc_plane_pv(vector3d_t *plane, const point3d_t *p)
+        {
+            float ux = p[1].x - p[0].x, uy = p[1].y - p[0].y,
+                  uz = p[1].z - p[0].z;
+            float vx = p[2].x - p[0].x, vy = p[2].y - p[0].y,
+                  vz = p[2].z - p[0].z;
+            float nx = uy * vz - uz * vy;
+            float ny = uz * vx - ux * vz;
+            float nz = ux * vy - uy * vx;
+            float len = sqrtf(nx * nx + ny * ny + nz * nz);
+            if (len > 0.0f)
+            {
+                nx /= len; ny /= len; nz /= len;
+            }
+            plane->dx = nx;
+            plane->dy = ny;
+            plane->dz = nz;
+            plane->dw = -(nx * p[0].x + ny * p[0].y + nz * p[0].z);
+        }
+    } /* namespace dsp */
+} /* namespace lsp */

@@ -20,6 +20,7 @@
 #include <lsp-plug.in/dsp-units/util/ResponseTaker.h>
 #include <lsp-plug.in/dsp-units/util/Analyzer.h>
 #include <lsp-plug.in/dsp-units/util/SyncChirpProcessor.h>
+#include <lsp-plug.in/dsp-units/3d/raytrace.h>
 
 #include <vector>
 #include <lsp-plug.in/dsp-units/util/Trigger.h>
@@ -33,6 +34,7 @@
 #include <string.h>
 
 namespace dspu = lsp::dspu;
+namespace dsp = lsp::dsp;
 
 namespace
 {
@@ -288,6 +290,108 @@ extern "C"
                 os.process(down + off, x + off, todo, tanh_cb, nullptr);
             else
                 os.process(down + off, x + off, todo);
+        }
+        return 0;
+    }
+
+    /* Genuine 3d/raytrace.cpp: configure a source (matrix composition,
+     * :748-775) and generate its beam groups (:150-745).  Matrix
+     * returned as 4 transformed probe points (layout-independent);
+     * groups as [n][12] floats (apex + 3 triangle points, LOCAL frame). */
+    int ref_rt_source(uint32_t type, float px, float py, float pz,
+                      float yaw, float pitch, float roll, float size,
+                      float height, float angle, float curvature,
+                      float *probes /* in/out 4*[x,y,z] */,
+                      float *groups, int max_groups, int *n_groups)
+    {
+        dspu::room_source_config_t cfg;
+        dsp::init_point_xyz(&cfg.sPos, px, py, pz);
+        cfg.fYaw = yaw;
+        cfg.fPitch = pitch;
+        cfg.fRoll = roll;
+        cfg.enType = (dspu::rt_audio_source_t) type;
+        cfg.fSize = size;
+        cfg.fHeight = height;
+        cfg.fAngle = angle;
+        cfg.fCurvature = curvature;
+        cfg.fAmplitude = 1.0f;
+
+        dspu::rt_source_settings_t st;
+        lsp::status_t res = dspu::rt_configure_source(&st, &cfg);
+        if (res != lsp::STATUS_OK)
+            return -1;
+        for (int i = 0; i < 4; ++i)
+        {
+            dsp::point3d_t p;
+            dsp::init_point_xyz(&p, probes[3 * i], probes[3 * i + 1],
+                                probes[3 * i + 2]);
+            dsp::apply_matrix3d_mp1(&p, &st.pos);
+            probes[3 * i] = p.x;
+            probes[3 * i + 1] = p.y;
+            probes[3 * i + 2] = p.z;
+        }
+
+        lsp::lltl::darray<dspu::rt::group_t> out;
+        res = dspu::rt_gen_source_mesh(out, &st);
+        if (res != lsp::STATUS_OK)
+            return -2;
+        int n = (int) out.size();
+        *n_groups = n;
+        for (int i = 0; i < n && i < max_groups; ++i)
+        {
+            const dspu::rt::group_t *g = out.uget(i);
+            float *dst = &groups[i * 12];
+            dst[0] = g->s.x; dst[1] = g->s.y; dst[2] = g->s.z;
+            for (int j = 0; j < 3; ++j)
+            {
+                dst[3 + j * 3] = g->p[j].x;
+                dst[4 + j * 3] = g->p[j].y;
+                dst[5 + j * 3] = g->p[j].z;
+            }
+        }
+        return 0;
+    }
+
+    /* Genuine rt_configure_capture (:777-870): expand a room capture
+     * config into n mics; per mic returns the transformed origin
+     * (position) and transformed +x (look direction), radius, type. */
+    int ref_rt_capture(float px, float py, float pz, float yaw,
+                       float pitch, float roll, float capsule,
+                       uint32_t config, float angle, float distance,
+                       uint32_t direction, uint32_t side,
+                       float *out /* [2][8]: pos3 dir3 radius type */,
+                       int *n_out)
+    {
+        dspu::room_capture_config_t cfg;
+        dsp::init_point_xyz(&cfg.sPos, px, py, pz);
+        cfg.fYaw = yaw;
+        cfg.fPitch = pitch;
+        cfg.fRoll = roll;
+        cfg.fCapsule = capsule;
+        cfg.sConfig = (dspu::rt_capture_config_t) config;
+        cfg.fAngle = angle;
+        cfg.fDistance = distance;
+        cfg.enDirection = (dspu::rt_audio_capture_t) direction;
+        cfg.enSide = (dspu::rt_audio_capture_t) side;
+
+        size_t n = 0;
+        dspu::rt_capture_settings_t st[2];
+        lsp::status_t res = dspu::rt_configure_capture(&n, st, &cfg);
+        if (res != lsp::STATUS_OK)
+            return -1;
+        *n_out = (int) n;
+        for (size_t i = 0; i < n; ++i)
+        {
+            dsp::point3d_t o, x;
+            dsp::init_point_xyz(&o, 0.0f, 0.0f, 0.0f);
+            dsp::init_point_xyz(&x, 1.0f, 0.0f, 0.0f);
+            dsp::apply_matrix3d_mp1(&o, &st[i].pos);
+            dsp::apply_matrix3d_mp1(&x, &st[i].pos);
+            float *dst = &out[i * 8];
+            dst[0] = o.x; dst[1] = o.y; dst[2] = o.z;
+            dst[3] = x.x - o.x; dst[4] = x.y - o.y; dst[5] = x.z - o.z;
+            dst[6] = st[i].radius;
+            dst[7] = float(st[i].type);
         }
         return 0;
     }

@@ -30,6 +30,9 @@ namespace lsp
     }
 } /* namespace lsp */
 
+#define __IF_64(...)        __VA_ARGS__
+#define __IF_32(...)
+
 #define __lsp_aligned16     __attribute__((aligned(16)))
 #define __lsp_aligned32     __attribute__((aligned(32)))
 #define __lsp_aligned64     __attribute__((aligned(64)))

@@ -319,6 +319,44 @@ namespace lsp
         void filter_transfer_apply_pc(float *ri, const f_cascade_t *c,
                                       const float *freq, size_t count);
         void pcomplex_fill_ri(float *dst, float re, float im, size_t count);
+
+        /* 3D geometry types + ops (3d/raytrace.cpp): homogeneous
+         * points/vectors, 4x4 column-major matrices, p' = M * p */
+        typedef struct point3d_t
+        {
+            float x, y, z, w;
+        } point3d_t;
+
+        typedef struct vector3d_t
+        {
+            float dx, dy, dz, dw;
+        } vector3d_t;
+
+        typedef struct matrix3d_t
+        {
+            float m[16];    /* column-major */
+        } matrix3d_t;
+
+        typedef struct raw_triangle_t
+        {
+            point3d_t v[3];
+        } raw_triangle_t;
+
+        void init_point_xyz(point3d_t *p, float x, float y, float z);
+        void init_vector_dxyz(vector3d_t *v, float dx, float dy, float dz);
+        void init_matrix3d_translate(matrix3d_t *m, float dx, float dy,
+                                     float dz);
+        void init_matrix3d_translate_p1(matrix3d_t *m, const point3d_t *p);
+        void init_matrix3d_rotate_x(matrix3d_t *m, float angle);
+        void init_matrix3d_rotate_y(matrix3d_t *m, float angle);
+        void init_matrix3d_rotate_z(matrix3d_t *m, float angle);
+        void apply_matrix3d_mm1(matrix3d_t *dst, const matrix3d_t *src);
+        void apply_matrix3d_mp1(point3d_t *p, const matrix3d_t *m);
+        void apply_matrix3d_mp2(point3d_t *dst, const point3d_t *src,
+                                const matrix3d_t *m);
+        void scale_point2(point3d_t *dst, const point3d_t *src, float k);
+        void add_vector_pvk1(point3d_t *p, const vector3d_t *v, float k);
+        void calc_plane_pv(vector3d_t *plane, const point3d_t *p);
     } /* namespace dsp */
 } /* namespace lsp */
 

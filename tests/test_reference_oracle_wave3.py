@@ -531,6 +531,79 @@ def test_oscillator_matches_reference(fi):
         > 80.0, fg
 
 
+# ---------------------------------------------------------- 3d primitives
+
+def test_rt_source_meshes_match_reference():
+    """Genuine 3d/raytrace.cpp source-group generation (:150-745) for
+    all 12 rt_audio_source_t shapes: group counts identical, apex +
+    triangle geometry to f32 epsilon, and the configure_source matrix
+    (:748-775) agrees on transformed probe points."""
+    import jax  # noqa: F401
+    from lsp_dsp_units_tpu.models.threed.sources import (
+        SourceSettings, SourceShape, source_groups, _rotation)
+
+    lib = ro._lib()
+    for t, shape in enumerate(SourceShape):
+        probes = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                          np.float32).ravel().copy()
+        groups = np.zeros(4096 * 12, np.float32)
+        ng = ctypes.c_int(0)
+        rc = lib.ref_rt_source(t, 1.0, 2.0, 3.0, 30.0, 20.0, 10.0,
+                               0.3, 0.5, 50.0, 50.0, _f32(probes),
+                               _f32(groups), 4096, ctypes.byref(ng))
+        assert rc == 0, shape
+
+        R = _rotation(30.0, 20.0, 10.0)
+        pos = np.array([1.0, 2.0, 3.0])
+        exp = np.stack([R @ p + pos for p in np.vstack(
+            [np.zeros(3), np.eye(3)])])
+        np.testing.assert_allclose(probes.reshape(4, 3), exp, atol=1e-5)
+
+        cfg = SourceSettings(shape=shape, size=0.3, height=0.5,
+                             angle=50.0, curvature=50.0,
+                             position=pos, yaw=30.0, pitch=20.0,
+                             roll=10.0)
+        ours = source_groups(cfg)
+        assert len(ours) == ng.value, shape
+        rg = groups[:ng.value * 12].reshape(ng.value, 4, 3)
+        og = np.stack([np.concatenate([[s], p]) for (s, p) in ours])
+        np.testing.assert_allclose(og, rg, atol=1e-5, err_msg=str(shape))
+
+
+@pytest.mark.parametrize("ci,cfgname", enumerate(
+    ["MONO", "XY", "AB", "ORTF", "MS"]))
+def test_rt_capture_configs_match_reference(ci, cfgname):
+    """Genuine rt_configure_capture (:777-870): microphone positions,
+    look directions, capsule radii and pattern types for every
+    rt_capture_config_t rig."""
+    import jax  # noqa: F401
+    from lsp_dsp_units_tpu.models.threed.captures import (
+        RoomCaptureConfig, CaptureConfig, CapturePattern,
+        configure_capture)
+
+    lib = ro._lib()
+    out = np.zeros(16, np.float32)
+    n = ctypes.c_int(0)
+    rc = lib.ref_rt_capture(1.0, 2.0, 3.0, 30.0, 20.0, 10.0, 2.2, ci,
+                            110.0, 1.5, 0, 4, _f32(out), ctypes.byref(n))
+    assert rc == 0
+    cfg = RoomCaptureConfig(position=np.array([1.0, 2.0, 3.0]), yaw=30.0,
+                            pitch=20.0, roll=10.0, capsule=2.2,
+                            config=CaptureConfig[cfgname], angle=110.0,
+                            distance=1.5,
+                            direction=CapturePattern.CARDIO,
+                            side=CapturePattern.EIGHT)
+    ours = configure_capture(cfg)
+    assert len(ours) == n.value
+    pats = list(CapturePattern)
+    for i, st in enumerate(ours):
+        r = out[i * 8:(i + 1) * 8]
+        np.testing.assert_allclose(st.position, r[:3], atol=1e-5)
+        np.testing.assert_allclose(st.direction, r[3:6], atol=1e-5)
+        assert abs(st.radius - r[6]) < 1e-6
+        assert pats.index(st.pattern) == int(r[7])
+
+
 # ------------------------------------------------------------ Sample edits
 
 def test_sample_edit_ops_match_reference():
