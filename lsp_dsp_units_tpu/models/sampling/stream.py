@@ -30,6 +30,7 @@ class InSampleStream:
     def length(self) -> int:
         return self._sample.length
 
+    @property
     def position(self) -> int:
         return self._pos
 

@@ -99,6 +99,7 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/util/SyncChirpProcessor.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/sampling/Sample.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/raytrace.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/sampling/InSampleStream.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -299,6 +300,9 @@ def _lib() -> ctypes.CDLL:
         lib.ref_oversampler.argtypes = [u32, u32, i32, i32, f32p, f32p,
                                         f32p, i32, i32, i32p]
         cch = ctypes.c_char_p
+        lib.ref_in_sample_stream.restype = ctypes.c_int
+        lib.ref_in_sample_stream.argtypes = [f32p, i32, u32, i32, f32p,
+                                             i32, i32p]
         lib.ref_rt_source.restype = ctypes.c_int
         lib.ref_rt_source.argtypes = [u32, f32, f32, f32, f32, f32, f32,
                                       f32, f32, f32, f32, f32p, f32p,

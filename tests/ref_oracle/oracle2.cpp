@@ -16,6 +16,7 @@
 #include <lsp-plug.in/dsp-units/util/Oscillator.h>
 #include <lsp-plug.in/dsp-units/meters/TruePeakMeter.h>
 #include <lsp-plug.in/dsp-units/sampling/SamplePlayer.h>
+#include <lsp-plug.in/dsp-units/sampling/InSampleStream.h>
 #include <lsp-plug.in/dsp-units/util/LatencyDetector.h>
 #include <lsp-plug.in/dsp-units/util/ResponseTaker.h>
 #include <lsp-plug.in/dsp-units/util/Analyzer.h>
@@ -291,6 +292,34 @@ extern "C"
             else
                 os.process(down + off, x + off, todo);
         }
+        return 0;
+    }
+
+    /* Genuine InSampleStream (InSampleStream.cpp): wrap a 2-channel
+     * sample, skip, then read interleaved frames. */
+    int ref_in_sample_stream(const float *data, int len, uint32_t sr,
+                             int skip, float *frames, int max_frames,
+                             int *got)
+    {
+        dspu::Sample *s = new dspu::Sample();
+        if (!s->init(2, len, len))
+            return -1;
+        for (int c = 0; c < 2; ++c)
+            for (int i = 0; i < len; ++i)
+                s->channel(c)[i] = data[c * len + i];
+        s->set_sample_rate(sr);
+
+        dspu::InSampleStream is(s, true);   /* stream owns the sample */
+        if (skip > 0)
+        {
+            if (is.skip(skip) < 0)
+                return -2;
+        }
+        ssize_t n = is.read(frames, max_frames);
+        if (n < 0)
+            return -3;
+        *got = (int) n;
+        is.close();
         return 0;
     }
 

@@ -24,6 +24,7 @@ namespace lsp
         STATUS_EOF,
         STATUS_UNSPECIFIED,
         STATUS_INCOMPATIBLE,
+        STATUS_CLOSED,
         STATUS_CORRUPTED_FILE,
         STATUS_BIG_ENDIAN,
         STATUS_UNSUPPORTED_FORMAT,

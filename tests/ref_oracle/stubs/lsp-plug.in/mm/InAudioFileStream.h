@@ -81,7 +81,7 @@ namespace lsp
                     }
                 }
 
-                virtual status_t info(audio_stream_t *fmt) override
+                virtual status_t info(audio_stream_t *fmt) const override
                 {
                     if (pFile == NULL)
                         return STATUS_BAD_STATE;

@@ -531,6 +531,35 @@ def test_oscillator_matches_reference(fi):
         > 80.0, fg
 
 
+# --------------------------------------------------------- InSampleStream
+
+def test_in_sample_stream_matches_reference():
+    """Genuine InSampleStream (InSampleStream.cpp): wrap a stereo
+    sample, skip, read interleaved frames — ours (channel-planar read)
+    carries the same content and position semantics."""
+    from lsp_dsp_units_tpu.models.sampling.sample import Sample
+    from lsp_dsp_units_tpu.models.sampling.stream import InSampleStream
+
+    lib = ro._lib()
+    rng = np.random.default_rng(2)
+    data = (rng.standard_normal((2, 300)) * 0.5).astype(np.float32)
+    frames = np.zeros(2 * 300, np.float32)
+    got = ctypes.c_int(0)
+    rc = lib.ref_in_sample_stream(_f32(np.ascontiguousarray(data)), 300,
+                                  48000, 40, _f32(frames), 100,
+                                  ctypes.byref(got))
+    assert rc == 0 and got.value == 100
+    ref = frames[:200].reshape(100, 2).T      # de-interleave
+
+    s = Sample(2, 300, 48000)
+    s.data[:] = data
+    st = InSampleStream(s)
+    st.seek(40)
+    ours = st.read(100)
+    np.testing.assert_array_equal(ours, ref)
+    assert st.position == 140
+
+
 # ---------------------------------------------------------- 3d primitives
 
 def test_rt_source_meshes_match_reference():
