@@ -100,6 +100,8 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/sampling/Sample.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/raytrace.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/sampling/InSampleStream.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/3d/Allocator.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/3d/bsp/context.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -300,6 +302,9 @@ def _lib() -> ctypes.CDLL:
         lib.ref_oversampler.argtypes = [u32, u32, i32, i32, f32p, f32p,
                                         f32p, i32, i32, i32p]
         cch = ctypes.c_char_p
+        lib.ref_bsp_mesh.restype = ctypes.c_int
+        lib.ref_bsp_mesh.argtypes = [f32p, i32, f32, f32, f32, f32p,
+                                     i32, i32p]
         lib.ref_in_sample_stream.restype = ctypes.c_int
         lib.ref_in_sample_stream.argtypes = [f32p, i32, u32, i32, f32p,
                                              i32, i32p]

@@ -487,3 +487,60 @@ namespace lsp
         }
     } /* namespace dsp */
 } /* namespace lsp */
+
+namespace lsp
+{
+    namespace dsp
+    {
+        /* bsp::context geometry (3d/bsp/context.cpp).  Point-vs-plane
+         * colocation codes: 0 = positive side, 1 = on plane, 2 =
+         * negative side, packed (c2 << 4) | (c1 << 2) | c0 — the
+         * encoding that makes context.cpp's split cases geometrically
+         * consistent (case 0x02 splits edges v0-v1 and v0-v2, so the
+         * lone vertex v0 must carry the low bits); tolerance 1e-5. */
+        static const float DSP3D_TOL = 1e-5f;
+
+        void calc_normal3d_pv(vector3d_t *n, const point3d_t *p)
+        {
+            calc_plane_pv(n, p);
+            n->dw = 0.0f;
+        }
+
+        void calc_split_point_p2v1(point3d_t *dst, const point3d_t *a,
+                                   const point3d_t *b,
+                                   const vector3d_t *pl)
+        {
+            float da = pl->dx * a->x + pl->dy * a->y + pl->dz * a->z
+                     + pl->dw;
+            float db = pl->dx * b->x + pl->dy * b->y + pl->dz * b->z
+                     + pl->dw;
+            float t = da / (da - db);
+            dst->x = a->x + (b->x - a->x) * t;
+            dst->y = a->y + (b->y - a->y) * t;
+            dst->z = a->z + (b->z - a->z) * t;
+            dst->w = 1.0f;
+        }
+
+        size_t colocation_x3_v1pv(const vector3d_t *pl,
+                                  const point3d_t *p)
+        {
+            size_t tag = 0;
+            for (int i = 2; i >= 0; --i)
+            {
+                float s = pl->dx * p[i].x + pl->dy * p[i].y
+                        + pl->dz * p[i].z + pl->dw;
+                size_t c = (s > DSP3D_TOL) ? 0 : (s < -DSP3D_TOL) ? 2 : 1;
+                tag = (tag << 2) | c;
+            }
+            return tag;
+        }
+
+        void flip_vector_v2(vector3d_t *dst, const vector3d_t *src)
+        {
+            dst->dx = -src->dx;
+            dst->dy = -src->dy;
+            dst->dz = -src->dz;
+            dst->dw = -src->dw;
+        }
+    } /* namespace dsp */
+} /* namespace lsp */

@@ -22,6 +22,7 @@
 #include <lsp-plug.in/dsp-units/util/Analyzer.h>
 #include <lsp-plug.in/dsp-units/util/SyncChirpProcessor.h>
 #include <lsp-plug.in/dsp-units/3d/raytrace.h>
+#include <lsp-plug.in/dsp-units/3d/bsp/context.h>
 
 #include <vector>
 #include <lsp-plug.in/dsp-units/util/Trigger.h>
@@ -291,6 +292,68 @@ extern "C"
                 os.process(down + off, x + off, todo, tanh_cb, nullptr);
             else
                 os.process(down + off, x + off, todo);
+        }
+        return 0;
+    }
+
+    /* Genuine bsp::context (3d/bsp/context.cpp): build a BSP tree from
+     * triangles (encoded per-triangle color = its index) and emit the
+     * painter's-order mesh for a point of view.  Returns [m][13]
+     * floats per output vertex-triple: 3x(x,y,z) + 3 normal + index. */
+    int ref_bsp_mesh(const float *tris /* [n][9] */, int n_tris,
+                     float povx, float povy, float povz,
+                     float *out, int max_out, int *n_out)
+    {
+        dspu::bsp::context_t ctx;
+
+        std::vector<dsp::point3d_t> pts(n_tris * 3);
+        for (int i = 0; i < n_tris * 3; ++i)
+            dsp::init_point_xyz(&pts[i], tris[i * 3], tris[i * 3 + 1],
+                                tris[i * 3 + 2]);
+        for (int i = 0; i < n_tris; ++i)
+        {
+            dsp::color3d_t col;
+            col.r = float(i);
+            col.g = 0.0f;
+            col.b = 0.0f;
+            col.a = 0.0f;
+            dsp::matrix3d_t ident;
+            dsp::init_matrix3d_translate(&ident, 0.0f, 0.0f, 0.0f);
+            lsp::status_t res = ctx.add_triangles(&pts[i * 3], 1, &ident,
+                                                  &col);
+            if (res != lsp::STATUS_OK)
+                return -1;
+        }
+        lsp::status_t res = ctx.build_tree();
+        if (res != lsp::STATUS_OK)
+            return -2;
+
+        lsp::lltl::darray<dspu::view::vertex3d_t> mesh;
+        dsp::point3d_t pov;
+        dsp::init_point_xyz(&pov, povx, povy, povz);
+        res = ctx.build_mesh(&mesh, &pov);
+        if (res != lsp::STATUS_OK)
+            return -3;
+
+        int m = (int) (mesh.size() / 3);
+        *n_out = m;
+        for (int i = 0; i < m && i < max_out; ++i)
+        {
+            float *dst = &out[i * 13];
+            for (int j = 0; j < 3; ++j)
+            {
+                const dspu::view::vertex3d_t *v = mesh.uget(i * 3 + j);
+                dst[j * 3] = v->p.x;
+                dst[j * 3 + 1] = v->p.y;
+                dst[j * 3 + 2] = v->p.z;
+                if (j == 0)
+                {
+                    dst[9] = v->n.dx;
+                    dst[10] = v->n.dy;
+                    dst[11] = v->n.dz;
+                    dst[12] = v->c.r;
+                }
+            }
         }
         return 0;
     }

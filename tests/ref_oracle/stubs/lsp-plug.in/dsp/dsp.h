@@ -342,6 +342,16 @@ namespace lsp
             point3d_t v[3];
         } raw_triangle_t;
 
+        typedef struct color3d_t
+        {
+            float r, g, b, a;
+        } color3d_t;
+
+        typedef struct bound_box3d_t
+        {
+            point3d_t p[8];
+        } bound_box3d_t;
+
         void init_point_xyz(point3d_t *p, float x, float y, float z);
         void init_vector_dxyz(vector3d_t *v, float dx, float dy, float dz);
         void init_matrix3d_translate(matrix3d_t *m, float dx, float dy,
@@ -357,6 +367,13 @@ namespace lsp
         void scale_point2(point3d_t *dst, const point3d_t *src, float k);
         void add_vector_pvk1(point3d_t *p, const vector3d_t *v, float k);
         void calc_plane_pv(vector3d_t *plane, const point3d_t *p);
+        void calc_normal3d_pv(vector3d_t *n, const point3d_t *p);
+        void calc_split_point_p2v1(point3d_t *dst, const point3d_t *a,
+                                   const point3d_t *b,
+                                   const vector3d_t *pl);
+        size_t colocation_x3_v1pv(const vector3d_t *pl,
+                                  const point3d_t *p);
+        void flip_vector_v2(vector3d_t *dst, const vector3d_t *src);
     } /* namespace dsp */
 } /* namespace lsp */
 

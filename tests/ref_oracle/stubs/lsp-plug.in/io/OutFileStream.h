@@ -8,6 +8,11 @@
 
 namespace lsp
 {
+    enum
+    {
+        WRAP_NONE = 0
+    };
+
     namespace io
     {
         class OutFileStream

@@ -32,6 +32,8 @@ namespace lsp
                     return &v.back();
                 }
 
+                T *add_n(size_t n) { return append_n(n); }
+
                 T *append_n(size_t n)
                 {
                     size_t off = v.size();

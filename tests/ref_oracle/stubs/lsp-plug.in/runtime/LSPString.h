@@ -15,6 +15,7 @@ namespace lsp
         public:
             LSPString() {}
             bool set_utf8(const char *v) { s = (v != NULL) ? v : ""; return true; }
+            bool set(const LSPString *v) { s = v->s; return true; }
             const char *get_utf8() const { return s.c_str(); }
             bool is_empty() const { return s.empty(); }
             void swap(LSPString *o) { s.swap(o->s); }
