@@ -2,16 +2,18 @@
 (reference: src/main/sampling/Sample.cpp).
 
 Covers the reference surface: init/resize/stretch/insert/append, gain,
-fades, reverse, normalize, WAV load/save, and Lanczos resampling to a
-new rate (reference Sample.cpp:1021-1207 — here the direct windowed-sinc
-resampler from ops.resample).  Host numpy storage ([channels, length]);
-content moves to device as arrays when processors consume it.
+fades, reverse, normalize, WAV load/save, and the reference's own
+32-period polyphase Lanczos resampling with an LRX pre-filter for
+down-conversions (Sample.cpp:961-1207; oracle parity in
+tests/test_reference_oracle_wave3.py).  Host numpy storage
+([channels, length]); content moves to device as arrays when
+processors consume it.
 """
 
 from __future__ import annotations
 
 import enum
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

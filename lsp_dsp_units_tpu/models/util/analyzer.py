@@ -10,7 +10,7 @@ Analyzer.cpp reconfigure) and scaled by shift/fft_size.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

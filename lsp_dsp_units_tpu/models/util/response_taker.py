@@ -16,7 +16,7 @@ returns the passthrough output; the per-sample machines run on the host
 from __future__ import annotations
 
 import enum
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
