@@ -29,15 +29,26 @@ Physics follows the reference's interface model exactly
 
 Capture model: the reference integrates beam-triangle areas against a
 capture icosphere (capture(), RayTrace3D.cpp:834-990).  Rays here use a
-detection-CONE estimator anchored at the ray's VIRTUAL SOURCE: a ray
-deposits into a capture when its direction points at the capture (as
-seen from vsrc) within the cone containing an expected
-``max(K_GATE, sqrt(R))`` rays; the deposit is
-``amp * gain * comp / |capture - vsrc|`` with
-``comp = 2/(1 - cos(gate))`` so a full wavefront sums to the correct
-1/r pressure amplitude independent of the gate width, family size and
-ray budget (the estimator is unbiased per beam family; its relative
-error shrinks as R grows because the in-cone count scales as sqrt(R)).
+SELF-NORMALIZED detection-cone estimator anchored at the ray's VIRTUAL
+SOURCE: a ray deposits into a capture when its direction points at the
+capture (as seen from vsrc) within a small gate cone, and the deposits
+of each ray FAMILY (rays sharing the same virtual source, identified by
+its mm-quantized position — this merges coplanar-triangle splits of one
+wall wavefront) are normalized by the family's ACTUAL in-cone count k
+and the rays' launch solid-angle shares:
+``dep_i = (amp_i / a0_i) * amp_total * gain / (k * |capture - vsrc|)``
+— ``amp_i / a0_i`` is the family's exact accumulated path gain — so
+every family crossing the capture contributes its full image-source
+pressure amplitude exactly once.  Unlike a fixed-compensation cone estimator
+(normalizing by the EXPECTED count), this stays unbiased when a
+family's solid-angle patch shrinks below the gate at high reflection
+orders — the dominant error of the round-3 estimator, measured as a
+0.65x RT60 underestimate vs the genuine tracer.  Remaining sampling
+limits (measured in tests/test_reference_oracle_raytrace.py): families
+subtending less than ~4pi/R steradians may be missed entirely, and
+patches that pass within the gate angle of the capture without
+geometrically crossing it deposit phantom energy blurred by the gate
+angle (~2.5 degrees at the default gate).
 Delay, air absorption and occlusion use the physical leg from the
 segment start, at the ray's medium speed.  Capture legs are
 BINARY-occluded against every triangle (any crossing blocks the leg;
@@ -62,9 +73,13 @@ from lsp_dsp_units_tpu.models.threed.captures import (
     CapturePattern, CaptureSettings, pattern_gain)
 from lsp_dsp_units_tpu.models.sampling.sample import Sample
 
-SPEED_OF_SOUND = 340.0   # m/s (reference sound speed constant)
+SPEED_OF_SOUND = 340.29  # m/s (LSP_DSP_UNITS_SOUND_SPEED_M_S, const.h:33)
 
-# expected number of rays inside a capture's detection cone
+# expected number of rays inside a capture's detection cone; the
+# estimator normalizes by the ACTUAL per-family in-cone count, so the
+# gate only sets the angular tolerance for "the wavefront crosses the
+# capture" (blur ~sqrt(4*K_GATE/R) rad) and the family drop-out
+# probability (~exp(-K_GATE) for families wider than the gate)
 K_GATE = 8
 
 # legacy alias: round-1 exposed MicPattern with OMNI/CARDIOID/FIGURE8;
@@ -152,7 +167,8 @@ class RayTrace3D:
     def __init__(self, scene: Scene3D, sample_rate: int = 48000,
                  ir_length_s: float = 1.0, rays: int = 4096,
                  max_bounces: int = 30, energy_floor: float = 1e-6,
-                 air_absorption: float = 0.003, seed: int = 0):
+                 air_absorption: float = 0.003, seed: int = 0,
+                 gate_rays: float = None):
         self.scene = scene
         self.sample_rate = int(sample_rate)
         self.ir_len = int(sample_rate * ir_length_s)
@@ -163,6 +179,12 @@ class RayTrace3D:
         self.sources: List[SourceSettings] = []
         self.captures: List[Union[Capture, CaptureSettings]] = []
         self.seed = seed
+        # expected in-cone ray count of the detection gate (None =
+        # K_GATE); with the self-normalized family estimator this only
+        # trades angular blur (wider gate) against family drop-out
+        # (narrower gate) — calibrated against the genuine reference
+        # tracer in tests/test_reference_oracle_raytrace.py
+        self.gate_rays = gate_rays
         self.progress: float = 0.0
         self._cancelled = False
         self.stats = {"rays_traced": 0, "bounces": 0, "captured": 0}
@@ -210,7 +232,7 @@ class RayTrace3D:
         irs = np.zeros((len(self.captures), self.ir_len), np.float32)
 
         @jax.jit
-        def bounce(origins, dirs, vsrc, amp, speed, when):
+        def bounce(origins, dirs, vsrc, amp, a0, speed, when):
             # ---- capture deposits from the segment start ------------
             seg = cap_pos[None, :, :] - origins[:, None, :]     # [R,C,3]
             cd = jnp.linalg.norm(seg, axis=-1)
@@ -226,14 +248,13 @@ class RayTrace3D:
             vL = jnp.linalg.norm(vseg, axis=-1)
             vdirs = vseg / jnp.maximum(vL[..., None], 1e-9)
             # detection cone: ray direction within the gate of the
-            # vsrc->capture direction.  The expected in-cone ray count
-            # grows as sqrt(R) so the per-arrival amplitude estimate
-            # CONVERGES as the ray budget rises (a fixed count would
-            # pin the relative error at ~1/sqrt(K) forever).
+            # vsrc->capture direction.  Deposits are normalized on the
+            # host by each FAMILY's actual in-cone count, so the gate
+            # width is an angular tolerance, not an amplitude constant.
             R = origins.shape[0]
-            k_gate = jnp.maximum(float(K_GATE), jnp.sqrt(float(R)))
+            k_gate = float(self.gate_rays if self.gate_rays is not None
+                           else K_GATE)
             cos_gate = 1.0 - 2.0 * k_gate / R
-            comp = 2.0 / (1.0 - cos_gate)
             ahead = jnp.sum(seg * dirs[:, None, :], -1) > 0.0
             aligned = (jnp.sum(dirs[:, None, :] * vdirs, -1)
                        >= cos_gate) & ahead
@@ -260,9 +281,15 @@ class RayTrace3D:
             leg_clear = _segment_clear(
                 flat_o, cdirs.reshape(-1, 3), cd.reshape(-1),
                 tri).reshape(cd.shape)
+            # contribution per in-cone ray BEFORE family normalization:
+            # occluded rays stay in the family count (their blocked
+            # wavefront share must reduce the family mean, exactly as
+            # the reference clips occluded beam area) but deposit 0
+            alive = (jnp.abs(amp) > 0.0)[:, None]
+            alig = aligned & in_range & alive
             dep = jnp.where(
-                aligned & in_range,
-                amp[:, None] * comp * gains * leg_clear
+                alig,
+                amp[:, None] * gains * leg_clear
                 * jnp.exp(-self.air * cd)
                 / jnp.maximum(vL, 0.05), 0.0)
 
@@ -318,9 +345,11 @@ class RayTrace3D:
             c_amp = jnp.concatenate([amp_r, amp_t], 0)
             c_speed = jnp.concatenate([speed, speed_t], 0)
             c_when = jnp.concatenate([new_when, new_when], 0)
+            c_a0 = jnp.concatenate([a0, a0], 0)
             _, top = jax.lax.top_k(jnp.abs(c_amp), R)
             return (c_orig[top], c_dir[top], c_vsrc[top], c_amp[top],
-                    c_speed[top], c_when[top], bins, dep)
+                    c_a0[top], c_speed[top], c_when[top],
+                    bins, dep, alig)
 
         n_src = max(len(self.sources), 1)
         for si, src in enumerate(self.sources):
@@ -336,19 +365,57 @@ class RayTrace3D:
                              jnp.float32)
             when = jnp.zeros((origins.shape[0],), jnp.float32)
             self.stats["rays_traced"] += int(origins.shape[0])
+            # energy floor is RELATIVE to the launch amplitude: per-ray
+            # amplitudes scale ~1/R with the ray budget, so an absolute
+            # floor would silently kill every bounce at high budgets;
+            # the reference's fEnergyThresh is likewise relative to its
+            # ~unit initial beam amplitude (RayTrace3D.cpp:795-811)
+            amp_floor = float(np.max(np.abs(a_np))) * self.energy_floor
+            # launch amplitudes (solid-angle shares): amp/a0 is the
+            # exact accumulated path gain, identical across a family
+            a0 = jnp.asarray(a_np)
+            amp_total = float(np.sum(np.abs(a_np)))
 
+            a0_np = a_np
+            vsrc_np = s_np
             for b in range(self.max_bounces):
                 if self._cancelled:
                     break
-                (origins, dirs, vsrc, amp, speed, when, bins,
-                 dep) = bounce(origins, dirs, vsrc, amp, speed, when)
+                (origins, dirs, vsrc, amp, a0, speed, when, bins,
+                 dep, alig) = bounce(origins, dirs, vsrc, amp, a0,
+                                     speed, when)
                 dep_np = np.asarray(dep)
                 bins_np = np.asarray(bins)
+                alig_np = np.asarray(alig)
+                # family identity = shared virtual source (quantized to
+                # 1 mm: merges coplanar-triangle splits of one wall
+                # wavefront, which would otherwise each claim the full
+                # image amplitude)
+                fam_keys = np.round(vsrc_np * 1e3).astype(np.int64)
                 for ci in range(len(self.captures)):
-                    np.add.at(irs[ci], bins_np[:, ci], dep_np[:, ci])
+                    m = alig_np[:, ci]
+                    if not m.any():
+                        continue
+                    # self-normalized family estimator: dep/a0 is the
+                    # per-ray path-gain deposit (identical across a
+                    # family up to occlusion/air); averaging it over
+                    # the family's ACTUAL in-cone rays and scaling by
+                    # the total launch amplitude deposits each crossing
+                    # wavefront's image-source pressure exactly once
+                    _, inv, cnt = np.unique(fam_keys[m], axis=0,
+                                            return_inverse=True,
+                                            return_counts=True)
+                    w = (amp_total
+                         / (np.abs(a0_np[m]) * cnt[inv])).astype(
+                             np.float32)
+                    np.add.at(irs[ci], bins_np[m, ci],
+                              dep_np[m, ci] * w)
+                a0_np = np.asarray(a0)
+                vsrc_np = np.asarray(vsrc)
                 self.stats["bounces"] += 1
-                self.stats["captured"] += int(np.count_nonzero(dep_np))
-                if float(jnp.max(jnp.abs(amp))) < self.energy_floor:
+                self.stats["captured"] += int(np.count_nonzero(
+                    dep_np * alig_np))
+                if float(jnp.max(jnp.abs(amp))) < amp_floor:
                     break
                 self.progress = (si + (b + 1) / self.max_bounces) / n_src
 

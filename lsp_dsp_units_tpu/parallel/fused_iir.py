@@ -22,11 +22,33 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lsp_dsp_units_tpu.ops import biquad_block as bb
 from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc, sc_mul
 
 Array = jax.Array
+
+
+def _host_m_powers(params: bb.FusedCascadeParams, m_blocks: int):
+    """(M^m, [G M^j for j<m]) precomputed on the host in float64 and
+    rounded ONCE to f32 — the same discipline as the fused kernel's
+    own precompute (ops/biquad_block.py): trace-time f32 matmul chains
+    would compound rounding with blocks-per-shard.  Returns None when
+    the params are tracers (params passed as jit arguments instead of
+    closures) — callers fall back to the traced f32 chain."""
+    try:
+        m64 = np.asarray(params.m_mat, np.float64)
+        g64 = np.asarray(params.g_mat, np.float64)
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        return None
+    k2 = m64.shape[0]
+    pows = [np.eye(k2)]
+    for _ in range(m_blocks):
+        pows.append(m64 @ pows[-1])
+    m_shard = jnp.asarray(pows[m_blocks].astype(np.float32))
+    gm = np.stack([g64 @ pows[j] for j in range(m_blocks)], 0)
+    return m_shard, jnp.asarray(gm.astype(np.float32))
 
 
 def fused_cascade_time_sharded(params: bb.FusedCascadeParams,
@@ -58,9 +80,14 @@ def fused_cascade_time_sharded(params: bb.FusedCascadeParams,
     # d_dev = state leaving the shard from local input alone
 
     # 2. exchange summaries; per-device transition is M^m (same for all)
-    m_shard = jnp.eye(k2, dtype=jnp.float32)
-    for _ in range(m_blocks):
-        m_shard = params.m_mat @ m_shard
+    host = _host_m_powers(params, m_blocks)
+    if host is not None:
+        m_shard, gm = host
+    else:
+        m_shard = jnp.eye(k2, dtype=jnp.float32)
+        for _ in range(m_blocks):
+            m_shard = params.m_mat @ m_shard
+        gm = None
     d_all = jax.lax.all_gather(d_dev, axis_name)        # [n, ..., 2K]
     n = d_all.shape[0]
     idx = jax.lax.axis_index(axis_name)
@@ -76,12 +103,13 @@ def fused_cascade_time_sharded(params: bb.FusedCascadeParams,
     s_in_dev, s_final = jax.lax.fori_loop(0, n, body, (s0, s0))
 
     # 3. closed-form correction: y[j] += G M^j s_in_dev
-    mj = jnp.eye(k2, dtype=jnp.float32)
-    m_pows = []
-    for _ in range(m_blocks):
-        m_pows.append(mj)
-        mj = params.m_mat @ mj
-    gm = jnp.stack([params.g_mat @ p for p in m_pows], 0)  # [m, B, 2K]
+    if gm is None:
+        mj = jnp.eye(k2, dtype=jnp.float32)
+        m_pows = []
+        for _ in range(m_blocks):
+            m_pows.append(mj)
+            mj = params.m_mat @ mj
+        gm = jnp.stack([params.g_mat @ p for p in m_pows], 0)  # [m,B,2K]
     corr = jnp.einsum("mbk,...k->m...b", gm, s_in_dev)
     y = jnp.moveaxis(y_zero + corr, 0, -2).reshape(x.shape)
 

@@ -102,6 +102,13 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/sampling/InSampleStream.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/Allocator.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/bsp/context.cpp"),
+    # wave 4: the full genuine ray-tracing pipeline
+    os.path.join(REFERENCE_ROOT, "src/main/3d/rt/context.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/3d/rt/mesh.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/3d/rt/plan.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/3d/RayTrace3D.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/3d/Scene3D.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/3d/Object3D.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -116,8 +123,10 @@ def available() -> bool:
 def _build() -> str:
     srcs = [os.path.join(_HERE, "oracle.cpp"),
             os.path.join(_HERE, "oracle2.cpp"),
+            os.path.join(_HERE, "oracle3.cpp"),
             os.path.join(_HERE, "dsp_stub2.cpp"),
-            os.path.join(_HERE, "dsp_stub3.cpp")] + _REF_SOURCES
+            os.path.join(_HERE, "dsp_stub3.cpp"),
+            os.path.join(_HERE, "dsp_stub4.cpp")] + _REF_SOURCES
     if os.path.exists(_LIB_PATH) and all(
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s)
             for s in srcs if os.path.exists(s)):
@@ -350,6 +359,16 @@ def _lib() -> ctypes.CDLL:
         lib.ref_fft_crossover_unit_chart.restype = ctypes.c_int
         lib.ref_fft_crossover_unit_chart.argtypes = [f32p, u32, f32p,
                                                      f32p, i32]
+        # wave 4 (oracle3.cpp): the genuine ray tracer
+        lib.ref_raytrace.restype = ctypes.c_int
+        lib.ref_raytrace.argtypes = [
+            f32p, i32, ctypes.POINTER(ctypes.c_int32), i32,  # scene
+            f32p,                                            # material
+            i32, f32p,                                       # source
+            i32, i32, i32, f32p,                             # capture
+            i32, f32, f32, f32, i32, i32, i32, i32,          # params
+            f32p, i32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
         _LIB = lib
         return lib
 
@@ -805,6 +824,47 @@ def cascade_process_f32(biquads: np.ndarray, x: np.ndarray) -> np.ndarray:
     y = np.zeros_like(x)
     lib.ref_cascade_process(_f32(c), c.shape[0], _f32(x), _f32(y), x.size)
     return y
+
+
+def raytrace(verts: np.ndarray, faces: np.ndarray, material,
+             src_cfg, cap_cfg, src_type: int = 0, cap_config: int = 0,
+             cap_direction: int = 5, cap_side: int = 5,
+             sample_rate: int = 48000, energy_thresh: float = 1e-3,
+             tolerance: float = 1e-5, detalization: float = 1e-10,
+             normalize: bool = True, rmin: int = -1, rmax: int = -1,
+             threads: int = 1, max_len: int = 1 << 18) -> np.ndarray:
+    """Run the GENUINE RayTrace3D pipeline on a programmatic scene.
+
+    ``verts`` [nv,3] float32, ``faces`` [nf,3] int32 (winding so that
+    normals point toward the sound side), ``material`` 9 floats,
+    ``src_cfg`` 11 floats (x,y,z, yaw,pitch,roll, size, height, angle,
+    curvature, amplitude), ``cap_cfg`` 9 floats (x,y,z, yaw,pitch,roll,
+    capsule, angle, distance).  Returns [n_caps, length] float32 IRs.
+    """
+    lib = _lib()
+    verts = np.ascontiguousarray(verts, np.float32).reshape(-1, 3)
+    faces = np.ascontiguousarray(faces, np.int32).reshape(-1, 3)
+    material = np.ascontiguousarray(material, np.float32)
+    src_cfg = np.ascontiguousarray(src_cfg, np.float32)
+    cap_cfg = np.ascontiguousarray(cap_cfg, np.float32)
+    assert material.size == 9 and src_cfg.size == 11 and cap_cfg.size == 9
+    out = np.zeros((2, max_len), np.float32)
+    out_len = ctypes.c_int32(0)
+    n_caps = ctypes.c_int32(0)
+    i32p_ = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.ref_raytrace(
+        _f32(verts), verts.shape[0],
+        faces.ctypes.data_as(i32p_), faces.shape[0],
+        _f32(material), src_type, _f32(src_cfg),
+        cap_config, cap_direction, cap_side, _f32(cap_cfg),
+        sample_rate, energy_thresh, tolerance, detalization,
+        int(normalize), rmin, rmax, threads,
+        _f32(out), max_len, ctypes.byref(out_len),
+        ctypes.byref(n_caps))
+    if rc != 0:
+        raise RuntimeError(f"ref_raytrace failed: {rc}")
+    n = min(out_len.value, max_len)
+    return out[:n_caps.value, :n].copy()
 
 
 def freq_chart(type_id: int, slope: int, freq: float, freq2: float,

@@ -29,8 +29,18 @@ namespace lsp
         STATUS_BIG_ENDIAN,
         STATUS_UNSUPPORTED_FORMAT,
         STATUS_NOT_BOUND,
-        STATUS_UNKNOWN_ERR
+        STATUS_UNKNOWN_ERR,
+        STATUS_SKIP,
+        STATUS_CANCELLED,
+        STATUS_BREAK_POINT,
+        STATUS_NOT_SUPPORTED
     };
+
+    /* lsp-common-lib helper: keep the first non-OK status. */
+    inline status_t update_status(status_t status, status_t new_status)
+    {
+        return (status == STATUS_OK) ? new_status : status;
+    }
 } /* namespace lsp */
 
 #endif /* LSP_PLUG_IN_COMMON_STATUS_H_ */

@@ -322,6 +322,9 @@ namespace lsp
 
         /* 3D geometry types + ops (3d/raytrace.cpp): homogeneous
          * points/vectors, 4x4 column-major matrices, p' = M * p */
+#ifndef DSP_3D_TOLERANCE
+#define DSP_3D_TOLERANCE 1e-5f
+#endif
         typedef struct point3d_t
         {
             float x, y, z, w;
@@ -374,6 +377,70 @@ namespace lsp
         size_t colocation_x3_v1pv(const vector3d_t *pl,
                                   const point3d_t *p);
         void flip_vector_v2(vector3d_t *dst, const vector3d_t *src);
+
+        /* 3D geometry ops for the rt:: beam machinery
+         * (3d/rt/{context,mesh,plan}.cpp + 3d/RayTrace3D.cpp);
+         * conventions documented in dsp_stub4.cpp.  The colocation
+         * tolerance mirrors lsp-dsp-lib's DSP_3D_TOLERANCE. */
+        void init_matrix3d_identity(matrix3d_t *m);
+        void apply_matrix3d_mv1(vector3d_t *v, const matrix3d_t *m);
+        void init_vector_p2(vector3d_t *v, const point3d_t *a,
+                            const point3d_t *b);
+        void normalize_vector(vector3d_t *v);
+        void unit_vector_p1pv(vector3d_t *v, const point3d_t *s,
+                              const point3d_t *p);
+        float calc_area_p3(const point3d_t *a, const point3d_t *b,
+                           const point3d_t *c);
+        float calc_area_pv(const point3d_t *p);
+        float calc_distance_p2(const point3d_t *a, const point3d_t *b);
+        float calc_distance_v1(const vector3d_t *v);
+        float calc_min_distance_pv(const point3d_t *p,
+                                   const point3d_t *pv);
+        void calc_normal3d_p3(vector3d_t *n, const point3d_t *p0,
+                              const point3d_t *p1, const point3d_t *p2);
+        float calc_plane_p3(vector3d_t *pl, const point3d_t *p0,
+                            const point3d_t *p1, const point3d_t *p2);
+        float calc_plane_v1p2(vector3d_t *pl, const vector3d_t *n,
+                              const point3d_t *a, const point3d_t *b);
+        void calc_oriented_plane_p3(vector3d_t *pl, const point3d_t *pos,
+                                    const point3d_t *p0,
+                                    const point3d_t *p1,
+                                    const point3d_t *p2);
+        void calc_oriented_plane_pv(vector3d_t *pl, const point3d_t *pos,
+                                    const point3d_t *p);
+        void calc_rev_oriented_plane_p3(vector3d_t *pl,
+                                        const point3d_t *pos,
+                                        const point3d_t *p0,
+                                        const point3d_t *p1,
+                                        const point3d_t *p2);
+        void orient_plane_v1p1(vector3d_t *dst, const point3d_t *pos,
+                               const vector3d_t *src);
+        void calc_split_point_pvv1(point3d_t *dst, const point3d_t *p,
+                                   const vector3d_t *pl);
+        size_t colocation_x2_v1pv(const vector3d_t *pl,
+                                  const point3d_t *p);
+        size_t colocation_x2_v1p2(const vector3d_t *pl,
+                                  const point3d_t *a,
+                                  const point3d_t *b);
+        size_t colocation_x3_vvp1(const vector3d_t *vv,
+                                  const point3d_t *p);
+        void cull_triangle_raw(raw_triangle_t *out, size_t *n_out,
+                               const vector3d_t *pl,
+                               const raw_triangle_t *src);
+        void split_triangle_raw(raw_triangle_t *out, size_t *n_out,
+                                raw_triangle_t *in, size_t *n_in,
+                                const vector3d_t *pl,
+                                const raw_triangle_t *src);
+
+        /* lsp-dsp-lib execution context: FPU state save/restore is a
+         * no-op on this build. */
+        typedef struct context_t
+        {
+            uint32_t data[4];
+        } context_t;
+
+        inline void start(context_t *) {}
+        inline void finish(context_t *) {}
     } /* namespace dsp */
 } /* namespace lsp */
 

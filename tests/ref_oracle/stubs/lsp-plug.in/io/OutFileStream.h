@@ -10,7 +10,9 @@ namespace lsp
 {
     enum
     {
-        WRAP_NONE = 0
+        WRAP_NONE = 0,
+        WRAP_CLOSE = 1 << 0,
+        WRAP_DELETE = 1 << 1
     };
 
     namespace io
@@ -28,6 +30,7 @@ namespace lsp
                 virtual ~IInStream() {}
                 virtual wssize_t sink(OutFileStream *)
                 { return -((wssize_t) STATUS_NOT_IMPLEMENTED); }
+                virtual status_t close() { return STATUS_OK; }
         };
     } /* namespace io */
 } /* namespace lsp */

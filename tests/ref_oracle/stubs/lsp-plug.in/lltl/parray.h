@@ -46,6 +46,7 @@ namespace lsp
                 T *get(size_t i) const
                 { return (i < v.size()) ? v[i] : NULL; }
                 T *uget(size_t i) const { return v[i]; }
+                T **array() { return v.data(); }
                 bool is_empty() const { return v.empty(); }
                 void swap(parray<T> *o) { v.swap(o->v); }
                 void flush() { v.clear(); }

@@ -4,6 +4,8 @@
 #define LSP_PLUG_IN_RUNTIME_LSPSTRING_H_
 
 #include <string>
+#include <cstdarg>
+#include <cstdio>
 
 namespace lsp
 {
@@ -18,6 +20,16 @@ namespace lsp
             bool set(const LSPString *v) { s = v->s; return true; }
             const char *get_utf8() const { return s.c_str(); }
             bool is_empty() const { return s.empty(); }
+            bool fmt_utf8(const char *fmt, ...)
+            {
+                char buf[512];
+                va_list ap;
+                va_start(ap, fmt);
+                vsnprintf(buf, sizeof(buf), fmt, ap);
+                va_end(ap);
+                s = buf;
+                return true;
+            }
             void swap(LSPString *o) { s.swap(o->s); }
             const std::string &str() const { return s; }
             std::string &str() { return s; }
