@@ -25,6 +25,29 @@ DFL_UPPER_FREQUENCY = 20000.0
 MAX_ORDER = 128
 
 
+def _libm_powf():
+    """The C library's float32 powf — the reference's exponential
+    pole/zero ladder is an f32 powf + f32 multiply chain whose ulps
+    matter (the per-biquad self-normalization amplifies near-DC
+    coefficient ulps to ~0.1 dB plateau shifts), and numpy's float32
+    power rounds differently from libm's.  Falls back to numpy where
+    libm isn't loadable."""
+    import ctypes
+    import ctypes.util
+    try:
+        name = ctypes.util.find_library("m") or "libm.so.6"
+        libm = ctypes.CDLL(name)
+        libm.powf.restype = ctypes.c_float
+        libm.powf.argtypes = [ctypes.c_float, ctypes.c_float]
+        return lambda x, y: np.float32(libm.powf(float(x), float(y)))
+    except (OSError, AttributeError):
+        return lambda x, y: np.power(np.float32(x), np.float32(y),
+                                     dtype=np.float32)
+
+
+_POWF = _libm_powf()
+
+
 class SlopeUnit(enum.Enum):
     NONE = "none"
     NEPER_PER_NEPER = "neper_per_neper"
@@ -93,36 +116,54 @@ class SpectralTilt:
             self._coeffs = np.zeros((0, 5))
             return self._coeffs
 
-        l_angf = 2.0 * np.pi * lo
-        u_angf = 2.0 * np.pi * hi
-        r = (u_angf / l_angf) ** (1.0 / (order - 1))
-        c = 1.0 / np.tan(0.5 / sr)   # bilinear_coefficient(1, sr)
-        neg_zero = l_angf * r ** (-slope_nn)
+        # NOTE reference-verbatim: the pole/zero ladder is computed in
+        # FLOAT32 exactly as SpectralTilt.cpp:267-283 (f32 pow and f32
+        # multiply chains).  This matters: the lowest sections sit near
+        # DC where f32 coefficient rounding shifts each biquad's
+        # normalization-frequency gain by up to ~1%, and the
+        # reference's per-biquad self-normalization BAKES that shift
+        # into the response (measured 0.07 dB plateau offset / 30 dB
+        # time-domain SNR vs an f64 ladder on the noise-generator
+        # config: order 32, 10 Hz..0.9*Nyquist).
+        f32 = np.float32
+        slope_nn = f32(slope_nn)
+        l_angf = f32(2.0 * np.pi * lo)
+        u_angf = f32(2.0 * np.pi * hi)
+        r = _POWF(f32(u_angf / l_angf), f32(1.0 / (order - 1)))
+        c = f32(1.0 / np.tan(0.5 / sr))   # bilinear_coefficient(1, sr)
+        neg_zero = f32(l_angf * _POWF(r, f32(-slope_nn)))
         neg_pole = l_angf
 
         out = []
         for n in range(0, order, 2):
             z0, p0 = neg_zero, neg_pole
-            neg_zero *= r
-            neg_pole *= r
+            neg_zero = f32(neg_zero * r)
+            neg_pole = f32(neg_pole * r)
             z1, p1 = neg_zero, neg_pole
-            neg_zero *= r
-            neg_pole *= r
+            neg_zero = f32(neg_zero * r)
+            neg_pole = f32(neg_pole * r)
             # combine two (s + z)/(s + p) bilinears into one biquad
-            t = np.array([z0 * z1, z0 + z1, 1.0])
-            b = np.array([p0 * p1, p0 + p1, 1.0])
-            # general bilinear transform with coefficient c
-            T = np.array([t[0] + t[1] * c + t[2] * c * c,
-                          2.0 * t[0] - 2.0 * t[2] * c * c,
-                          t[0] - t[1] * c + t[2] * c * c])
-            B = np.array([b[0] + b[1] * c + b[2] * c * c,
-                          2.0 * b[0] - 2.0 * b[2] * c * c,
-                          b[0] - b[1] * c + b[2] * c * c])
+            # (f32 products, SpectralTilt.cpp:286-292)
+            t = np.array([f32(z0 * z1), f32(z0 + z1), f32(1.0)],
+                         np.float64)
+            b = np.array([f32(p0 * p1), f32(p0 + p1), f32(1.0)],
+                         np.float64)
+            # general bilinear transform with coefficient c — f64
+            # internals, outputs rounded to f32 (dsp stub bt_one /
+            # bilinear_transform_x1 convention shared with Filter.cpp)
+            cd = float(c)
+            T = np.array([t[0] + t[1] * cd + t[2] * cd * cd,
+                          2.0 * t[0] - 2.0 * t[2] * cd * cd,
+                          t[0] - t[1] * cd + t[2] * cd * cd])
+            B = np.array([b[0] + b[1] * cd + b[2] * cd * cd,
+                          2.0 * b[0] - 2.0 * b[2] * cd * cd,
+                          b[0] - b[1] * cd + b[2] * cd * cd])
             bq = np.array([T[0] / B[0], T[1] / B[0], T[2] / B[0],
-                           -B[1] / B[0], -B[2] / B[0]])
+                           -B[1] / B[0], -B[2] / B[0]]).astype(
+                               np.float32)
             bq = self._normalize(bq)
             out.append(bq)
-        self._coeffs = np.stack(out)
+        self._coeffs = np.stack(out).astype(np.float64)
         return self._coeffs
 
     def _normalize(self, bq: np.ndarray) -> np.ndarray:
@@ -139,9 +180,13 @@ class SpectralTilt:
             f = {TiltNorm.AT_DC: 0.0, TiltNorm.AT_20_HZ: 20.0,
                  TiltNorm.AT_1_KHZ: 1000.0, TiltNorm.AT_20_KHZ: 20000.0,
                  TiltNorm.AT_NYQUIST: 0.5 * sr}[norm]
-        g = 1.0 / _digital_gain(bq, f, sr)
-        out = bq.copy()
-        out[0:3] *= g
+        # the reference evaluates the gain in double on the f32-rounded
+        # digital biquad, rounds it to f32, and scales in f32
+        # (SpectralTilt.cpp:180-259)
+        g = np.float32(1.0) / np.float32(_digital_gain(
+            np.asarray(bq, np.float64), f, sr))
+        out = np.asarray(bq, np.float32).copy()
+        out[0:3] = (out[0:3] * g).astype(np.float32)
         return out
 
     # -- execution ----------------------------------------------------------

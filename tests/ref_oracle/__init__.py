@@ -102,7 +102,8 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/sampling/InSampleStream.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/Allocator.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/bsp/context.cpp"),
-    # wave 4: the full genuine ray-tracing pipeline
+    # wave 4: the full genuine ray-tracing pipeline + noise facade
+    os.path.join(REFERENCE_ROOT, "src/main/noise/Generator.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/rt/context.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/rt/mesh.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/rt/plan.cpp"),
@@ -359,6 +360,11 @@ def _lib() -> ctypes.CDLL:
         lib.ref_fft_crossover_unit_chart.restype = ctypes.c_int
         lib.ref_fft_crossover_unit_chart.argtypes = [f32p, u32, f32p,
                                                      f32p, i32]
+        # wave 4 (oracle3.cpp): noise Generator facade
+        lib.ref_noise_generator.restype = ctypes.c_int
+        lib.ref_noise_generator.argtypes = [
+            u32, u32, u32, f32, u32, u32, u64, u32, u32, u32,
+            f32, f32, i32, f32, f32, f32, u32, f32p, i32, i32]
         # wave 4 (oracle3.cpp): the genuine ray tracer
         lib.ref_raytrace.restype = ctypes.c_int
         lib.ref_raytrace.argtypes = [

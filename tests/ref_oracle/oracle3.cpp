@@ -15,6 +15,7 @@
 #include <lsp-plug.in/dsp-units/3d/Object3D.h>
 #include <lsp-plug.in/dsp-units/3d/raytrace.h>
 #include <lsp-plug.in/dsp-units/sampling/Sample.h>
+#include <lsp-plug.in/dsp-units/noise/Generator.h>
 
 #include <string.h>
 
@@ -177,6 +178,50 @@ extern "C"
         }
 
         rt.destroy(false);
+        return 0;
+    }
+
+    /* Genuine noise Generator facade (noise/Generator.cpp): core
+     * selection (MLS/LCG/Velvet) + color filter (white/pink/red/blue/
+     * violet/arbitrary via SpectralTilt).  Streams process_overwrite
+     * in `block`-sized chunks (0 = one call). */
+    int ref_noise_generator(uint32_t core, uint32_t color,
+                            uint32_t order, float slope,
+                            uint32_t slope_unit, uint32_t mls_nbits,
+                            uint64_t mls_seed, uint32_t lcg_seed,
+                            uint32_t lcg_dist, uint32_t velvet_type,
+                            float velvet_window_s, float velvet_delta,
+                            int32_t velvet_crush,
+                            float velvet_crush_prob, float amplitude,
+                            float offset, uint32_t sr, float *dst,
+                            int32_t n, int32_t block)
+    {
+        dspu::NoiseGenerator g;
+        g.init((uint8_t) mls_nbits, (dspu::MLS::mls_t) mls_seed,
+               lcg_seed, 42u, 23u, 0u);
+        g.set_sample_rate(sr);
+        g.set_generator((dspu::ng_generator_t) core);
+        g.set_mls_n_bits((uint8_t) mls_nbits);
+        g.set_mls_seed((dspu::MLS::mls_t) mls_seed);
+        g.set_lcg_distribution((dspu::lcg_dist_t) lcg_dist);
+        g.set_velvet_type((dspu::vn_velvet_type_t) velvet_type);
+        g.set_velvet_window_width(velvet_window_s);
+        g.set_velvet_arn_delta(velvet_delta);
+        g.set_velvet_crush(velvet_crush != 0);
+        g.set_velvet_crushing_probability(velvet_crush_prob);
+        g.set_noise_color((dspu::ng_color_t) color);
+        g.set_coloring_order(order);
+        g.set_color_slope(slope, (dspu::stlt_slope_unit_t) slope_unit);
+        g.set_amplitude(amplitude);
+        g.set_offset(offset);
+
+        if (block <= 0)
+            block = n;
+        for (int32_t off = 0; off < n; off += block)
+        {
+            int32_t c = (n - off < block) ? (n - off) : block;
+            g.process_overwrite(&dst[off], c);
+        }
         return 0;
     }
 }
