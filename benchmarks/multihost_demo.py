@@ -65,6 +65,31 @@ def worker() -> None:
         state, y = step(state, xg)
         outs.append(multihost_utils.process_allgather(y, tiled=True))
 
+    # distributed ILUFS: the 400 ms gating ring spans the process
+    # boundary; the two-stage gate reduces via psum across hosts
+    # (parallel.meters.ilufs_integrated_time_sharded)
+    from jax import shard_map
+    from lsp_dsp_units_tpu.models.meters.loudness import ILUFSMeter
+    from lsp_dsp_units_tpu.ops import biquad_block
+    from lsp_dsp_units_tpu.parallel.meters import (
+        ilufs_integrated_time_sharded)
+
+    meter = ILUFSMeter(sample_rate=48000, channels=4,
+                       max_int_time_s=10.0)
+    blk = meter.blk_size
+    tl_loud = 3 * blk                   # 300 ms per process
+    xl = rng.standard_normal((4, n * tl_loud)).astype(np.float32) * 0.2
+    xlg = jax.make_array_from_process_local_data(
+        xspec, xl[:, pid * tl_loud: (pid + 1) * tl_loud])
+    fp = biquad_block.precompute_fused(np.asarray(meter._coeffs), blk)
+    gate = jax.jit(shard_map(
+        lambda xs: ilufs_integrated_time_sharded(
+            meter, fp, xs, pmesh.TIME_AXIS),
+        mesh=mesh, in_specs=P(None, pmesh.TIME_AXIS),
+        out_specs=P(), check_vma=False))
+    # replicated scalar: read this process's addressable replica
+    loud_sh = float(np.asarray(gate(xlg).addressable_data(0)))
+
     if pid == 0:
         ref_state = chain.init_state(params)
         snrs = []
@@ -76,11 +101,22 @@ def worker() -> None:
             p_sig = float(np.sum(ref * ref))
             p_err = float(np.sum(err * err))
             snrs.append(10.0 * np.log10(p_sig / max(p_err, 1e-30)))
+        # distributed ILUFS gate vs the sequential meter
+        mst = meter.init_state()
+        mst, _ = meter.process(mst, jnp.asarray(xl))
+        loud_ref = float(mst.loudness)
+        loud_ok = (loud_ref > 0.0
+                   and abs(loud_sh - loud_ref)
+                   <= 1e-5 * max(loud_ref, 1e-9))
+
         # the documented contract: distributed == single-process at
         # >= 95 dB SNR, the same north star as the sharding unit tests
-        ok = all(s >= 95.0 for s in snrs)
+        ok = all(s >= 95.0 for s in snrs) and loud_ok
         print(json.dumps({"processes": n, "snr_db_per_step":
-                          [round(s, 1) for s in snrs], "ok": ok}),
+                          [round(s, 1) for s in snrs],
+                          "ilufs_sharded": loud_sh,
+                          "ilufs_sequential": loud_ref,
+                          "ok": ok}),
               flush=True)
         if not ok:
             raise SystemExit(1)

@@ -195,7 +195,9 @@ def test_full_chain_matches_reference_single_and_sharded():
     _, y = chain.step(params, state, jnp.asarray(x))
     y = np.asarray(y)
     snr_single = min(_snr_db(ref[c], y[c]) for c in range(C))
-    assert snr_single >= 75.0
+    # measured band is 80-84 dB (NUMERICS.md); assert the band floor so
+    # silent regressions inside the argued noise floor cannot hide
+    assert snr_single >= 80.0
     # at the reference's own noise floor: as close to the reference as
     # the reference is to the ideal
     assert snr_single >= ref_floor - 6.0
@@ -213,7 +215,7 @@ def test_full_chain_matches_reference_single_and_sharded():
     st2, y_sh = step(st2, xs)
     y_sh = np.asarray(y_sh)
     snr_sharded = min(_snr_db(ref[c], y_sh[c]) for c in range(C))
-    assert snr_sharded >= 75.0
+    assert snr_sharded >= 80.0
     assert snr_sharded >= ref_floor - 6.0
     # sharded vs single-device agreement
     assert min(_snr_db(y[c], y_sh[c]) for c in range(C)) >= 90.0
