@@ -274,19 +274,47 @@ def _compute_next(pb: Playback, cur: _Batch,
 def _mix_batch(out: np.ndarray, data: np.ndarray, b: _Batch, t0: int,
                volume: float, fade: XFadeType) -> None:
     """Accumulate the overlap of batch ``b`` with output window
-    [t0, t0+len(out)) (reference helpers/batch.cpp, vectorized)."""
+    [t0, t0+len(out)) (reference helpers/batch.cpp, vectorized).
+
+    Hot path at high polyphony (a 256-voice mixdown calls this once per
+    voice-batch per block — benchmarks/polyphony.py), so the common
+    case — a contiguous monotone segment with no fade crossing the
+    window — mixes as a strided slice with a scalar weight: no index
+    gather, no weight array, no f64 round trip."""
     blen = b.length
     lo = max(b.ts, t0)
     hi = min(b.ts + blen, t0 + out.size)
     if hi <= lo:
         return
-    rel = np.arange(lo - b.ts, hi - b.ts)
+    r0, r1 = lo - b.ts, hi - b.ts
+    fi = min(b.fade_in, blen)
+    fo = min(b.fade_out, blen)
+
+    # fast path: the window overlap touches no fade region (weight is
+    # identically 1 there) and stays inside the sample, so the batch
+    # mixes as a strided slice; arithmetic stays f64-then-round, bit
+    # identical to the general path below
+    if r0 >= fi and r1 <= blen - fo:
+        seg = None
+        if b.forward:
+            i0, i1 = b.start + r0, b.start + r1
+            if i0 >= 0 and i1 <= data.size:
+                seg = data[i0:i1]
+        else:
+            hi_i = b.start - r0          # exclusive top, stepping down
+            lo_i = b.start - r1
+            if lo_i >= 0 and hi_i <= data.size:
+                seg = data[hi_i - 1: lo_i - 1 if lo_i > 0 else None: -1]
+        if seg is not None:
+            out[lo - t0:hi - t0] += (seg.astype(np.float64)
+                                     * volume).astype(np.float32)
+            return
+
+    rel = np.arange(r0, r1)
     idx = (b.start + rel) if b.forward else (b.start - 1 - rel)
     np.clip(idx, 0, data.size - 1, out=idx)
     g = data[idx].astype(np.float64)
     w = np.ones(rel.size)
-    fi = min(b.fade_in, blen)
-    fo = min(b.fade_out, blen)
     if fi > 0:
         m = rel < fi
         w[m] = rel[m] / fi

@@ -63,13 +63,15 @@ class Sample:
     # -- construction -------------------------------------------------------
     @classmethod
     def load(cls, path: str) -> "Sample":
-        data, sr = wavio.read_wav(path)
+        # WAV via the native reader; other formats via the
+        # optional soundfile path (wavio.read_audio)
+        data, sr = wavio.read_audio(path)
         s = cls(0, 0, sr)
         s.data = np.asarray(data, np.float32)
         return s
 
     def save(self, path: str) -> None:
-        wavio.write_wav(path, self.data, self.sample_rate)
+        wavio.write_audio(path, self.data, self.sample_rate)
 
     @property
     def channels(self) -> int:

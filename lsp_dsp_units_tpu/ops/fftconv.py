@@ -122,35 +122,122 @@ def fdl_process(h_spectra: Spectra, state: FDLState, x: Array,
     frames = jnp.concatenate([prev, xb], axis=-1)
     specs_re, specs_im = rfft_sc(frames)
 
-    # Scan-free FDL MAC: output block m needs spectra of blocks m-p for
-    # partitions p — a correlation over the block index.  Lay old state
-    # (newest-first [P, F]) and the M new spectra on one time-ordered
-    # axis, then gather [M, P] windows and contract with H in a single
-    # einsum.  No sequential dependency, no 2x(P*F) shift-register copy
-    # per block — the whole MAC is one batched gather + multiply-reduce.
+    # Bulk FDL MAC, history-read-once form.  Output block k needs
+    # sum_p H[p] * spec(k - p); split by the sign of k - p:
+    #   FAR  (old history):  Far[k]  = sum_q Old[q] * H[q + k + 1]
+    #   NEAR (this call):    Near[k] = sum_{j<=k} S[j] * H[k - j]
+    # Both are small contractions over the partition/block index with
+    # the frequency axis batched — the carried history streams through
+    # HBM ONCE per call instead of once per block (the lax.scan /
+    # windowed-gather forms re-touch the [P, F] state for every block:
+    # ~98 MB x K per super-step at rank 14, measured as the dominant
+    # 0.21 ms/block stage — NUMERICS.md round-2 anatomy).
     p = h_spectra.re.shape[-2]
-    # S_seq[i] = spectrum of block (i - P); old state index q holds
-    # block (-1-q) -> position P-1-q
-    seq_re = jnp.concatenate([jnp.flip(state.spec_re, axis=-2), specs_re],
-                             axis=-2)            # [..., P+M, F]
-    seq_im = jnp.concatenate([jnp.flip(state.spec_im, axis=-2), specs_im],
-                             axis=-2)
-    idx = (p + jnp.arange(m)[:, None] - jnp.arange(p)[None, :])  # [M, P]
-    win_re = jnp.take(seq_re, idx, axis=-2)      # [..., M, P, F]
-    win_im = jnp.take(seq_im, idx, axis=-2)
-    # broadcast-multiply + reduce over P (XLA fuses the contraction);
-    # unlike a fixed "pf" einsum this also accepts batched IR spectra
-    # [..., P, F] (per-channel IRs), matching fdl_step's broadcasting
-    hre = h_spectra.re[..., None, :, :]          # [..., 1, P, F]
-    him = h_spectra.im[..., None, :, :]
-    acc_re = jnp.sum(win_re * hre - win_im * him, axis=-2)
-    acc_im = jnp.sum(win_re * him + win_im * hre, axis=-2)
+    if h_spectra.re.ndim > 2:
+        # batched per-channel IR spectra: keep the windowed-gather form
+        # (rare path; the einsum weights would need a batch dim)
+        seq_re = jnp.concatenate(
+            [jnp.flip(state.spec_re, axis=-2), specs_re], axis=-2)
+        seq_im = jnp.concatenate(
+            [jnp.flip(state.spec_im, axis=-2), specs_im], axis=-2)
+        idx = (p + jnp.arange(m)[:, None] - jnp.arange(p)[None, :])
+        win_re = jnp.take(seq_re, idx, axis=-2)
+        win_im = jnp.take(seq_im, idx, axis=-2)
+        hre = h_spectra.re[..., None, :, :]
+        him = h_spectra.im[..., None, :, :]
+        acc_re = jnp.sum(win_re * hre - win_im * him, axis=-2)
+        acc_im = jnp.sum(win_re * him + win_im * hre, axis=-2)
+        fre = jnp.flip(seq_re[..., m:m + p, :], axis=-2)
+        fim = jnp.flip(seq_im[..., m:m + p, :], axis=-2)
+    else:
+        f = h_spectra.re.shape[-1]
+        # FAR weights Wf[q, k, f] = H[q + k + 1, f] (0 past the end)
+        iq = jnp.arange(p)[:, None] + jnp.arange(m)[None, :] + 1  # [P,M]
+        okf = iq <= p - 1
+        iqc = jnp.minimum(iq, p - 1)
+        wf_re = jnp.where(okf[..., None], h_spectra.re[iqc], 0.0)
+        wf_im = jnp.where(okf[..., None], h_spectra.im[iqc], 0.0)
+        # NEAR weights Wn[j, k, f] = H[k - j, f] for 0 <= k - j <= P-1
+        ij = jnp.arange(m)[None, :] - jnp.arange(m)[:, None]      # [M,M]
+        okn = jnp.logical_and(ij >= 0, ij <= p - 1)
+        ijc = jnp.clip(ij, 0, p - 1)
+        wn_re = jnp.where(okn[..., None], h_spectra.re[ijc], 0.0)
+        wn_im = jnp.where(okn[..., None], h_spectra.im[ijc], 0.0)
+        # old history in oldest-last order: Old[q] = state block -1-q
+        old_re, old_im = state.spec_re, state.spec_im    # [..., P, F]
+        # split-complex contractions (f batched, q/j contracted)
+        far_re = (jnp.einsum("...qf,qkf->...kf", old_re, wf_re)
+                  - jnp.einsum("...qf,qkf->...kf", old_im, wf_im))
+        far_im = (jnp.einsum("...qf,qkf->...kf", old_re, wf_im)
+                  + jnp.einsum("...qf,qkf->...kf", old_im, wf_re))
+        near_re = (jnp.einsum("...jf,jkf->...kf", specs_re, wn_re)
+                   - jnp.einsum("...jf,jkf->...kf", specs_im, wn_im))
+        near_im = (jnp.einsum("...jf,jkf->...kf", specs_re, wn_im)
+                   + jnp.einsum("...jf,jkf->...kf", specs_im, wn_re))
+        acc_re = far_re + near_re
+        acc_im = far_im + near_im
+        # new state: newest P spectra, index 0 = newest (block M-1)
+        if m >= p:
+            fre = jnp.flip(specs_re[..., m - p:, :], axis=-2)
+            fim = jnp.flip(specs_im[..., m - p:, :], axis=-2)
+        else:
+            fre = jnp.concatenate(
+                [jnp.flip(specs_re, axis=-2),
+                 state.spec_re[..., : p - m, :]], axis=-2)
+            fim = jnp.concatenate(
+                [jnp.flip(specs_im, axis=-2),
+                 state.spec_im[..., : p - m, :]], axis=-2)
     y = irfft_sc((acc_re, acc_im), axis=-1)[..., b:]  # [..., M, B]
     y = y.reshape(x.shape).astype(x.dtype)
-    # new state: newest P spectra, index 0 = newest (block M-1)
-    fre = jnp.flip(seq_re[..., m:m + p, :], axis=-2)
-    fim = jnp.flip(seq_im[..., m:m + p, :], axis=-2)
     return FDLState(spec_re=fre, spec_im=fim, history=xb[..., -1, :]), y
+
+
+class OLSBulkState(NamedTuple):
+    """Carried state of the big-FFT overlap-save bulk convolver: the
+    last ``nfft - T`` input samples (time domain)."""
+    history: Array       # [..., nfft - T] float32
+
+
+def ols_bulk_spectra(ir: Array, t_super: int) -> Spectra:
+    """One whole-IR spectrum for :func:`ols_bulk_process` at super-block
+    size ``t_super``: nfft = 2 * t_super, requiring
+    len(ir) <= t_super + 1."""
+    n = ir.shape[-1]
+    nfft = 2 * t_super
+    assert n <= t_super + 1, (n, t_super)
+    re, im = rfft_sc(ir.astype(jnp.float32), nfft)
+    return Spectra(re.astype(jnp.float32), im.astype(jnp.float32))
+
+
+def init_ols_bulk(t_super: int, batch_shape: Tuple[int, ...] = (),
+                  ) -> OLSBulkState:
+    return OLSBulkState(history=jnp.zeros(batch_shape + (t_super,),
+                                          jnp.float32))
+
+
+def ols_bulk_process(h: Spectra, state: OLSBulkState, x: Array,
+                     ) -> Tuple[OLSBulkState, Array]:
+    """Exact causal convolution of one super-block by single big-FFT
+    overlap-save: frame = [history, x] -> rfft(2T) -> spectral multiply
+    -> irfft -> last T samples.
+
+    The TPU-native BULK form of the partitioned FDL: one FFT of 2T and
+    ~3 HBM passes per super-block instead of per-block partition MACs
+    that re-stream the [P, F] history spectra for every block (the
+    einsum/batched-matmul forms of that MAC pad 47x16 matmuls onto the
+    128x128 MXU — measured 17x slower than this).  Semantics identical
+    to fdl_process for IRs up to T+1 taps; latency is one super-block,
+    the intended trade for offline/bulk serving (the realtime path
+    keeps the per-block FDL)."""
+    t = x.shape[-1]
+    assert state.history.shape[-1] == t, (state.history.shape, t)
+    frame = jnp.concatenate([state.history, x.astype(jnp.float32)],
+                            axis=-1)
+    sr, si = rfft_sc(frame)
+    acc = sc_mul((sr, si), (h.re, h.im))
+    y = irfft_sc(acc, axis=-1)[..., t:]
+    return OLSBulkState(history=x.astype(jnp.float32)), \
+        y.astype(x.dtype)
 
 
 def direct_conv_block(h: Array, history: Array, x_block: Array) -> Array:

@@ -30,6 +30,7 @@ Array = jax.Array
 
 _LANES = 128
 _UNROLL = 8
+_TILE_T = 8192     # time-tile rows per grid step (4 MB at 128 lanes)
 
 
 def _env_step(xt, e, peak, hold, ta, tr, rt, nh, use_rt):
@@ -51,8 +52,19 @@ def _env_step(xt, e, peak, hold, ta, tr, rt, nh, use_rt):
     return new_e, new_peak, new_hold
 
 
-def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref, *, unroll):
+def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref, carry_ref,
+            *, unroll):
+    """Grid-tiled over time: each grid step processes one x/env tile;
+    the envelope state rides a VMEM scratch carry across the
+    (sequentially executed) grid steps, so arbitrarily long T streams
+    through a fixed VMEM footprint."""
     from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = s_ref[...]
 
     ta = params_ref[0, 0]
     tr = params_ref[0, 1]
@@ -69,11 +81,11 @@ def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref, *, unroll):
             env_ref[t, :] = e
             return e, peak, hold
 
-        init = (s_ref[0, :], s_ref[1, :], s_ref[2, :])
+        init = (carry_ref[0, :], carry_ref[1, :], carry_ref[2, :])
         e, p, h = jax.lax.fori_loop(0, t_total, body, init)
-        sout_ref[0, :] = e
-        sout_ref[1, :] = p
-        sout_ref[2, :] = h
+        carry_ref[0, :] = e
+        carry_ref[1, :] = p
+        carry_ref[2, :] = h
     else:
         # all values stay 2D [1, lanes] — Mosaic's vector layout
         # inference rejects mixed 1D/2D elementwise chains
@@ -89,11 +101,15 @@ def _kernel(params_ref, x_ref, s_ref, env_ref, sout_ref, *, unroll):
                 rows, axis=0)
             return e, peak, hold
 
-        init = (s_ref[0:1, :], s_ref[1:2, :], s_ref[2:3, :])
+        init = (carry_ref[0:1, :], carry_ref[1:2, :], carry_ref[2:3, :])
         e, p, h = jax.lax.fori_loop(0, t_total // unroll, body, init)
-        sout_ref[0:1, :] = e
-        sout_ref[1:2, :] = p
-        sout_ref[2:3, :] = h
+        carry_ref[0:1, :] = e
+        carry_ref[1:2, :] = p
+        carry_ref[2:3, :] = h
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _finish():
+        sout_ref[...] = carry_ref[...]
 
 
 def _gate_step(xt, e, peak, hold, cur, ta, tr, nh, k0_end, k1_start):
@@ -246,15 +262,21 @@ def peak_envelope_pallas(env_state, x: Array, tau_attack, tau_release,
         zero, zero, zero]).reshape(1, 8)
 
     unroll = _UNROLL if t % _UNROLL == 0 else 1
+    # time-tiled grid: bulk super-blocks (T = K * 8192) stream through
+    # a fixed VMEM footprint instead of holding [T, C_pad] resident
+    tile = _TILE_T if (t % _TILE_T == 0 and t > _TILE_T) else t
+    grid = t // tile
     env_t, s_out = pl.pallas_call(
         functools.partial(_kernel, unroll=unroll),
+        grid=(grid,),
         out_shape=(jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
                    jax.ShapeDtypeStruct((4, c_pad), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                  pl.BlockSpec((tile, c_pad), lambda i: (i, 0)),
+                  pl.BlockSpec((4, c_pad), lambda i: (0, 0))],
+        out_specs=(pl.BlockSpec((tile, c_pad), lambda i: (i, 0)),
+                   pl.BlockSpec((4, c_pad), lambda i: (0, 0))),
+        scratch_shapes=[pltpu.VMEM((4, c_pad), jnp.float32)],
         interpret=interpret,
     )(params, xt, s)
 

@@ -73,6 +73,17 @@ class ChainState(NamedTuple):
     env: dyn.EnvState
 
 
+class ChainBulkState(NamedTuple):
+    """State of :meth:`FilterConvChain.bulk_step` — identical to
+    ChainState except the convolver carries one super-block of
+    time-domain history (big-FFT overlap-save) instead of FDL
+    spectra."""
+    eq: Array
+    conv: fftconv.OLSBulkState
+    sc: SidechainState
+    env: dyn.EnvState
+
+
 class FilterConvChain:
     """64-channel EQ -> convolver -> sidechain compressor chain."""
 
@@ -118,6 +129,41 @@ class FilterConvChain:
             fdl=fftconv.init_fdl(params.h_spectra, (c,)),
             sc=self.sidechain.init_state((c,)),
             env=dyn.env_init((c,)))
+
+    # -- bulk super-block step ----------------------------------------------
+    def build_bulk(self, t_super: int) -> fftconv.Spectra:
+        """Whole-IR spectrum for :meth:`bulk_step` at super-block size
+        ``t_super`` (a multiple of self.block, >= len(ir) - 1)."""
+        assert t_super % self.block == 0
+        return fftconv.ols_bulk_spectra(jnp.asarray(self.ir), t_super)
+
+    def init_bulk_state(self, params: ChainParams, t_super: int,
+                        channels: Optional[int] = None) -> ChainBulkState:
+        c = self.channels if channels is None else channels
+        return ChainBulkState(
+            eq=biquad_ops.init_state(params.eq_coeffs.shape[0], (c,)),
+            conv=fftconv.init_ols_bulk(t_super, (c,)),
+            sc=self.sidechain.init_state((c,)),
+            env=dyn.env_init((c,)))
+
+    def bulk_step(self, params: ChainParams, h_bulk: fftconv.Spectra,
+                  state: ChainBulkState, x: Array,
+                  ) -> Tuple[ChainBulkState, Array]:
+        """One super-block through the chain: identical math to
+        :meth:`step` (same EQ cascade, exact convolution, same
+        dynamics) with the convolver as ONE big-FFT overlap-save
+        (ops.fftconv.ols_bulk_process) — the bulk/offline serving
+        form: per-block FDL partition MACs re-stream the history
+        spectra for every block; one FFT of 2T streams it once."""
+        y, eq_st = biquad_block.cascade_block_fused(params.eq_block,
+                                                    state.eq, x)
+        conv_st, y = fftconv.ols_bulk_process(h_bulk, state.conv, y)
+        sc_st, level = self.sidechain.process(state.sc, y)
+        env_st, gain, _ = self.compressor.process(params.comp, state.env,
+                                                  level)
+        y = y * gain
+        return ChainBulkState(eq=eq_st, conv=conv_st, sc=sc_st,
+                              env=env_st), y
 
     # -- single-device step -------------------------------------------------
     def step(self, params: ChainParams, state: ChainState, x: Array,

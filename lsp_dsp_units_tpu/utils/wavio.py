@@ -96,3 +96,55 @@ def write_wav(path: str, data: np.ndarray, sample_rate: int,
         fh.write(b"data")
         fh.write(struct.pack("<I", len(payload)))
         fh.write(payload)
+
+
+# ---------------------------------------------------------------------------
+# Optional multi-format I/O (reference: mm::InAudioFileStream reads
+# everything libsndfile supports, Sample.cpp:753-830).  The WAV path
+# above stays dependency-free; other formats route through the
+# ``soundfile`` package when it is installed.
+# ---------------------------------------------------------------------------
+
+def _soundfile():
+    try:
+        import soundfile
+        return soundfile
+    except ImportError:
+        return None
+
+
+def have_soundfile() -> bool:
+    """True when the optional libsndfile-backed path is available."""
+    return _soundfile() is not None
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Read any supported audio file -> ([channels, frames] float32,
+    sample_rate).  WAV always works (native reader); FLAC/AIFF/OGG/...
+    need the optional ``soundfile`` package."""
+    if str(path).lower().endswith(".wav"):
+        return read_wav(path)
+    sf = _soundfile()
+    if sf is None:
+        raise RuntimeError(
+            f"reading {path!r} needs the optional 'soundfile' package "
+            "(libsndfile); the dependency-free path supports WAV only")
+    data, sr = sf.read(path, dtype="float32", always_2d=True)
+    return np.ascontiguousarray(data.T), int(sr)
+
+
+def write_audio(path: str, data: np.ndarray, sample_rate: int) -> None:
+    """Write [channels, frames] (or [frames]) audio; format from the
+    file extension.  WAV always works; others need ``soundfile``."""
+    if str(path).lower().endswith(".wav"):
+        write_wav(path, data, sample_rate)
+        return
+    sf = _soundfile()
+    if sf is None:
+        raise RuntimeError(
+            f"writing {path!r} needs the optional 'soundfile' package "
+            "(libsndfile); the dependency-free path supports WAV only")
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[None]
+    sf.write(path, data.T, int(sample_rate))

@@ -196,3 +196,27 @@ def test_bench_scan_superstep_matches_sequential():
                     jax.tree_util.tree_leaves(st_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=0)
+
+
+def test_bulk_step_matches_step():
+    """The bench's BULK super-block path (ChainBulkState + big-FFT
+    overlap-save convolver, pipeline.bulk_step) equals the per-block
+    streaming step across multiple carried super-blocks."""
+    chain = FilterConvChain(sample_rate=48000, channels=4, rank=9,
+                            ir_seconds=0.005)
+    params = chain.build()
+    rng = np.random.default_rng(3)
+    t_super = chain.block * 8
+    h_bulk = chain.build_bulk(t_super)
+    st = chain.init_state(params)
+    bst = chain.init_bulk_state(params, t_super)
+    for _ in range(3):
+        x = jnp.asarray(
+            rng.standard_normal((4, t_super)).astype(np.float32) * 0.25)
+        st, y_ref = chain.step(params, st, x)
+        bst, y_b = chain.bulk_step(params, h_bulk, bst, x)
+        ref = np.asarray(y_ref, np.float64)
+        err = np.asarray(y_b, np.float64) - ref
+        snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(err ** 2),
+                                                   1e-30))
+        assert snr > 110.0, snr
