@@ -70,9 +70,19 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
         # FFTs, a single big-FFT overlap-save convolution (the carried
         # history streams through HBM once per super-block instead of
         # once per block), one time-tiled Pallas envelope, one payload.
+        # NOTE: on the current tunnel backend large/batched FFTs run
+        # far below speed-of-light (measured ~3-4 ms for one 64x262144
+        # rfft), so this path LOSES to the scan there — kept as the
+        # design for healthy backends (NUMERICS.md round-4 anatomy).
         h_bulk = chain.build_bulk(t)
         chain_state0 = chain.init_bulk_state(params, t)
         chain_step = lambda p, s, v: chain.bulk_step(p, h_bulk, s, v)
+    elif scan_k:
+        # ring-FDL streaming step: writes one spectra slot per block
+        # instead of rewriting the [P, F] shift register (the dominant
+        # per-block HBM traffic)
+        chain_state0 = chain.init_ring_state(params)
+        chain_step = chain.step_ring
     else:
         chain_state0 = state
         chain_step = chain.step
@@ -210,20 +220,21 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
     return result
 
 
-# Primary: the 16-block BULK super-step (one chain.step over 131072
-# samples) — batched EQ FFTs, read-history-once FDL, one time-tiled
-# Pallas envelope, ONE i16 payload per dispatch.  Fallbacks: the K=16
-# lax.scan super-step (round-3 primary), one-block i16, then f32.
+# Primary: the K=16 scan super-step over the ring-FDL streaming chain
+# (measured best on this backend: its large/batched FFTs run far below
+# speed-of-light, so the big-FFT BULK path loses — NUMERICS.md round-4
+# anatomy; the bulk config is kept as a low tier for healthy backends).
 # Attempts repeat with pauses because the tunnel's shared bandwidth
 # drifts on a minutes scale (0.45..4.7 ms/MB across sessions); the best
-# steady-state window is the capability number.
+# steady-state window is the capability number, and every attempt's
+# JSON carries (dispatch_floor_ms, device_ms_per_block) so a congested
+# session is provable from the record.
 #
 # per-config subprocess timeout (last field): cold tunnel compiles for
 # a NEW shape can exceed 560 s; completed configs return early, so the
 # headroom is free in the common case.
-CONFIGS = (("i16", 14, 16, 8, 0, 900), ("i16", 14, 16, 8, 0, 500),
-           ("i16", 14, 16, 8, 0, 500),
-           ("i16", 14, 1, 8, 16, 700), ("i16", 14, 1, 8, 16, 500),
+CONFIGS = (("i16", 14, 1, 8, 16, 900), ("i16", 14, 1, 8, 16, 500),
+           ("i16", 14, 1, 8, 16, 500), ("i16", 14, 1, 8, 16, 500),
            ("i16", 14, 1, 30, 0, 560), ("f32", 14, 1, 20, 0, 420),
            ("f32", 11, 1, 20, 0, 420))
 

@@ -69,19 +69,26 @@ def peak_envelope(state: EnvState, x: Array, tau_attack, tau_release,
     # ops.pallas_env).  Gated on (a) scalar coefficients — the kernel
     # broadcasts one (ta, tr, nh, rt) tuple over all channels, per-
     # channel arrays must take the scan path — and (b) a VMEM budget:
-    # the kernel maps the whole [T, C_pad] input + output as single
-    # ungridded VMEM blocks, so long blocks must fall back to the scan
-    # instead of failing Mosaic allocation (~16 MB VMEM on v5e; cap at
-    # ~1.18M f32 elements per buffer — the production 8192x128 chain
-    # block is 1.05M and measured-good on chip).
+    # one tile of [T, C_pad] input + output must fit (~16 MB VMEM on
+    # v5e; cap at ~1.18M f32 elements per buffer — the production
+    # 8192x128 chain block is 1.05M and measured-good on chip).  Longer
+    # T that tiles evenly streams through the kernel's time-tiled grid
+    # (pallas_env._TILE_T; the bulk super-block path — 0.13 ms/block
+    # at 16x8192, vs 2.2 ms/block for the scan fallback this guard
+    # previously forced).
+    from lsp_dsp_units_tpu.ops.pallas_env import _TILE_T
+    c_pad = -(-x.shape[0] // 128) * 128 if x.ndim == 2 else 0
+    vmem_ok = (x.ndim == 2
+               and (x.shape[-1] * c_pad <= (9 << 20) // 8
+                    or (x.shape[-1] % _TILE_T == 0
+                        and _TILE_T * c_pad <= (9 << 20) // 8)))
     if (x.ndim == 2 and x.dtype == jnp.float32
             and jax.default_backend() == "tpu"
             and all(jnp.ndim(p) == 0 for p in
                     (tau_attack, tau_release, hold_samples))
             and (release_thresh is None
                  or jnp.ndim(release_thresh) == 0)
-            and x.shape[-1] * (-(-x.shape[0] // 128) * 128)
-            <= (9 << 20) // 8):
+            and vmem_ok):
         from lsp_dsp_units_tpu.ops.pallas_env import peak_envelope_pallas
         return peak_envelope_pallas(state, x, tau_attack, tau_release,
                                     hold_samples, release_thresh)

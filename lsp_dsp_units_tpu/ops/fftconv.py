@@ -192,6 +192,58 @@ def fdl_process(h_spectra: Spectra, state: FDLState, x: Array,
     return FDLState(spec_re=fre, spec_im=fim, history=xb[..., -1, :]), y
 
 
+class RingFDLState(NamedTuple):
+    """FDL state with RING storage: the per-block shift register of
+    fdl_step rewrites the whole [P, F] spectra buffer every block
+    (2 x ~98 MB of HBM traffic at rank 14); the ring writes only the
+    new spectrum slot and ROTATES the (small) IR spectra instead.
+    ``pos`` is the slot holding the newest block's spectrum."""
+    spec_re: Array   # [..., P, F] ring storage
+    spec_im: Array
+    history: Array   # [..., B] previous input block (overlap-save)
+    pos: Array       # [] int32
+
+
+def init_ring_fdl(h_spectra: Spectra, batch_shape: Tuple[int, ...] = (),
+                  dtype=jnp.float32) -> RingFDLState:
+    p, f = h_spectra.re.shape[-2], h_spectra.re.shape[-1]
+    block = (f - 1)
+    return RingFDLState(
+        spec_re=jnp.zeros(batch_shape + (p, f), jnp.float32),
+        spec_im=jnp.zeros(batch_shape + (p, f), jnp.float32),
+        history=jnp.zeros(batch_shape + (block,), dtype),
+        pos=jnp.int32(p - 1))
+
+
+def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
+                  x_block: Array) -> Tuple[RingFDLState, Array]:
+    """One block of partitioned overlap-save convolution over the ring
+    FDL — identical math to :func:`fdl_step` (same products, same
+    summation order over partitions), different storage: slot
+    ``(pos + 1) % P`` receives the new spectrum (one [F] write per
+    channel) and the IR spectra are gathered rotated so partition p
+    multiplies slot ``(pos+1-p) % P``.  The big [P, F] history buffer
+    is READ once and written 1/P-th per block instead of fully
+    rewritten twice."""
+    p = h_spectra.re.shape[-2]
+    frame = jnp.concatenate([state.history, x_block], axis=-1)
+    sr, si = rfft_sc(frame)
+    w = (state.pos + 1) % p
+    buf_re = jax.lax.dynamic_update_index_in_dim(
+        state.spec_re, sr, w, axis=-2)
+    buf_im = jax.lax.dynamic_update_index_in_dim(
+        state.spec_im, si, w, axis=-2)
+    # Hrot[q] = H[(w - q) % P] so that sum_q buf[q] * Hrot[q]
+    #         = sum_p buf[(w - p) % P] * H[p]
+    rot = (w - jnp.arange(p)) % p
+    hre = jnp.take(h_spectra.re, rot, axis=-2)
+    him = jnp.take(h_spectra.im, rot, axis=-2)
+    acc = sc_sum(sc_mul((buf_re, buf_im), (hre, him)), axis=-2)
+    y = irfft_sc(acc, axis=-1)[..., x_block.shape[-1]:]
+    return RingFDLState(spec_re=buf_re, spec_im=buf_im,
+                        history=x_block, pos=w), y.astype(x_block.dtype)
+
+
 class OLSBulkState(NamedTuple):
     """Carried state of the big-FFT overlap-save bulk convolver: the
     last ``nfft - T`` input samples (time domain)."""

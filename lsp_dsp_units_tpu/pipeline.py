@@ -73,6 +73,19 @@ class ChainState(NamedTuple):
     env: dyn.EnvState
 
 
+class ChainRingState(NamedTuple):
+    """State of :meth:`FilterConvChain.step_ring` — identical to
+    ChainState except the convolver keeps its spectra in a ring
+    (fftconv.RingFDLState): the per-block [P, F] shift register is the
+    dominant HBM traffic of the streaming chain (2 x ~98 MB/block at
+    rank 14); the ring writes one slot and rotates the small IR
+    spectra instead."""
+    eq: Array
+    fdl: fftconv.RingFDLState
+    sc: SidechainState
+    env: dyn.EnvState
+
+
 class ChainBulkState(NamedTuple):
     """State of :meth:`FilterConvChain.bulk_step` — identical to
     ChainState except the convolver carries one super-block of
@@ -129,6 +142,33 @@ class FilterConvChain:
             fdl=fftconv.init_fdl(params.h_spectra, (c,)),
             sc=self.sidechain.init_state((c,)),
             env=dyn.env_init((c,)))
+
+    # -- ring-FDL streaming step ----------------------------------------
+    def init_ring_state(self, params: ChainParams,
+                        channels: Optional[int] = None) -> ChainRingState:
+        c = self.channels if channels is None else channels
+        return ChainRingState(
+            eq=biquad_ops.init_state(params.eq_coeffs.shape[0], (c,)),
+            fdl=fftconv.init_ring_fdl(params.h_spectra, (c,)),
+            sc=self.sidechain.init_state((c,)),
+            env=dyn.env_init((c,)))
+
+    def step_ring(self, params: ChainParams, state: ChainRingState,
+                  x: Array) -> Tuple[ChainRingState, Array]:
+        """One block through the chain with the ring-FDL convolver —
+        bit-identical products/summation to :meth:`step` (see
+        ops.fftconv.fdl_ring_step), minus the shift-register traffic.
+        The bench's scan super-step uses this path."""
+        assert x.shape[-1] == self.block, (x.shape, self.block)
+        y, eq_st = biquad_block.cascade_block_fused(params.eq_block,
+                                                    state.eq, x)
+        fdl_st, y = fftconv.fdl_ring_step(params.h_spectra, state.fdl, y)
+        sc_st, level = self.sidechain.process(state.sc, y)
+        env_st, gain, _ = self.compressor.process(params.comp, state.env,
+                                                  level)
+        y = y * gain
+        return ChainRingState(eq=eq_st, fdl=fdl_st, sc=sc_st,
+                              env=env_st), y
 
     # -- bulk super-block step ----------------------------------------------
     def build_bulk(self, t_super: int) -> fftconv.Spectra:

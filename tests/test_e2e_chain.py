@@ -220,3 +220,26 @@ def test_bulk_step_matches_step():
         snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(err ** 2),
                                                    1e-30))
         assert snr > 110.0, snr
+
+
+def test_step_ring_matches_step():
+    """The ring-FDL streaming step (pipeline.step_ring — one spectra
+    slot written per block instead of the full shift register) matches
+    the reference-ordered step at f32 rounding level; the only
+    difference is the partition summation order."""
+    chain = FilterConvChain(sample_rate=48000, channels=4, rank=9,
+                            ir_seconds=0.05)
+    params = chain.build()
+    rng = np.random.default_rng(4)
+    st = chain.init_state(params)
+    rst = chain.init_ring_state(params)
+    for k in range(12):
+        x = jnp.asarray(rng.standard_normal(
+            (4, chain.block)).astype(np.float32) * 0.25)
+        st, y = chain.step(params, st, x)
+        rst, yr = chain.step_ring(params, rst, x)
+        ref = np.asarray(y, np.float64)
+        err = np.asarray(yr, np.float64) - ref
+        snr = 10 * np.log10(max(np.sum(ref ** 2), 1e-30)
+                            / max(np.sum(err ** 2), 1e-30))
+        assert snr > 120.0, (k, snr)
