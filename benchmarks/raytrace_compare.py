@@ -49,7 +49,8 @@ def genuine_ir(rmin=-1, rmax=-1, energy=1e-3, normalize=False):
     return ir[0], time.time() - t0
 
 
-def ours_ir(rays=16384, ir_s=0.25):
+def ours_ir(rays=16384, ir_s=0.25, gate=None, bounces=40, seed=0,
+            energy_floor=1e-4, est="triangle"):
     from lsp_dsp_units_tpu.models.threed.scene import (
         Scene3D, Object3D, Material)
     from lsp_dsp_units_tpu.models.threed.raytrace import (
@@ -61,8 +62,9 @@ def ours_ir(rays=16384, ir_s=0.25):
     scene.add_object(Object3D("room", v, f, Material(
         absorption=ABSORB, transparency=0.0, permeability=1.0)))
     rt = RayTrace3D(scene, sample_rate=SR, ir_length_s=ir_s, rays=rays,
-                    max_bounces=40, energy_floor=1e-4,
-                    air_absorption=0.0)
+                    max_bounces=bounces, energy_floor=energy_floor,
+                    air_absorption=0.0, seed=seed, gate_rays=gate,
+                    capture_est=est)
     rt.add_source(SourceSettings(shape=SourceShape.ICOSPHERE,
                                  size=SRC_SIZE, amplitude=1.0,
                                  position=SRC))

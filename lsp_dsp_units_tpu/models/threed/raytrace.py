@@ -29,26 +29,29 @@ Physics follows the reference's interface model exactly
 
 Capture model: the reference integrates beam-triangle areas against a
 capture icosphere (capture(), RayTrace3D.cpp:834-990).  Rays here use a
-SELF-NORMALIZED detection-cone estimator anchored at the ray's VIRTUAL
-SOURCE: a ray deposits into a capture when its direction points at the
-capture (as seen from vsrc) within a small gate cone, and the deposits
-of each ray FAMILY (rays sharing the same virtual source, identified by
-its mm-quantized position — this merges coplanar-triangle splits of one
-wall wavefront) are normalized by the family's ACTUAL in-cone count k
-and the rays' launch solid-angle shares:
-``dep_i = (amp_i / a0_i) * amp_total * gain / (k * |capture - vsrc|)``
-— ``amp_i / a0_i`` is the family's exact accumulated path gain — so
-every family crossing the capture contributes its full image-source
-pressure amplitude exactly once.  Unlike a fixed-compensation cone estimator
-(normalizing by the EXPECTED count), this stays unbiased when a
-family's solid-angle patch shrinks below the gate at high reflection
-orders — the dominant error of the round-3 estimator, measured as a
-0.65x RT60 underestimate vs the genuine tracer.  Remaining sampling
-limits (measured in tests/test_reference_oracle_raytrace.py): families
-subtending less than ~4pi/R steradians may be missed entirely, and
-patches that pass within the gate angle of the capture without
-geometrically crossing it deposit phantom energy blurred by the gate
-angle (~2.5 degrees at the default gate).
+SELF-NORMALIZED FAMILY estimator anchored at the ray's VIRTUAL SOURCE.
+A family = rays sharing the same virtual source (mm-quantized; this
+merges both coplanar-triangle splits of one wall wavefront and
+reflection orderings that fold to the same image point).  Detection
+(default ``capture_est="triangle"``): a family's wavefront crosses a
+capture iff the vsrc->capture segment passes through a family ray's
+LAST-HIT TRIANGLE — the deterministic analogue of the reference's
+beam-area integration, with the acceptance region bounded by the scene
+tessellation rather than a sampling gate (``"cone"`` keeps the angular
+gate of K_GATE expected in-cone rays, for very coarse scenes).  Each
+crossing family deposits its FULL image-source pressure
+``(amp/a0) * amp_total * gain / |capture - vsrc|`` exactly once, into
+the ONE bin of its best-aligned (most-specular) ray — splitting the
+deposit across the k crossing rays' chordal times would divide the
+tail ENERGY by up to k (signed amplitudes in k distinct bins carry
+a^2/k), the dominant error of the round-3 estimator (RT60 0.61-0.73x
+the image-source golden; the single-bin family deposit measures
+0.97-1.03x, tracking the golden 2.4x tighter than the genuine tracer
+at matched energy thresholds — tests/test_reference_oracle_raytrace.py
+and NUMERICS.md).  Remaining limits: families subtending less than
+~4pi/R sr may be missed entirely (finite-ray tail truncation), and the
+triangle test over-accepts by at most the tessellation margin around
+each true patch.
 Delay, air absorption and occlusion use the physical leg from the
 segment start, at the ray's medium speed.  Capture legs are
 BINARY-occluded against every triangle (any crossing blocks the leg;
@@ -168,7 +171,7 @@ class RayTrace3D:
                  ir_length_s: float = 1.0, rays: int = 4096,
                  max_bounces: int = 30, energy_floor: float = 1e-6,
                  air_absorption: float = 0.003, seed: int = 0,
-                 gate_rays: float = None):
+                 gate_rays: float = None, capture_est: str = "triangle"):
         self.scene = scene
         self.sample_rate = int(sample_rate)
         self.ir_len = int(sample_rate * ir_length_s)
@@ -185,6 +188,21 @@ class RayTrace3D:
         # (narrower gate) — calibrated against the genuine reference
         # tracer in tests/test_reference_oracle_raytrace.py
         self.gate_rays = gate_rays
+        # "triangle" (default): a reflected/refracted wavefront crosses
+        # a capture iff the vsrc->capture segment passes through the
+        # ray's LAST-HIT TRIANGLE — the deterministic analogue of the
+        # reference's beam-area capture integration (the beam leaving a
+        # surface exists exactly over the directions from the virtual
+        # apex through the surface region; RayTrace3D.cpp:834-990),
+        # with the overcount bounded by the scene tessellation instead
+        # of a sampling gate.  "cone": the angular-gate estimator
+        # (K_GATE expected in-cone rays); kept for point-ish captures
+        # in very coarse scenes where triangles are much wider than
+        # the capture.  Measured on the genuine-reference box room
+        # (tests/test_reference_oracle_raytrace.py, NUMERICS.md):
+        # triangle RT60 ratio ~1.0 vs cone 0.65-0.73 at equal rays.
+        assert capture_est in ("triangle", "cone"), capture_est
+        self.capture_est = capture_est
         self.progress: float = 0.0
         self._cancelled = False
         self.stats = {"rays_traced": 0, "bounces": 0, "captured": 0}
@@ -232,7 +250,7 @@ class RayTrace3D:
         irs = np.zeros((len(self.captures), self.ir_len), np.float32)
 
         @jax.jit
-        def bounce(origins, dirs, vsrc, amp, a0, speed, when):
+        def bounce(origins, dirs, vsrc, amp, a0, speed, when, last_tri):
             # ---- capture deposits from the segment start ------------
             seg = cap_pos[None, :, :] - origins[:, None, :]     # [R,C,3]
             cd = jnp.linalg.norm(seg, axis=-1)
@@ -256,8 +274,38 @@ class RayTrace3D:
                            else K_GATE)
             cos_gate = 1.0 - 2.0 * k_gate / R
             ahead = jnp.sum(seg * dirs[:, None, :], -1) > 0.0
-            aligned = (jnp.sum(dirs[:, None, :] * vdirs, -1)
-                       >= cos_gate) & ahead
+            acos = jnp.sum(dirs[:, None, :] * vdirs, -1)    # [R, C]
+            cone_ok = (acos >= cos_gate) & ahead
+            if self.capture_est == "triangle":
+                # deterministic wavefront-crossing test: the beam that
+                # left the ray's last-hit triangle covers exactly the
+                # directions from vsrc through that triangle, so the
+                # capture is inside the wavefront iff the vsrc->capture
+                # segment crosses it (t in (0, vL): the wall sits
+                # between the virtual apex and the capture).  Launch
+                # segments (last_tri < 0, point-source wavefront covers
+                # everything ahead) keep the cone test, which is exact
+                # for them (one family spanning the whole launch).
+                tl = tri[jnp.maximum(last_tri, 0)]         # [R, 3, 3]
+                v0 = tl[:, 0]
+                e1 = tl[:, 1] - v0
+                e2 = tl[:, 2] - v0
+                eps = 1e-6
+                pvec = jnp.cross(vdirs, e2[:, None, :])     # [R, C, 3]
+                det = jnp.sum(pvec * e1[:, None, :], -1)
+                inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+                tvec = vsrc[:, None, :] - v0[:, None, :]
+                u = jnp.sum(tvec * pvec, -1) * inv_det
+                qvec = jnp.cross(tvec, e1[:, None, :])
+                v = jnp.sum(vdirs * qvec, -1) * inv_det
+                t_x = jnp.sum(e2[:, None, :] * qvec, -1) * inv_det
+                crossing = ((jnp.abs(det) > eps) & (u >= -eps)
+                            & (v >= -eps) & (u + v <= 1.0 + eps)
+                            & (t_x > eps) & (t_x < vL * (1.0 + 1e-3)))
+                aligned = jnp.where(last_tri[:, None] >= 0, crossing,
+                                    cone_ok)
+            else:
+                aligned = cone_ok
             # directivity: kcos = propagation dir . capture look dir
             kcos = jnp.sum(vdirs * cap_dir[None, :, :], -1)
             gains = jnp.stack(
@@ -346,10 +394,11 @@ class RayTrace3D:
             c_speed = jnp.concatenate([speed, speed_t], 0)
             c_when = jnp.concatenate([new_when, new_when], 0)
             c_a0 = jnp.concatenate([a0, a0], 0)
+            c_tri = jnp.concatenate([idx, idx], 0)
             _, top = jax.lax.top_k(jnp.abs(c_amp), R)
             return (c_orig[top], c_dir[top], c_vsrc[top], c_amp[top],
-                    c_a0[top], c_speed[top], c_when[top],
-                    bins, dep, alig)
+                    c_a0[top], c_speed[top], c_when[top], c_tri[top],
+                    bins, dep, alig, acos)
 
         n_src = max(len(self.sources), 1)
         for si, src in enumerate(self.sources):
@@ -364,6 +413,7 @@ class RayTrace3D:
             speed = jnp.full((origins.shape[0],), SPEED_OF_SOUND,
                              jnp.float32)
             when = jnp.zeros((origins.shape[0],), jnp.float32)
+            last_tri = jnp.full((origins.shape[0],), -1, jnp.int32)
             self.stats["rays_traced"] += int(origins.shape[0])
             # energy floor is RELATIVE to the launch amplitude: per-ray
             # amplitudes scale ~1/R with the ray budget, so an absolute
@@ -381,16 +431,25 @@ class RayTrace3D:
             for b in range(self.max_bounces):
                 if self._cancelled:
                     break
-                (origins, dirs, vsrc, amp, a0, speed, when, bins,
-                 dep, alig) = bounce(origins, dirs, vsrc, amp, a0,
-                                     speed, when)
+                (origins, dirs, vsrc, amp, a0, speed, when, last_tri,
+                 bins, dep, alig, acos) = bounce(origins, dirs, vsrc,
+                                                 amp, a0, speed, when,
+                                                 last_tri)
                 dep_np = np.asarray(dep)
                 bins_np = np.asarray(bins)
                 alig_np = np.asarray(alig)
-                # family identity = shared virtual source (quantized to
-                # 1 mm: merges coplanar-triangle splits of one wall
-                # wavefront, which would otherwise each claim the full
-                # image amplitude)
+                acos_np = np.asarray(acos)
+                # family identity = shared virtual source, quantized to
+                # 1 mm.  This merges (a) coplanar-triangle splits of
+                # one wall wavefront and (b) DEGENERATE reflection
+                # orderings folding to the same image point (in a box
+                # room ...A-then-B and ...B-then-A give identical
+                # images; only one ordering is the physical specular
+                # path, and the vsrc->capture segment can cross BOTH
+                # orderings' last triangles) — keying by
+                # (vsrc, triangle) instead double-deposits every such
+                # image: measured RT60 drifting to 1.2-1.35x the
+                # image-source golden as the ray budget grows.
                 fam_keys = np.round(vsrc_np * 1e3).astype(np.int64)
                 for ci in range(len(self.captures)):
                     m = alig_np[:, ci]
@@ -399,17 +458,38 @@ class RayTrace3D:
                     # self-normalized family estimator: dep/a0 is the
                     # per-ray path-gain deposit (identical across a
                     # family up to occlusion/air); averaging it over
-                    # the family's ACTUAL in-cone rays and scaling by
-                    # the total launch amplitude deposits each crossing
-                    # wavefront's image-source pressure exactly once
+                    # the family's crossing rays and scaling by the
+                    # total launch amplitude yields each crossing
+                    # wavefront's image-source pressure exactly once.
                     _, inv, cnt = np.unique(fam_keys[m], axis=0,
                                             return_inverse=True,
                                             return_counts=True)
                     w = (amp_total
                          / (np.abs(a0_np[m]) * cnt[inv])).astype(
                              np.float32)
-                    np.add.at(irs[ci], bins_np[m, ci],
-                              dep_np[m, ci] * w)
+                    # The family's FULL pressure lands in ONE bin — the
+                    # arrival of its BEST-ALIGNED ray (the one closest
+                    # to the true specular path, whose when + leg time
+                    # is closest to the exact image arrival vL/speed).
+                    # Splitting the deposit across the k crossing rays'
+                    # chordal times divides the tail ENERGY by up to k
+                    # (signed amplitudes in k distinct bins carry
+                    # a^2/k, not a^2), which crushed RT60 by exactly
+                    # the gate width (measured: ratio 0.61 at K_GATE=8
+                    # vs 1.02 at K=1 before this fix; gate-independent
+                    # ~1.0 after).  Occluded rays still deposit 0 into
+                    # the family mean, preserving the reference's
+                    # clipped-beam-area semantics.
+                    b_m = bins_np[m, ci]
+                    amp_f = np.bincount(
+                        inv, weights=(dep_np[m, ci] * w).astype(
+                            np.float64), minlength=len(cnt))
+                    order = np.lexsort((-acos_np[m, ci], inv))
+                    starts = np.searchsorted(inv[order],
+                                             np.arange(len(cnt)))
+                    best_bin = b_m[order[starts]]
+                    np.add.at(irs[ci], best_bin,
+                              amp_f.astype(np.float32))
                 a0_np = np.asarray(a0)
                 vsrc_np = np.asarray(vsrc)
                 self.stats["bounces"] += 1

@@ -101,7 +101,8 @@ def _genuine(rmin=-1, rmax=-1, energy=1e-3, normalize=False,
     return ir[0]
 
 
-def _ours(rays=16384, ir_s=0.25, cap=CAP, max_bounces=40):
+def _ours(rays=16384, ir_s=0.25, cap=CAP, max_bounces=40,
+          energy_floor=1e-3):
     from lsp_dsp_units_tpu.models.threed.scene import (
         Scene3D, Object3D, Material)
     from lsp_dsp_units_tpu.models.threed.raytrace import (
@@ -113,7 +114,7 @@ def _ours(rays=16384, ir_s=0.25, cap=CAP, max_bounces=40):
     scene.add_object(Object3D("room", v, f, Material(
         absorption=ABSORB, transparency=0.0, permeability=1.0)))
     rt = RayTrace3D(scene, sample_rate=SR, ir_length_s=ir_s, rays=rays,
-                    max_bounces=max_bounces, energy_floor=1e-3,
+                    max_bounces=max_bounces, energy_floor=energy_floor,
                     air_absorption=0.0)
     rt.add_source(SourceSettings(shape=SourceShape.ICOSPHERE,
                                  size=SRC_SIZE, amplitude=1.0,
@@ -245,33 +246,105 @@ def test_ours_matches_image_source_model_exactly():
         assert abs(a - pred) < 0.05 * abs(pred), (d, mult, a, pred)
 
 
+def _golden(ir_s=0.25):
+    """EXACT image-source IR of the box room (signed pressure, wall
+    reflection coefficient (trans-1)*(1-absorb) = -0.7) — the analytic
+    ground truth BOTH tracers approximate.  Used to arbitrate the
+    reverb tail: the genuine tracer's tail is truncated by its energy
+    threshold (beams die around order ln(eps)/ln(0.7)), so a direct
+    ours-vs-genuine RT60 comparison conflates estimator quality with
+    threshold effects."""
+    refl = -(1.0 - ABSORB)
+    max_d = C * ir_s
+    ir = np.zeros(int(ir_s * SR), np.float64)
+
+    def axis_images(s, c, L):
+        out = []
+        n_max = int(max_d / (2 * L)) + 2
+        for n in range(-n_max, n_max + 1):
+            out.append((2 * n * L + s - c, abs(2 * n)))
+            out.append((2 * n * L - s - c, abs(2 * n - 1)))
+        return np.asarray(out)
+
+    ax = [axis_images(SRC[i], CAP[i], L)
+          for i, L in enumerate((LX, LY, LZ))]
+    d2 = (ax[0][:, 0][:, None, None] ** 2
+          + ax[1][:, 0][None, :, None] ** 2
+          + ax[2][:, 0][None, None, :] ** 2)
+    order = (ax[0][:, 1][:, None, None] + ax[1][:, 1][None, :, None]
+             + ax[2][:, 1][None, None, :])
+    d = np.sqrt(d2).ravel()
+    order = order.ravel()
+    keep = d < max_d
+    d, order = d[keep], order[keep]
+    amp = (np.sign(refl) ** order * np.abs(refl) ** order
+           / np.maximum(d, 1e-6))
+    bins = np.minimum((d / C * SR).astype(np.int64), len(ir) - 1)
+    np.add.at(ir, bins, amp)
+    return ir.astype(np.float32)
+
+
+def _echogram(ir, nb, bins=192):
+    x = np.pad(np.asarray(ir, np.float64),
+               (0, max(0, nb - len(ir))))[:nb] ** 2
+    e = x.reshape(-1, bins).sum(-1)
+    return 10 * np.log10(np.maximum(e / e.max(), 1e-12))
+
+
 def test_reverb_decay_matches_genuine():
-    """Echogram (4 ms bins) and RT60 of the full reverb tail vs the
-    genuine tracer.  Measured (NUMERICS.md): RT60 ratio 0.84, echogram
-    mean |diff| 2.3 dB — asserted with margin; the residual gap is the
-    finite-ray sampling of late, sub-gate image patches (module
-    docstring)."""
+    """Echogram (4 ms bins) and RT60 of the reverb tail, arbitrated by
+    the exact image-source golden: both tracers are compared to it,
+    and ours must track it at least as tightly as the genuine does
+    (measured at matched 1e-3 energy thresholds: ours 2.8 dB mean vs
+    genuine 6.8 dB; RT60/golden 0.82 vs 0.68 — both tails are
+    threshold-truncated, ours less).  The early decay (genuine bins
+    above -30 dB, where its truncation is irrelevant) must also agree
+    directly between the two tracers."""
+    gold = _golden()
     g = _genuine(energy=1e-3)
     o = _ours(rays=16384, ir_s=0.25)
 
     nb = int(0.120 * SR)
-    bins = 192
+    ex, eg, eo = _echogram(gold, nb), _echogram(g, nb), _echogram(o, nb)
 
-    def echogram(ir):
-        x = np.pad(np.asarray(ir, np.float64),
-                   (0, max(0, nb - len(ir))))[:nb] ** 2
-        e = x.reshape(-1, bins).sum(-1)
-        return 10 * np.log10(np.maximum(e / e.max(), 1e-12))
+    def vs_gold(e):
+        mask = (ex > -40) & (e > -40)
+        return np.abs(ex - e)[mask], int(mask.sum())
 
-    eg, eo = echogram(g), echogram(o)
-    mask = (eg > -40) & (eo > -40)
-    assert mask.sum() >= 8          # decay visible in both
+    d_g, n_g = vs_gold(eg)
+    d_o, n_o = vs_gold(eo)
+    assert n_o >= 8 and n_g >= 8
+    assert d_o.mean() < 4.0, d_o
+    assert d_o.mean() <= d_g.mean() + 0.5, (d_o.mean(), d_g.mean())
+
+    # early decay, directly tracer-vs-tracer
+    mask = (eg > -30) & (eo > -30)
+    assert mask.sum() >= 6
     diff = np.abs(eg - eo)[mask]
-    assert diff.mean() < 4.0, diff
-    assert diff.max() < 8.0, diff
+    assert diff.mean() < 5.0, diff
 
-    rg, ro_ = _rt60(g), _rt60(o)
-    assert 0.70 * rg <= ro_ <= 1.25 * rg, (rg, ro_)
+    rg, ro_, rx = _rt60(g), _rt60(o), _rt60(gold)
+    # both truncated at 1e-3; ours must sit between the genuine's
+    # truncated tail and the golden (with margin)
+    assert 0.70 * rx <= ro_ <= 1.15 * rx, (ro_, rx)
+    assert ro_ >= rg * 0.95, (ro_, rg)
+
+
+def test_rt60_converges_to_image_source_model():
+    """With the ray budget up and the energy floor down, the TPU
+    tracer's RT60 converges to the exact image-source golden
+    (measured: ratio 0.97 at 16k rays, 1.03 at 64k; the genuine
+    tracer at its matching 1e-4 threshold sits at 0.94 —
+    NUMERICS.md round-4 estimator study)."""
+    gold = _golden()
+    o = _ours(rays=65536, ir_s=0.25, energy_floor=1e-4)
+    ro_, rx = _rt60(o), _rt60(gold)
+    assert 0.88 * rx <= ro_ <= 1.12 * rx, (ro_, rx)
+    nb = int(0.120 * SR)
+    ex, eo = _echogram(gold, nb), _echogram(o, nb)
+    mask = (ex > -40) & (eo > -40)
+    d = np.abs(ex - eo)[mask]
+    assert d.mean() < 2.5, d
 
 
 def test_distance_scaling_matches_genuine():
