@@ -198,6 +198,16 @@ def main_measure():
         y, eq = biquad_block.cascade_block_fused(params.eq_block, st.eq, x)
         return st._replace(eq=eq), jnp.sum(y) * 1e-9
 
+    def v_fft(st, x):
+        # one rfft+irfft pair at the convolver's frame size, no MAC:
+        # isolates the backend's FFT cost inside the FDL stage
+        from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc
+        frame = jnp.concatenate([st.fdl.history, x], axis=-1)
+        sr, si = rfft_sc(frame)
+        y = irfft_sc((sr, si), axis=-1)[..., x.shape[-1]:]
+        return st._replace(fdl=st.fdl._replace(history=x)), \
+            jnp.sum(y) * 1e-9
+
     def v_fdl(st, x):
         y, eq = biquad_block.cascade_block_fused(params.eq_block, st.eq, x)
         fdl, y = fftconv.fdl_ring_step(params.h_spectra, st.fdl, y)
@@ -218,9 +228,11 @@ def main_measure():
         return st, jnp.sum(quantize_i16(y, table, jnp.uint32(3))
                            .astype(jnp.float32)) * 1e-9
 
+    # fft1 sits LAST: it is a side probe (FFT pair alone), not part of
+    # the stage-prefix chain the consecutive marginals difference.
     variants = [("floor", v_floor), ("eq", v_eq), ("fdl", v_fdl),
                 ("sidechain", v_sc), ("env+gain", v_env),
-                ("i16", v_i16)]
+                ("i16", v_i16), ("fft1", v_fft)]
 
     # Each variant is timed as ONE dispatch running SCAN sequential
     # steps inside a lax.scan: device time scales by SCAN while the
@@ -228,7 +240,9 @@ def main_measure():
     # (t - floor)/SCAN carries the floor's jitter divided by SCAN —
     # per-call differencing (the round-2 methodology) stops working
     # when the floor's weather jitter exceeds the stage deltas.
-    SCAN = 32
+    # SCAN=128: a congested session's round trip jitters by +-3 ms,
+    # so 32 steps/dispatch still left +-90 us/step of noise.
+    SCAN = 128
 
     def scanned(fn):
         def run(st, x):

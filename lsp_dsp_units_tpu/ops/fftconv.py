@@ -229,16 +229,30 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
     frame = jnp.concatenate([state.history, x_block], axis=-1)
     sr, si = rfft_sc(frame)
     w = (state.pos + 1) % p
+    # MAC over the OLD ring with the replaced slot's weight masked to
+    # zero, plus the newest spectrum's H[0] term added separately.
+    # Mathematically identical to updating the ring first and summing
+    # sum_q buf[q] * H[(w-q)%P] — but it keeps the updated ring's ONLY
+    # consumer the next-iteration carry, so XLA's buffer assigner can
+    # alias the dynamic-update-slice in place.  With the MAC reading
+    # the post-update ring instead, the update fuses into full-buffer
+    # select passes that REWRITE all [*, P, F] spectra every block
+    # (2 x 2 x 25 MB at rank 14/1 s IR — measured as the dominant FDL
+    # stage cost in the NUMERICS round-4 anatomy).
+    rot = (w - jnp.arange(p)) % p
+    keep = (jnp.arange(p) != w)[..., None]
+    hre = jnp.where(keep, jnp.take(h_spectra.re, rot, axis=-2), 0.0)
+    him = jnp.where(keep, jnp.take(h_spectra.im, rot, axis=-2), 0.0)
+    acc_re, acc_im = sc_sum(
+        sc_mul((state.spec_re, state.spec_im), (hre, him)), axis=-2)
+    h0re = h_spectra.re[..., 0, :]
+    h0im = h_spectra.im[..., 0, :]
+    acc = (acc_re + (sr * h0re - si * h0im),
+           acc_im + (sr * h0im + si * h0re))
     buf_re = jax.lax.dynamic_update_index_in_dim(
         state.spec_re, sr, w, axis=-2)
     buf_im = jax.lax.dynamic_update_index_in_dim(
         state.spec_im, si, w, axis=-2)
-    # Hrot[q] = H[(w - q) % P] so that sum_q buf[q] * Hrot[q]
-    #         = sum_p buf[(w - p) % P] * H[p]
-    rot = (w - jnp.arange(p)) % p
-    hre = jnp.take(h_spectra.re, rot, axis=-2)
-    him = jnp.take(h_spectra.im, rot, axis=-2)
-    acc = sc_sum(sc_mul((buf_re, buf_im), (hre, him)), axis=-2)
     y = irfft_sc(acc, axis=-1)[..., x_block.shape[-1]:]
     return RingFDLState(spec_re=buf_re, spec_im=buf_im,
                         history=x_block, pos=w), y.astype(x_block.dtype)

@@ -15,14 +15,39 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+_GROUP = 128
+
+
 def sliding_sum(frame: Array, n: int, t: int) -> Array:
     """Trailing-window sums over ``frame = [n history, t new]`` (last
     axis): ``out[i] = sum(frame[i+1 .. i+n])`` for i in [0, t) — each
-    output is the sum of the window ENDING at new sample i."""
-    cz = jnp.concatenate(
-        [jnp.zeros_like(frame[..., :1]), jnp.cumsum(frame, axis=-1)],
-        axis=-1)
-    return cz[..., n + 1: n + 1 + t] - cz[..., 1: 1 + t]
+    output is the sum of the window ENDING at new sample i.
+
+    The prefix sum is TWO-LEVEL (within-lane-group cumsum + group-total
+    cumsum broadcast back): a flat ``jnp.cumsum`` over the time axis
+    lowers to ~log2(T) full-array VPU passes, measured at 0.118 ms of
+    the chain block (NUMERICS round-4 anatomy) for what is ~8 us of
+    traffic; the blocked form does the long-axis scan over T/128
+    group totals only.  Summation ORDER differs from the flat cumsum
+    (f32 rounding at ~1e-7 relative), which every consumer tolerates
+    (windows are >= 1 sample scale)."""
+    length = frame.shape[-1]
+    if length <= 2 * _GROUP:
+        cz = jnp.concatenate(
+            [jnp.zeros_like(frame[..., :1]),
+             jnp.cumsum(frame, axis=-1)], axis=-1)
+        return cz[..., n + 1: n + 1 + t] - cz[..., 1: 1 + t]
+    pad = (-length) % _GROUP
+    fp = jnp.pad(frame, [(0, 0)] * (frame.ndim - 1) + [(0, pad)])
+    k = fp.shape[-1] // _GROUP
+    g = fp.reshape(fp.shape[:-1] + (k, _GROUP))
+    inner = jnp.cumsum(g, axis=-1)                     # [..., K, G]
+    totals = inner[..., -1]                            # [..., K]
+    outer = jnp.cumsum(totals, axis=-1) - totals       # exclusive
+    p_incl = (inner + outer[..., None]).reshape(
+        fp.shape[:-1] + (k * _GROUP,))
+    # out[i] = P[n + i] - P[i]  (P = inclusive prefix of frame)
+    return p_incl[..., n: n + t] - p_incl[..., : t]
 
 
 __all__ = ["sliding_sum"]
