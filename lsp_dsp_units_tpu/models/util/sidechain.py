@@ -101,6 +101,22 @@ class Sidechain:
             rms, y = dyn.onepole_lowpass(state.rms, x, self.tau)
             return state._replace(rms=rms), jnp.maximum(y, 0.0)
         if self.mode == SidechainMode.RMS:
+            t = x.shape[-1]
+            # Mosaic fast path: rolling-sum RMS in one VMEM pass (the
+            # reference's own incremental form, Sidechain.cpp:455-460,
+            # refreshed from the carried window every block).  The
+            # cumsum-difference fallback lowers to ~log2(T) full-array
+            # passes (0.11 ms of the chain block vs ~0.03 — NUMERICS
+            # round-4 anatomy).  Gated like ops.dynamics.peak_envelope:
+            # 2D input, tile-aligned shapes, VMEM budget.
+            c_pad = -(-x.shape[0] // 128) * 128 if x.ndim == 2 else 0
+            if (x.ndim == 2 and t >= n and t % 8 == 0 and n % 8 == 0
+                    and jax.default_backend() == "tpu"
+                    and (2 * t + 2 * n) * c_pad * 4 <= (9 << 20)):
+                from lsp_dsp_units_tpu.ops.pallas_env import (
+                    sliding_rms_pallas)
+                win, y = sliding_rms_pallas(state.window, x, n, 1.0)
+                return state._replace(window=win), y
             sq = x * x
             frame = jnp.concatenate([state.window, sq], axis=-1)
             win = _sliding_sum(frame, n, x.shape[-1])

@@ -232,6 +232,105 @@ def gate_envelope_pallas(env_state, curve, x: Array, tau_attack,
     return new_state, new_curve, env_t[:, :c].T, curves
 
 
+def _rms_kernel(params_ref, x_ref, win_ref, lvl_ref, wout_ref,
+                *, n_win, unroll):
+    """Sliding-RMS detector in one VMEM pass.
+
+    Pass A (serial rows, ``unroll`` per iteration): rolling sum
+    ``rsum += sq[t] - sq[t - N]`` with the subtrahend read from the
+    carried window for t < N and recomputed from x for t >= N; the
+    row's rsum lands in lvl_ref.  Pass B (vectorized): one
+    ``sqrt(max(rsum, 0) / N)`` sweep over the whole tile.  The XLA
+    cumsum-difference form of the same window lowers to ~log2(T)
+    full-array passes (measured 0.11 ms of the chain block for ~8 us
+    of traffic — NUMERICS round-4 anatomy)."""
+    from jax.experimental import pallas as pl
+
+    g = params_ref[0, 0]
+    t_total = x_ref.shape[0]
+
+    def sq_rows(rows):
+        v = rows * g
+        return v * v
+
+    def accum(new8, old8, rsum):
+        rows = []
+        for j in range(unroll):
+            rsum = rsum + (new8[j:j + 1, :] - old8[j:j + 1, :])
+            rows.append(rsum)
+        return rsum, jnp.concatenate(rows, axis=0)
+
+    # two loops so every slice offset is a plain k*unroll expression
+    # (clamped min/max offsets + a where-select measured ~10x slower
+    # through Mosaic than monotone strides): rows t < N subtract the
+    # carried window (previous block's last N squares), rows t >= N
+    # subtract this block's own squares N rows back.  N % unroll == 0
+    # keeps the boundary between iterations.
+    def body_head(k, rsum):
+        t0 = k * unroll
+        new8 = sq_rows(x_ref[pl.ds(t0, unroll), :])
+        old8 = win_ref[pl.ds(t0, unroll), :]
+        rsum, rows = accum(new8, old8, rsum)
+        lvl_ref[pl.ds(t0, unroll), :] = rows
+        return rsum
+
+    def body_tail(k, rsum):
+        t0 = k * unroll
+        new8 = sq_rows(x_ref[pl.ds(t0, unroll), :])
+        old8 = sq_rows(x_ref[pl.ds(t0 - n_win, unroll), :])
+        rsum, rows = accum(new8, old8, rsum)
+        lvl_ref[pl.ds(t0, unroll), :] = rows
+        return rsum
+
+    rsum0 = jnp.sum(win_ref[...], axis=0, keepdims=True)    # [1, C]
+    rsum0 = jax.lax.fori_loop(0, n_win // unroll, body_head, rsum0)
+    jax.lax.fori_loop(n_win // unroll, t_total // unroll, body_tail,
+                      rsum0)
+    inv_n = 1.0 / n_win
+    lvl_ref[...] = jnp.sqrt(jnp.maximum(lvl_ref[...] * inv_n, 0.0))
+    wout_ref[...] = sq_rows(x_ref[pl.ds(t_total - n_win, n_win), :])
+
+
+def sliding_rms_pallas(window: Array, x: Array, n_win: int, gain,
+                       interpret: bool = False):
+    """Sliding-window RMS level detector on 2D [C, T] inputs
+    (reference Sidechain.cpp:520-556 RMS mode).
+
+    ``window``: [C, N] carried squared-detector history.  Returns
+    (window' [C, N], level [C, T]).  Requires T >= N and
+    T % 8 == N % 8 == 0 (callers fall back to the cumsum form
+    otherwise — models/util/sidechain.py)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c, t = x.shape
+    n = int(n_win)
+    assert t >= n and t % _UNROLL == 0 and n % _UNROLL == 0
+    c_pad = -(-c // _LANES) * _LANES
+    xt = jnp.zeros((t, c_pad), jnp.float32)
+    xt = jax.lax.dynamic_update_slice(
+        xt, jnp.abs(x).T.astype(jnp.float32), (0, 0))
+    wt = jnp.zeros((n, c_pad), jnp.float32)
+    wt = jax.lax.dynamic_update_slice(
+        wt, window.T.astype(jnp.float32), (0, 0))
+    params = jnp.reshape(jnp.asarray(
+        [jnp.asarray(gain, jnp.float32)] + [jnp.float32(0.0)] * 7,
+        jnp.float32), (1, 8))
+
+    lvl, wout = pl.pallas_call(
+        functools.partial(_rms_kernel, n_win=n, unroll=_UNROLL),
+        out_shape=(jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((n, c_pad), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(params, xt, wt)
+    return wout[:, :c].T, lvl[:, :c].T
+
+
 def peak_envelope_pallas(env_state, x: Array, tau_attack, tau_release,
                          hold_samples, release_thresh=None,
                          interpret: bool = False):

@@ -284,3 +284,31 @@ def test_peak_envelope_pallas_matches_scan_unrolled_and_ragged():
                 np.asarray(st_pl.peak), np.asarray(st_scan.peak))
             np.testing.assert_array_equal(
                 np.asarray(st_pl.hold), np.asarray(st_scan.hold))
+
+
+def test_sliding_rms_pallas_matches_cumsum_form():
+    """The Mosaic sliding-RMS kernel (interpreter mode) matches the
+    cumsum-difference sidechain detector to f32 rounding, including the
+    carried-window boundary and the window-state handoff across calls."""
+    from lsp_dsp_units_tpu.ops.pallas_env import sliding_rms_pallas
+    from lsp_dsp_units_tpu.ops.sliding import sliding_sum
+
+    rng = np.random.default_rng(12)
+    c, n = 5, 16
+    win = jnp.asarray((rng.standard_normal((c, n)) ** 2)
+                      .astype(np.float32))
+    win_pl = win
+    for t_len in (64, 128):
+        x = jnp.asarray(np.abs(rng.standard_normal((c, t_len)))
+                        .astype(np.float32))
+        frame = jnp.concatenate([win, x * x], axis=-1)
+        lvl_ref = jnp.sqrt(jnp.maximum(
+            sliding_sum(frame, n, t_len) / n, 0.0))
+        win = frame[..., -n:]
+        win_pl, lvl_pl = sliding_rms_pallas(win_pl, x, n, 1.0,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(lvl_pl),
+                                   np.asarray(lvl_ref),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(win_pl), np.asarray(win),
+                                   rtol=0, atol=1e-7)
