@@ -21,12 +21,46 @@ Array = jax.Array
 SC = Tuple[Array, Array]   # (real, imag)
 
 
+# MXU matmul FFT (ops.mxfft, Cooley-Tukey four-step, f64-precomputed
+# tables, precision=HIGHEST): an attempt to beat the TPU backend's
+# native FFT, which runs 15-20x below HBM streaming rate at the
+# convolver frame sizes (NUMERICS.md round-4 anatomy: 180 us for one
+# 64x16384 rfft+irfft pair).  MEASURED NEGATIVE on the current
+# backend: the pair costs ~189 us — the two swapaxes data movements
+# per stage plus the 3-pass HIGHEST-precision f32 matmuls eat the
+# MXU win exactly (numerics are fine: 139 dB fwd / 136 dB roundtrip
+# on-chip).  Kept opt-in via LSP_TPU_MXFFT=1 for backends with
+# faster transposes or native-f32 MXUs; default is the native FFT.
+_MXFFT_MIN = 2048
+
+
+def _use_mxfft(n: int | None, axis: int) -> bool:
+    import os
+    return (os.environ.get("LSP_TPU_MXFFT") == "1"
+            and n is not None and axis == -1 and n >= _MXFFT_MIN
+            and (n & (n - 1)) == 0
+            and jax.default_backend() == "tpu")
+
+
 def rfft_sc(x: Array, n: int | None = None, axis: int = -1) -> SC:
+    if _use_mxfft(n if n is not None else x.shape[axis], axis):
+        m = x.shape[-1] if n is None else int(n)
+        if x.shape[-1] < m:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, m - x.shape[-1])]
+            x = jnp.pad(x, pad)
+        elif x.shape[-1] > m:
+            x = x[..., :m]
+        from lsp_dsp_units_tpu.ops.mxfft import rfft_mx
+        return rfft_mx(x, m)
     s = jnp.fft.rfft(x, n, axis=axis)
     return jnp.real(s), jnp.imag(s)
 
 
 def irfft_sc(sc: SC, n: int | None = None, axis: int = -1) -> Array:
+    m = 2 * (sc[0].shape[axis] - 1) if n is None else int(n)
+    if _use_mxfft(m, axis) and sc[0].shape[-1] == m // 2 + 1:
+        from lsp_dsp_units_tpu.ops.mxfft import irfft_mx
+        return irfft_mx(sc, m)
     return jnp.fft.irfft(jax.lax.complex(sc[0], sc[1]), n, axis=axis)
 
 
