@@ -197,20 +197,32 @@ class RingFDLState(NamedTuple):
     fdl_step rewrites the whole [P, F] spectra buffer every block
     (2 x ~98 MB of HBM traffic at rank 14); the ring writes only the
     new spectrum slot and ROTATES the (small) IR spectra instead.
-    ``pos`` is the slot holding the newest block's spectrum."""
-    spec_re: Array   # [..., P, F] ring storage
+    PARTITION-MAJOR layout [P, ..., F] (batch dims in the middle): the
+    per-slot write is then a leading-plane update, and the Pallas MAC
+    kernel's [1, C_tile, F] blocks satisfy Mosaic's tiling rule (the
+    channel-major [..., P, F] layout would need illegal [8, 1, F]
+    blocks).  ``pos`` is the slot holding the newest block's
+    spectrum."""
+    spec_re: Array   # [P, ..., F] ring storage, partition-major
     spec_im: Array
     history: Array   # [..., B] previous input block (overlap-save)
     pos: Array       # [] int32
 
 
 def init_ring_fdl(h_spectra: Spectra, batch_shape: Tuple[int, ...] = (),
-                  dtype=jnp.float32) -> RingFDLState:
+                  dtype=jnp.float32, packed: bool = False
+                  ) -> RingFDLState:
+    """``packed=True`` stores the ring in the scrambled-packed order of
+    ops.pallas_fft (F = block instead of block + 1, Nyquist folded into
+    the DC bin's imaginary slot): fdl_ring_step then runs the whole FDL
+    through the Pallas four-step FFT + MAC kernels.  The h_spectra
+    stay natural-order; the step packs them on the fly (tiny)."""
     p, f = h_spectra.re.shape[-2], h_spectra.re.shape[-1]
     block = (f - 1)
+    fdim = block if packed else f
     return RingFDLState(
-        spec_re=jnp.zeros(batch_shape + (p, f), jnp.float32),
-        spec_im=jnp.zeros(batch_shape + (p, f), jnp.float32),
+        spec_re=jnp.zeros((p,) + batch_shape + (fdim,), jnp.float32),
+        spec_im=jnp.zeros((p,) + batch_shape + (fdim,), jnp.float32),
         history=jnp.zeros(batch_shape + (block,), dtype),
         pos=jnp.int32(p - 1))
 
@@ -222,13 +234,46 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
     summation order over partitions), different storage: slot
     ``(pos + 1) % P`` receives the new spectrum (one [F] write per
     channel) and the IR spectra are gathered rotated so partition p
-    multiplies slot ``(pos+1-p) % P``.  The big [P, F] history buffer
-    is READ once and written 1/P-th per block instead of fully
+    multiplies slot ``(pos+1-p) % P``.  The big [P, ..., F] history
+    buffer is READ once and written 1/P-th per block instead of fully
     rewritten twice."""
     p = h_spectra.re.shape[-2]
     frame = jnp.concatenate([state.history, x_block], axis=-1)
-    sr, si = rfft_sc(frame)
     w = (state.pos + 1) % p
+    # Mosaic fast path: MAC + slot write in one Pallas program (the XLA
+    # form below materializes the product and copies the carried ring
+    # around its dynamic-update-slice — measured ~160 us/block vs
+    # ~40 us of ring traffic, NUMERICS round-4 anatomy).  Gated on a
+    # [P, C, F] ring (the chain layout) and the TPU backend; CPU tests
+    # take the XLA path (tests/test_fftconv.py forces this branch in
+    # interpret mode).
+    b = x_block.shape[-1]
+    packed = state.spec_re.shape[-1] == b        # init_ring_fdl(packed=)
+    if packed and state.spec_re.ndim == 3 and h_spectra.re.ndim == 2:
+        # fully-Pallas FDL: four-step packed FFT (ops.pallas_fft) +
+        # ring MAC, spectra in scrambled-packed order end to end
+        from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+        from lsp_dsp_units_tpu.ops.pallas_fdl import ring_mac_pallas
+        interp = jax.default_backend() != "tpu"
+        nfft = 2 * b
+        sr_p, si_p = pfft.rfft_packed(frame, interpret=interp)
+        hre_p, him_p = pfft.pack_spectra(h_spectra.re, h_spectra.im,
+                                         nfft)
+        rot_full = (w - jnp.arange(p)) % p
+        acc_re, acc_im, buf_re, buf_im = ring_mac_pallas(
+            state.spec_re, state.spec_im,
+            jnp.take(hre_p, rot_full, axis=-2),
+            jnp.take(him_p, rot_full, axis=-2),
+            sr_p, si_p, w, interpret=interp, packed_dc=True)
+        y = pfft.irfft_packed((acc_re, acc_im), nfft,
+                              interpret=interp)[..., b:]
+        return RingFDLState(spec_re=buf_re, spec_im=buf_im,
+                            history=x_block, pos=w), y.astype(x_block.dtype)
+    # (A natural-order [P, C, 8193] Pallas MAC was built and measured
+    # SLOWER than this XLA form on-chip — the ragged 8193-lane blocks
+    # defeat Mosaic's tiling; the packed branch above is the fast path
+    # and the XLA step below stays the natural-order implementation.)
+    sr, si = rfft_sc(frame)
     # MAC over the OLD ring with the replaced slot's weight masked to
     # zero, plus the newest spectrum's H[0] term added separately.
     # Mathematically identical to updating the ring first and summing
@@ -239,20 +284,29 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
     # select passes that REWRITE all [*, P, F] spectra every block
     # (2 x 2 x 25 MB at rank 14/1 s IR — measured as the dominant FDL
     # stage cost in the NUMERICS round-4 anatomy).
+    nb = state.spec_re.ndim - 2        # batch dims between P and F
     rot = (w - jnp.arange(p)) % p
-    keep = (jnp.arange(p) != w)[..., None]
-    hre = jnp.where(keep, jnp.take(h_spectra.re, rot, axis=-2), 0.0)
-    him = jnp.where(keep, jnp.take(h_spectra.im, rot, axis=-2), 0.0)
+    keep = (jnp.arange(p) != w).reshape((p,) + (1,) * (nb + 1))
+    # h [..., P, F] gathered rotated, partition axis moved leading to
+    # line up with the partition-major ring (singletons inserted so h's
+    # batch dims align right against the ring's)
+    hb = h_spectra.re.ndim - 2
+    hshape = ((p,) + (1,) * (nb - hb) + h_spectra.re.shape[:-2]
+              + h_spectra.re.shape[-1:])
+    hre = jnp.where(keep, jnp.moveaxis(
+        jnp.take(h_spectra.re, rot, axis=-2), -2, 0).reshape(hshape), 0.0)
+    him = jnp.where(keep, jnp.moveaxis(
+        jnp.take(h_spectra.im, rot, axis=-2), -2, 0).reshape(hshape), 0.0)
     acc_re, acc_im = sc_sum(
-        sc_mul((state.spec_re, state.spec_im), (hre, him)), axis=-2)
+        sc_mul((state.spec_re, state.spec_im), (hre, him)), axis=0)
     h0re = h_spectra.re[..., 0, :]
     h0im = h_spectra.im[..., 0, :]
     acc = (acc_re + (sr * h0re - si * h0im),
            acc_im + (sr * h0im + si * h0re))
     buf_re = jax.lax.dynamic_update_index_in_dim(
-        state.spec_re, sr, w, axis=-2)
+        state.spec_re, sr, w, axis=0)
     buf_im = jax.lax.dynamic_update_index_in_dim(
-        state.spec_im, si, w, axis=-2)
+        state.spec_im, si, w, axis=0)
     y = irfft_sc(acc, axis=-1)[..., x_block.shape[-1]:]
     return RingFDLState(spec_re=buf_re, spec_im=buf_im,
                         history=x_block, pos=w), y.astype(x_block.dtype)

@@ -1,0 +1,303 @@
+"""Pallas TPU four-step real FFT in SCRAMBLED-PACKED spectrum order.
+
+The backend's native FFT runs 15-20x below HBM streaming rate (the
+64x16384 rfft+irfft pair measures ~180 us — NUMERICS.md round-4
+anatomy) and the XLA matmul FFT (ops.mxfft) loses its MXU win to the
+HBM transposes between the four-step stages.  This kernel keeps the
+whole four-step inside VMEM, where the "transposes" are free: the
+stage-1 DFT contracts the SUBLANE axis by multiplying the DFT matrix
+from the LEFT, the stage-2 DFT contracts the LANE axis from the RIGHT,
+and the conjugate-pair permutation of the real-input untangle is two
+small permutation matmuls.  No data transposition ever happens.
+
+The price is the OUTPUT ORDER: bin (k1, k2) of the [n1, n2] result
+grid holds natural bin ``k = k1 + n1*k2`` ("scrambled"), and the
+Nyquist bin is packed into the imaginary slot of the (real) DC bin so
+the spectrum is exactly N/2 complex values on an aligned [n1, n2]
+grid.  The ring-FDL convolver never looks at bin ORDER — its MAC is
+elementwise and its IR spectra are packed once at build — so the
+scramble costs nothing and the irfft here consumes it directly.
+(Packing DC+Nyquist into one complex bin is the classic real-FFT
+convention the reference's own dsp::fastconv packed format uses,
+/root/reference — see PARITY.md fastconv notes.)
+
+Math (forward, N-point real, M = N/2 = n1*n2):
+  z[n] = x[2n] + i x[2n+1]                       (real packing)
+  Z[k1 + n1 k2] = sum_b W_M^(b k1) W_n2^(b k2) sum_a z[a,b] W_n1^(a k1)
+      with z laid out [a, b] (n = a*n2 + b):
+      stage A:  y  = W1 @ z        ([n1,n1] left-matmul, W1 symmetric)
+      stage B:  t  = y * tw        (elementwise twiddle [n1,n2])
+      stage C:  Z  = t @ W2        ([n2,n2] right-matmul)
+  untangle:  X[k] = E[k] + W_N^k O[k],
+      E = (Z + conj(Z[M-k]))/2,  O = -i (Z - conj(Z[M-k]))/2,
+      with Z[M-k] = P1 @ (Z @ R) (+ row-0 fix via R0-R), all
+      permutation matmuls;  X[M] (real) packed into im(X[0]).
+
+Tables are precomputed in float64 and rounded once; matmuls run at
+precision=HIGHEST (3-pass bf16 on the MXU — ops.mxfft measured 139 dB
+forward / 136 dB roundtrip at N=16384 with the same discipline).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_C_TILE = 8
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def factor_m(n: int) -> Tuple[int, int]:
+    """M = N/2 split as n1 * n2, n1 <= n2, both powers of two."""
+    m = n // 2
+    n1 = 1 << (m.bit_length() - 1 >> 1)
+    while m % n1:
+        n1 >>= 1
+    return n1, m // n1
+
+
+def supported(n: int) -> bool:
+    """Shapes this kernel handles well: N a power of two with an
+    [n1 >= 8, n2 multiple of 128] packed grid."""
+    if n & (n - 1) or n < 2048:
+        return False
+    n1, n2 = factor_m(n)
+    return n1 >= 8 and n2 % 128 == 0
+
+
+@functools.lru_cache(maxsize=8)
+def _tables(n: int):
+    n1, n2 = factor_m(n)
+    m = n // 2
+    a = np.arange(n1)
+    b = np.arange(n2)
+    w1 = np.exp(-2j * np.pi * np.outer(a, a) / n1)          # [n1, n1]
+    w2 = np.exp(-2j * np.pi * np.outer(b, b) / n2)          # [n2, n2]
+    tw = np.exp(-2j * np.pi * np.outer(a, b) / m)           # [n1, n2]
+    # W_N^k on the scrambled grid: k = k1 + n1 k2
+    k_grid = a[:, None] + n1 * b[None, :]
+    wn = np.exp(-2j * np.pi * k_grid / n)                   # [n1, n2]
+    # conj-pair permutations: Z[M-k] = (P1 @ (Z @ R))[k1,k2] with the
+    # k1 = 0 row read through R0 instead of R (see module docstring)
+    r_rev = np.zeros((n2, n2), np.float32)
+    r_rev[np.arange(n2)[::-1], np.arange(n2)] = 1.0         # b = n2-1-k2
+    r0 = np.zeros((n2, n2), np.float32)
+    r0[(-b) % n2, b] = 1.0                                  # b = (-k2)%n2
+    p1 = np.zeros((n1, n1), np.float32)
+    p1[(n1 - a) % n1, a] = 1.0    # row k1 reads row (n1-k1)%n1... see use
+    # p1[src, dst]: (P1 @ Y)[k1] = sum_a P1[k1, a] Y[a] -> need
+    # P1[k1, a] = 1 iff a = (n1 - k1) % n1
+    p1 = np.zeros((n1, n1), np.float32)
+    p1[a, (n1 - a) % n1] = 1.0
+    m0 = np.zeros((n1, n2), np.float32)
+    m0[0, :] = 1.0                                          # row-0 mask
+    m00 = np.zeros((n1, n2), np.float32)
+    m00[0, 0] = 1.0                                         # DC-bin mask
+    f32 = lambda z: (np.ascontiguousarray(z.real, np.float32),
+                     np.ascontiguousarray(z.imag, np.float32))
+    return (n1, n2, f32(w1), f32(w2), f32(tw), f32(wn),
+            p1, r_rev.astype(np.float32), (r0 - r_rev).astype(np.float32),
+            m0, m00)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_PREC,
+                   preferred_element_type=jnp.float32)
+
+
+def _conj_pair(zr, zi, p1, rrev, rfix, m0):
+    """(zfr, zfi) with zf[k1,k2] = conj(Z[(M - k)%M]) on the scrambled
+    grid."""
+    ar = _dot(zr, rrev)
+    ai = _dot(zi, rrev)
+    pr = _dot(p1, ar) + m0 * _dot(zr, rfix)
+    pi = _dot(p1, ai) + m0 * _dot(zi, rfix)
+    return pr, -pi
+
+
+def _fwd_one(zr, zi, t):
+    """Forward four-step + untangle for ONE channel ([n1, n2] grids)."""
+    (_, _, (w1r, w1i), (w2r, w2i), (twr, twi), (wnr, wni),
+     p1, rrev, rfix, m0, m00) = t
+    # stage A: y = W1 @ z
+    yr = _dot(w1r, zr) - _dot(w1i, zi)
+    yi = _dot(w1r, zi) + _dot(w1i, zr)
+    # stage B: twiddle
+    tr = yr * twr - yi * twi
+    ti = yr * twi + yi * twr
+    # stage C: Z = t @ W2
+    fr = _dot(tr, w2r) - _dot(ti, w2i)
+    fi = _dot(tr, w2i) + _dot(ti, w2r)
+    # untangle to the rfft half-spectrum
+    zfr, zfi = _conj_pair(fr, fi, p1, rrev, rfix, m0)
+    er = 0.5 * (fr + zfr)
+    ei = 0.5 * (fi + zfi)
+    orr = 0.5 * (fi - zfi)        # O = -i (Z - conj_pair)/2
+    oi = -0.5 * (fr - zfr)
+    xr = er + wnr * orr - wni * oi
+    xi = ei + wnr * oi + wni * orr
+    # pack Nyquist X[M] = E[0,0] - O[0,0] into im of the DC bin
+    xi = xi * (1.0 - m00) + (er - orr) * m00
+    return xr, xi
+
+
+def _inv_one(xr, xi, t, inv_m):
+    """Inverse for ONE channel: scrambled-packed [n1, n2] spectrum ->
+    packed time z = x[2n] + i x[2n+1] on the natural [a, b] grid."""
+    (_, _, (w1r, w1i), (w2r, w2i), (twr, twi), (wnr, wni),
+     p1, rrev, rfix, m0, m00) = t
+    # strip the packed Nyquist: true X grid has im(X[0]) = 0
+    k1 = 1.0 - m00
+    xr0 = xr
+    xi0 = xi * k1
+    # Xf[k] = conj(X[M-k]); bin (0,0) must read the PACKED X[M]
+    xfr, xfi = _conj_pair(xr0, xi0, p1, rrev, rfix, m0)
+    xfr = xfr * k1 + xi * m00     # X[M] (real) from the packed slot
+    xfi = xfi * k1
+    er = 0.5 * (xr0 + xfr)
+    ei = 0.5 * (xi0 + xfi)
+    dr = 0.5 * (xr0 - xfr)
+    di = 0.5 * (xi0 - xfi)
+    # O = D * conj(W_N^k)
+    orr = dr * wnr + di * wni
+    oi = di * wnr - dr * wni
+    # Z = E + i O
+    zr = er - oi
+    zi = ei + orr
+    # inverse four-step (conjugated tables), natural-order output
+    ur = _dot(zr, w2r) + _dot(zi, w2i)
+    ui = _dot(zi, w2r) - _dot(zr, w2i)
+    vr = ur * twr + ui * twi
+    vi = ui * twr - ur * twi
+    gr = _dot(w1r, vr) + _dot(w1i, vi)
+    gi = _dot(w1r, vi) - _dot(w1i, vr)
+    return gr * inv_m, gi * inv_m
+
+
+def _fwd_kernel(zr_ref, zi_ref, *rest):
+    (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
+     xr_ref, xi_ref) = rest
+    t = (None, None, (w1r_ref[...], w1i_ref[...]),
+         (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
+         (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
+         rfix_ref[...], m0_ref[...], m00_ref[...])
+    for c in range(zr_ref.shape[0]):
+        xr, xi = _fwd_one(zr_ref[c], zi_ref[c], t)
+        xr_ref[c] = xr
+        xi_ref[c] = xi
+
+
+def _inv_kernel(xr_ref, xi_ref, *rest, inv_m):
+    (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
+     zr_ref, zi_ref) = rest
+    t = (None, None, (w1r_ref[...], w1i_ref[...]),
+         (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
+         (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
+         rfix_ref[...], m0_ref[...], m00_ref[...])
+    for c in range(xr_ref.shape[0]):
+        zr, zi = _inv_one(xr_ref[c], xi_ref[c], t, inv_m)
+        zr_ref[c] = zr
+        zi_ref[c] = zi
+
+
+def _call(kernel, n: int, a_re: Array, a_im: Array,
+          interpret: bool, **kw):
+    from jax.experimental import pallas as pl
+
+    t = _tables(n)
+    n1, n2 = t[0], t[1]
+    consts = [jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
+              for v in pair] + [jnp.asarray(t[6]), jnp.asarray(t[7]),
+                                jnp.asarray(t[8]), jnp.asarray(t[9]),
+                                jnp.asarray(t[10])]
+    c = a_re.shape[0]
+    c_t = _C_TILE if c % _C_TILE == 0 else c
+    const_specs = [
+        pl.BlockSpec(v.shape, functools.partial(
+            lambda nd, ci: (0,) * nd, v.ndim)) for v in consts]
+    out_re, out_im = pl.pallas_call(
+        functools.partial(kernel, **kw),
+        grid=(c // c_t,),
+        in_specs=[pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0)),
+                  pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0))]
+        + const_specs,
+        out_specs=(pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0)),
+                   pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((c, n1, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((c, n1, n2), jnp.float32)),
+        interpret=interpret,
+    )(a_re, a_im, *consts)
+    return out_re, out_im
+
+
+def rfft_packed(x: Array, interpret: bool = False
+                ) -> Tuple[Array, Array]:
+    """Real N-point FFT -> scrambled-packed split-complex spectrum.
+
+    x: [C, N] float32.  Returns (re, im) each [C, N//2] — bin order as
+    per the module docstring (elementwise-compatible with any spectrum
+    produced by this function or :func:`pack_spectra`)."""
+    c, n = x.shape
+    n1, n2 = factor_m(n)
+    xp = x.astype(jnp.float32).reshape(c, n // 2, 2)
+    zr = xp[..., 0].reshape(c, n1, n2)
+    zi = xp[..., 1].reshape(c, n1, n2)
+    xr, xi = _call(_fwd_kernel, n, zr, zi, interpret)
+    return xr.reshape(c, n // 2), xi.reshape(c, n // 2)
+
+
+def irfft_packed(spec: Tuple[Array, Array], n: int,
+                 interpret: bool = False) -> Array:
+    """Inverse of :func:`rfft_packed`: [C, N//2] scrambled-packed
+    split-complex -> real [C, N]."""
+    xr, xi = spec
+    c = xr.shape[0]
+    n1, n2 = factor_m(n)
+    zr, zi = _call(_inv_kernel, n, xr.reshape(c, n1, n2),
+                   xi.reshape(c, n1, n2), interpret,
+                   inv_m=float(2.0 / n))
+    out = jnp.stack([zr.reshape(c, n // 2), zi.reshape(c, n // 2)],
+                    axis=-1)
+    return out.reshape(c, n)
+
+
+@functools.lru_cache(maxsize=8)
+def _pack_perm(n: int) -> np.ndarray:
+    n1, n2 = factor_m(n)
+    s = np.arange(n // 2)
+    return ((s // n2) + n1 * (s % n2)).astype(np.int32)
+
+
+def pack_spectra(re: Array, im: Array, n: int) -> Tuple[Array, Array]:
+    """Natural-order rfft spectrum [..., N//2 + 1] -> scrambled-packed
+    [..., N//2] (Nyquist folded into im of the DC bin).  Used to
+    convert IR spectra (ops.fftconv.Spectra) once per step — tiny
+    ([P, F]) next to the ring traffic."""
+    perm = jnp.asarray(_pack_perm(n))
+    pre = jnp.take(re, perm, axis=-1)
+    pim = jnp.take(im, perm, axis=-1)
+    # bin 0: re = DC (perm[0] = 0 already), im = Nyquist (real)
+    nyq = re[..., -1:]
+    pim = jnp.concatenate([nyq, pim[..., 1:]], axis=-1)
+    return pre, pim
+
+
+def unpack_spectra(pre: Array, pim: Array, n: int
+                   ) -> Tuple[Array, Array]:
+    """Inverse of :func:`pack_spectra` (tests / interop)."""
+    inv = np.zeros(n // 2, np.int64)
+    inv[_pack_perm(n)] = np.arange(n // 2)
+    inv_j = jnp.asarray(inv)
+    re_nat = jnp.take(pre, inv_j, axis=-1)
+    im_nat = jnp.take(pim, inv_j, axis=-1).at[..., 0].set(0.0)
+    re = jnp.concatenate([re_nat, pim[..., :1]], axis=-1)   # Nyquist
+    im = jnp.concatenate([im_nat, pim[..., :1] * 0.0], axis=-1)
+    return re, im

@@ -147,9 +147,18 @@ class FilterConvChain:
     def init_ring_state(self, params: ChainParams,
                         channels: Optional[int] = None) -> ChainRingState:
         c = self.channels if channels is None else channels
+        # scrambled-packed ring (ops.pallas_fft): the whole FDL —
+        # rfft, ring MAC, irfft — runs as Pallas kernels on TPU (the
+        # backend's native FFT is 15-20x off HBM speed-of-light,
+        # NUMERICS round-4 anatomy); elsewhere the natural-order ring
+        # with the XLA step is the fast path
+        from lsp_dsp_units_tpu.ops import pallas_fft
+        packed = (jax.default_backend() == "tpu"
+                  and pallas_fft.supported(2 * self.block))
         return ChainRingState(
             eq=biquad_ops.init_state(params.eq_coeffs.shape[0], (c,)),
-            fdl=fftconv.init_ring_fdl(params.h_spectra, (c,)),
+            fdl=fftconv.init_ring_fdl(params.h_spectra, (c,),
+                                      packed=packed),
             sc=self.sidechain.init_state((c,)),
             env=dyn.env_init((c,)))
 

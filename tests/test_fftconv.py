@@ -173,3 +173,62 @@ def test_convolver_odd_chunk_streaming_matches_direct():
     err = np.abs(y[: src.size] - golden).max()
     scale = np.abs(golden).max()
     assert err < 1e-3 * scale, err
+
+
+def test_ring_mac_pallas_matches_ring_step():
+    """The Pallas ring-MAC fast path (ops.pallas_fdl, the TPU branch of
+    fdl_ring_step) streamed over several blocks equals the XLA ring
+    step to f32 summation noise."""
+    from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc
+    from lsp_dsp_units_tpu.ops.pallas_fdl import ring_mac_pallas
+
+    rng = np.random.default_rng(7)
+    block, c = 256, 16
+    ir = rng.standard_normal(block * 5 + 37).astype(np.float32) * 0.2
+    h = fftconv.parse_ir(jnp.asarray(ir), block)
+    p = h.re.shape[-2]
+
+    st_x = fftconv.init_ring_fdl(h, (c,))
+    st_p = fftconv.init_ring_fdl(h, (c,))
+    for k in range(2 * p + 3):
+        x = jnp.asarray(
+            rng.standard_normal((c, block)).astype(np.float32))
+        st_x, y_ref = fftconv.fdl_ring_step(h, st_x, x)
+        # the pallas branch, forced (interpret mode; the in-step gate
+        # only takes it on the TPU backend)
+        frame = jnp.concatenate([st_p.history, x], axis=-1)
+        sr, si = rfft_sc(frame)
+        w = (st_p.pos + 1) % p
+        rot = (w - jnp.arange(p)) % p
+        acc_re, acc_im, buf_re, buf_im = ring_mac_pallas(
+            st_p.spec_re, st_p.spec_im,
+            jnp.take(h.re, rot, axis=-2), jnp.take(h.im, rot, axis=-2),
+            sr, si, w, interpret=True)
+        y = irfft_sc((acc_re, acc_im), axis=-1)[..., block:]
+        st_p = fftconv.RingFDLState(spec_re=buf_re, spec_im=buf_im,
+                                    history=x, pos=w)
+        assert snr_db(np.asarray(y_ref), np.asarray(y)) > 110.0, k
+    np.testing.assert_allclose(np.asarray(st_x.spec_re),
+                               np.asarray(st_p.spec_re), atol=1e-6)
+    assert int(st_x.pos) == int(st_p.pos)
+
+
+def test_ring_fdl_packed_matches_natural():
+    """The scrambled-packed Pallas FDL (init_ring_fdl(packed=True):
+    four-step packed FFT + packed-DC ring MAC, interpret mode off-TPU)
+    streams identically to the natural-order XLA ring step."""
+    rng = np.random.default_rng(11)
+    block, c = 2048, 8
+    ir = rng.standard_normal(block * 3 + 101).astype(np.float32) * 0.2
+    h = fftconv.parse_ir(jnp.asarray(ir), block)
+    p = h.re.shape[-2]
+
+    st_n = fftconv.init_ring_fdl(h, (c,))
+    st_p = fftconv.init_ring_fdl(h, (c,), packed=True)
+    assert st_p.spec_re.shape == (p, c, block)
+    for k in range(p + 3):
+        x = jnp.asarray(
+            rng.standard_normal((c, block)).astype(np.float32))
+        st_n, y_ref = fftconv.fdl_ring_step(h, st_n, x)
+        st_p, y = fftconv.fdl_ring_step(h, st_p, x)
+        assert snr_db(np.asarray(y_ref), np.asarray(y)) > 100.0, k
