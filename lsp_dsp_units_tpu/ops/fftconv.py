@@ -266,7 +266,7 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
             jnp.take(him_p, rot_full, axis=-2),
             sr_p, si_p, w, interpret=interp, packed_dc=True)
         y = pfft.irfft_packed((acc_re, acc_im), nfft,
-                              interpret=interp)[..., b:]
+                              interpret=interp, half=True)
         return RingFDLState(spec_re=buf_re, spec_im=buf_im,
                             history=x_block, pos=w), y.astype(x_block.dtype)
     # (A natural-order [P, C, 8193] Pallas MAC was built and measured

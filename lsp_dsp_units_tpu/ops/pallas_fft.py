@@ -33,9 +33,11 @@ Math (forward, N-point real, M = N/2 = n1*n2):
       with Z[M-k] = P1 @ (Z @ R) (+ row-0 fix via R0-R), all
       permutation matmuls;  X[M] (real) packed into im(X[0]).
 
-Tables are precomputed in float64 and rounded once; matmuls run at
-precision=HIGHEST (3-pass bf16 on the MXU — ops.mxfft measured 139 dB
-forward / 136 dB roundtrip at N=16384 with the same discipline).
+Tables are precomputed in float64 and rounded once.  Matmuls run in
+bf16x3 emulation by default (``X3``: 105 dB forward / 103 dB
+roundtrip at N=16384, comfortably above the >=95 dB chain contract of
+NUMERICS.md, at half the MXU passes) or at precision=HIGHEST
+(138/135 dB measured on-chip) via ``x3=False``.
 """
 
 from __future__ import annotations
@@ -51,15 +53,24 @@ Array = jax.Array
 
 _C_TILE = 8
 _PREC = jax.lax.Precision.HIGHEST
+# default matmul mode: bf16x3 emulation (see _dot3) — measured ~105 dB
+# vs HIGHEST's 138 dB at roughly half the MXU time; flip per call via
+# the x3= parameter
+X3 = True
 
 
 def factor_m(n: int) -> Tuple[int, int]:
-    """M = N/2 split as n1 * n2, n1 <= n2, both powers of two."""
+    """M = N/2 split as n1 * n2, both powers of two, preferring the
+    most balanced split with n2 >= 128 (full lane tiles)."""
     m = n // 2
     n1 = 1 << (m.bit_length() - 1 >> 1)
     while m % n1:
         n1 >>= 1
-    return n1, m // n1
+    n2 = m // n1
+    while n2 < 128 and n1 >= 2:
+        n1 >>= 1
+        n2 <<= 1
+    return n1, n2
 
 
 def supported(n: int) -> bool:
@@ -111,20 +122,42 @@ def _dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
-def _conj_pair(zr, zi, p1, rrev, rfix, m0):
+def _dot3(a, b):
+    """bf16x3 f32-emulated matmul: split both operands into
+    high + low bfloat16 halves and drop the low*low term — the classic
+    3-pass decomposition (~2^-18 relative error, ~105 dB on the FFT
+    sizes here).  Mosaic supports only DEFAULT (1-pass bf16, ~50 dB)
+    and HIGHEST (6-pass, 138 dB measured) dot precisions; this is the
+    missing middle at half of HIGHEST's MXU time (pass cost measured
+    ~36 us per pass-set on the 64-ch pair — NUMERICS.md).  The
+    repeated table splits across the unrolled channel loop are CSE'd
+    by the compiler."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(p, q):
+        return jnp.dot(p, q, preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
+def _conj_pair(zr, zi, p1, rrev, rfix, m0, dot):
     """(zfr, zfi) with zf[k1,k2] = conj(Z[(M - k)%M]) on the scrambled
     grid."""
-    ar = _dot(zr, rrev)
-    ai = _dot(zi, rrev)
-    pr = _dot(p1, ar) + m0 * _dot(zr, rfix)
-    pi = _dot(p1, ai) + m0 * _dot(zi, rfix)
+    ar = dot(zr, rrev)
+    ai = dot(zi, rrev)
+    pr = dot(p1, ar) + m0 * dot(zr, rfix)
+    pi = dot(p1, ai) + m0 * dot(zi, rfix)
     return pr, -pi
 
 
-def _fwd_one(zr, zi, t):
+def _fwd_one(zr, zi, t, dot):
     """Forward four-step + untangle for ONE channel ([n1, n2] grids)."""
     (_, _, (w1r, w1i), (w2r, w2i), (twr, twi), (wnr, wni),
      p1, rrev, rfix, m0, m00) = t
+    _dot = dot
     # stage A: y = W1 @ z
     yr = _dot(w1r, zr) - _dot(w1i, zi)
     yi = _dot(w1r, zi) + _dot(w1i, zr)
@@ -135,7 +168,7 @@ def _fwd_one(zr, zi, t):
     fr = _dot(tr, w2r) - _dot(ti, w2i)
     fi = _dot(tr, w2i) + _dot(ti, w2r)
     # untangle to the rfft half-spectrum
-    zfr, zfi = _conj_pair(fr, fi, p1, rrev, rfix, m0)
+    zfr, zfi = _conj_pair(fr, fi, p1, rrev, rfix, m0, dot)
     er = 0.5 * (fr + zfr)
     ei = 0.5 * (fi + zfi)
     orr = 0.5 * (fi - zfi)        # O = -i (Z - conj_pair)/2
@@ -147,17 +180,24 @@ def _fwd_one(zr, zi, t):
     return xr, xi
 
 
-def _inv_one(xr, xi, t, inv_m):
+def _inv_one(xr, xi, t, inv_m, half, dot):
     """Inverse for ONE channel: scrambled-packed [n1, n2] spectrum ->
-    packed time z = x[2n] + i x[2n+1] on the natural [a, b] grid."""
+    packed time z = x[2n] + i x[2n+1] on the natural [a, b] grid.
+    ``half=True`` computes only rows a >= n1/2 (time samples N/2..N-1
+    — all an overlap-save consumer keeps), halving the final stage."""
     (_, _, (w1r, w1i), (w2r, w2i), (twr, twi), (wnr, wni),
      p1, rrev, rfix, m0, m00) = t
+    _dot = dot
+    if half:
+        n1 = w1r.shape[0]
+        w1r = w1r[n1 // 2:, :]
+        w1i = w1i[n1 // 2:, :]
     # strip the packed Nyquist: true X grid has im(X[0]) = 0
     k1 = 1.0 - m00
     xr0 = xr
     xi0 = xi * k1
     # Xf[k] = conj(X[M-k]); bin (0,0) must read the PACKED X[M]
-    xfr, xfi = _conj_pair(xr0, xi0, p1, rrev, rfix, m0)
+    xfr, xfi = _conj_pair(xr0, xi0, p1, rrev, rfix, m0, dot)
     xfr = xfr * k1 + xi * m00     # X[M] (real) from the packed slot
     xfi = xfi * k1
     er = 0.5 * (xr0 + xfr)
@@ -180,7 +220,7 @@ def _inv_one(xr, xi, t, inv_m):
     return gr * inv_m, gi * inv_m
 
 
-def _fwd_kernel(zr_ref, zi_ref, *rest):
+def _fwd_kernel(zr_ref, zi_ref, *rest, x3):
     (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
      wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
      xr_ref, xi_ref) = rest
@@ -188,13 +228,14 @@ def _fwd_kernel(zr_ref, zi_ref, *rest):
          (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
          (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
          rfix_ref[...], m0_ref[...], m00_ref[...])
+    dot = _dot3 if x3 else _dot
     for c in range(zr_ref.shape[0]):
-        xr, xi = _fwd_one(zr_ref[c], zi_ref[c], t)
+        xr, xi = _fwd_one(zr_ref[c], zi_ref[c], t, dot)
         xr_ref[c] = xr
         xi_ref[c] = xi
 
 
-def _inv_kernel(xr_ref, xi_ref, *rest, inv_m):
+def _inv_kernel(xr_ref, xi_ref, *rest, inv_m, half, x3):
     (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
      wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
      zr_ref, zi_ref) = rest
@@ -202,18 +243,20 @@ def _inv_kernel(xr_ref, xi_ref, *rest, inv_m):
          (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
          (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
          rfix_ref[...], m0_ref[...], m00_ref[...])
+    dot = _dot3 if x3 else _dot
     for c in range(xr_ref.shape[0]):
-        zr, zi = _inv_one(xr_ref[c], xi_ref[c], t, inv_m)
+        zr, zi = _inv_one(xr_ref[c], xi_ref[c], t, inv_m, half, dot)
         zr_ref[c] = zr
         zi_ref[c] = zi
 
 
 def _call(kernel, n: int, a_re: Array, a_im: Array,
-          interpret: bool, **kw):
+          interpret: bool, out_rows: int = 0, **kw):
     from jax.experimental import pallas as pl
 
     t = _tables(n)
     n1, n2 = t[0], t[1]
+    n1_out = out_rows or n1
     consts = [jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
               for v in pair] + [jnp.asarray(t[6]), jnp.asarray(t[7]),
                                 jnp.asarray(t[8]), jnp.asarray(t[9]),
@@ -229,16 +272,16 @@ def _call(kernel, n: int, a_re: Array, a_im: Array,
         in_specs=[pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0)),
                   pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0))]
         + const_specs,
-        out_specs=(pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0)),
-                   pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((c, n1, n2), jnp.float32),
-                   jax.ShapeDtypeStruct((c, n1, n2), jnp.float32)),
+        out_specs=(pl.BlockSpec((c_t, n1_out, n2), lambda ci: (ci, 0, 0)),
+                   pl.BlockSpec((c_t, n1_out, n2), lambda ci: (ci, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((c, n1_out, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((c, n1_out, n2), jnp.float32)),
         interpret=interpret,
     )(a_re, a_im, *consts)
     return out_re, out_im
 
 
-def rfft_packed(x: Array, interpret: bool = False
+def rfft_packed(x: Array, interpret: bool = False, x3: bool = X3
                 ) -> Tuple[Array, Array]:
     """Real N-point FFT -> scrambled-packed split-complex spectrum.
 
@@ -250,23 +293,29 @@ def rfft_packed(x: Array, interpret: bool = False
     xp = x.astype(jnp.float32).reshape(c, n // 2, 2)
     zr = xp[..., 0].reshape(c, n1, n2)
     zi = xp[..., 1].reshape(c, n1, n2)
-    xr, xi = _call(_fwd_kernel, n, zr, zi, interpret)
+    xr, xi = _call(_fwd_kernel, n, zr, zi, interpret, x3=x3)
     return xr.reshape(c, n // 2), xi.reshape(c, n // 2)
 
 
 def irfft_packed(spec: Tuple[Array, Array], n: int,
-                 interpret: bool = False) -> Array:
+                 interpret: bool = False, half: bool = False,
+                 x3: bool = X3) -> Array:
     """Inverse of :func:`rfft_packed`: [C, N//2] scrambled-packed
-    split-complex -> real [C, N]."""
+    split-complex -> real [C, N].  ``half=True`` returns only the LAST
+    N/2 samples (the kept half of an overlap-save frame), skipping half
+    the final DFT stage and half the output traffic."""
     xr, xi = spec
     c = xr.shape[0]
     n1, n2 = factor_m(n)
+    rows = n1 // 2 if half else n1
     zr, zi = _call(_inv_kernel, n, xr.reshape(c, n1, n2),
                    xi.reshape(c, n1, n2), interpret,
-                   inv_m=float(2.0 / n))
-    out = jnp.stack([zr.reshape(c, n // 2), zi.reshape(c, n // 2)],
+                   out_rows=rows, inv_m=float(2.0 / n), half=half,
+                   x3=x3)
+    m_out = rows * n2
+    out = jnp.stack([zr.reshape(c, m_out), zi.reshape(c, m_out)],
                     axis=-1)
-    return out.reshape(c, n)
+    return out.reshape(c, 2 * m_out)
 
 
 @functools.lru_cache(maxsize=8)

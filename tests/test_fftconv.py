@@ -231,4 +231,6 @@ def test_ring_fdl_packed_matches_natural():
             rng.standard_normal((c, block)).astype(np.float32))
         st_n, y_ref = fftconv.fdl_ring_step(h, st_n, x)
         st_p, y = fftconv.fdl_ring_step(h, st_p, x)
-        assert snr_db(np.asarray(y_ref), np.asarray(y)) > 100.0, k
+        # bar = the >=95 dB chain contract (NUMERICS.md): the packed
+        # path's default bf16x3 matmuls sit at ~103 dB per FFT
+        assert snr_db(np.asarray(y_ref), np.asarray(y)) > 95.0, k

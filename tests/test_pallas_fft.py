@@ -1,0 +1,72 @@
+"""ops.pallas_fft — the scrambled-packed four-step real FFT (interpret
+mode; the TPU path runs the same kernels compiled by Mosaic, measured
+138.6 dB HIGHEST / 105.4 dB bf16x3 on-chip, NUMERICS.md round-4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsp_dsp_units_tpu.ops import pallas_fft as pf
+
+
+def _snr(ref, out):
+    err = np.asarray(out, np.float64) - np.asarray(ref, np.float64)
+    return 10 * np.log10(max(np.sum(np.abs(np.asarray(ref)) ** 2), 1e-30)
+                         / max(np.sum(np.abs(err) ** 2), 1e-30))
+
+
+@pytest.mark.parametrize("x3,bar", [(False, 125.0), (True, 100.0)])
+def test_rfft_packed_vs_numpy(x3, bar):
+    rng = np.random.default_rng(0)
+    n, c = 16384, 8
+    x = rng.standard_normal((c, n)).astype(np.float32)
+    re, im = pf.rfft_packed(jnp.asarray(x), interpret=True, x3=x3)
+    ure, uim = pf.unpack_spectra(re, im, n)
+    z = np.asarray(ure) + 1j * np.asarray(uim)
+    g = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert _snr(g, z) > bar
+
+
+@pytest.mark.parametrize("x3,bar", [(False, 120.0), (True, 98.0)])
+def test_roundtrip_and_half(x3, bar):
+    rng = np.random.default_rng(1)
+    n, c = 16384, 8
+    x = rng.standard_normal((c, n)).astype(np.float32)
+    spec = pf.rfft_packed(jnp.asarray(x), interpret=True, x3=x3)
+    y = pf.irfft_packed(spec, n, interpret=True, x3=x3)
+    assert _snr(x, y) > bar
+    # half=True returns exactly the tail half of the full inverse
+    yh = pf.irfft_packed(spec, n, interpret=True, x3=x3, half=True)
+    np.testing.assert_array_equal(np.asarray(y)[:, n // 2:],
+                                  np.asarray(yh))
+
+
+def test_pack_unpack_consistency():
+    """pack_spectra(natural rfft) equals the kernel's own output, and
+    unpack inverts pack exactly."""
+    rng = np.random.default_rng(2)
+    n, c = 4096, 4
+    x = rng.standard_normal((c, n)).astype(np.float32)
+    re, im = pf.rfft_packed(jnp.asarray(x), interpret=True, x3=False)
+    g = np.fft.rfft(x.astype(np.float64), axis=-1)
+    pre, pim = pf.pack_spectra(
+        jnp.asarray(g.real.astype(np.float32)),
+        jnp.asarray(g.imag.astype(np.float32)), n)
+    assert _snr(pre, re) > 120.0 and _snr(pim, im) > 120.0
+    ure, uim = pf.unpack_spectra(pre, pim, n)
+    np.testing.assert_allclose(np.asarray(ure)[..., :-1],
+                               g.real.astype(np.float32)[..., :-1],
+                               atol=0)
+    np.testing.assert_array_equal(np.asarray(ure)[..., -1],
+                                  g.real.astype(np.float32)[..., -1])
+    assert float(np.max(np.abs(np.asarray(uim)[..., 0]))) == 0.0
+    assert float(np.max(np.abs(np.asarray(uim)[..., -1]))) == 0.0
+
+
+def test_supported_gate():
+    assert pf.supported(16384) and pf.supported(4096)
+    assert not pf.supported(1024)        # below the gate
+    assert not pf.supported(12000)       # not a power of two
+    assert pf.factor_m(16384) == (64, 128)
+    assert pf.factor_m(4096) == (16, 128)    # rebalanced to full lanes
+    assert pf.factor_m(32768) == (128, 128)
