@@ -250,23 +250,22 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
     b = x_block.shape[-1]
     packed = state.spec_re.shape[-1] == b        # init_ring_fdl(packed=)
     if packed and state.spec_re.ndim == 3 and h_spectra.re.ndim == 2:
-        # fully-Pallas FDL: four-step packed FFT (ops.pallas_fft) +
-        # ring MAC, spectra in scrambled-packed order end to end
+        # fully-fused Pallas FDL: forward four-step packed FFT, ring
+        # MAC and half-frame inverse in ONE kernel, spectra in
+        # scrambled-packed order end to end (ops.pallas_fdl_fused)
         from lsp_dsp_units_tpu.ops import pallas_fft as pfft
-        from lsp_dsp_units_tpu.ops.pallas_fdl import ring_mac_pallas
+        from lsp_dsp_units_tpu.ops.pallas_fdl_fused import \
+            fdl_fused_pallas
         interp = jax.default_backend() != "tpu"
         nfft = 2 * b
-        sr_p, si_p = pfft.rfft_packed(frame, interpret=interp)
         hre_p, him_p = pfft.pack_spectra(h_spectra.re, h_spectra.im,
                                          nfft)
         rot_full = (w - jnp.arange(p)) % p
-        acc_re, acc_im, buf_re, buf_im = ring_mac_pallas(
+        y, buf_re, buf_im = fdl_fused_pallas(
             state.spec_re, state.spec_im,
             jnp.take(hre_p, rot_full, axis=-2),
             jnp.take(him_p, rot_full, axis=-2),
-            sr_p, si_p, w, interpret=interp, packed_dc=True)
-        y = pfft.irfft_packed((acc_re, acc_im), nfft,
-                              interpret=interp, half=True)
+            frame, w, nfft, interpret=interp)
         return RingFDLState(spec_re=buf_re, spec_im=buf_im,
                             history=x_block, pos=w), y.astype(x_block.dtype)
     # (A natural-order [P, C, 8193] Pallas MAC was built and measured

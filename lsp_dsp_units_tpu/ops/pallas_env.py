@@ -383,3 +383,168 @@ def peak_envelope_pallas(env_state, x: Array, tau_attack, tau_release,
         envelope=s_out[0, :c], peak=s_out[1, :c],
         hold=s_out[2, :c].astype(jnp.int32))
     return new_state, env_t[:, :c].T
+
+
+def _chain_dyn_kernel(params_ref, x_ref, win_ref, s_ref,
+                      yout_ref, wout_ref, sout_ref, *, n_win, unroll):
+    """Fused sidechain sliding-RMS -> compressor envelope -> two-knee
+    gain -> apply, one VMEM pass (reference Sidechain.cpp:455-460 RMS +
+    Compressor.cpp:231-256 envelope + :297-310 gain).  The rolling sum
+    and the envelope recurrence are BOTH serial in t and share one
+    loop; the knee gain (pure elementwise transcendentals, not in the
+    dependency chain) is evaluated per ``unroll`` row group.
+
+    params row [1, 32]: [g_sc, ta, tr, rt, nh, use_rt,
+    knee0(start end gain tilt0 tilt1 herm0 herm1 herm2), knee1(...)].
+    x_ref holds the RAW signal [T, C]; output rows are x * gain."""
+    from jax.experimental import pallas as pl
+
+    g = params_ref[0, 0]
+    ta = params_ref[0, 1]
+    tr = params_ref[0, 2]
+    rt = params_ref[0, 3]
+    nh = params_ref[0, 4]
+    use_rt = params_ref[0, 5]
+    t_total = x_ref.shape[0]
+    inv_n = 1.0 / n_win
+
+    def knee_gain(ax, lx, o):
+        st = params_ref[0, o]
+        en = params_ref[0, o + 1]
+        gn = params_ref[0, o + 2]
+        line = jnp.exp(lx * params_ref[0, o + 3] + params_ref[0, o + 4])
+        herm = jnp.exp((params_ref[0, o + 5] * lx
+                        + params_ref[0, o + 6]) * lx
+                       + params_ref[0, o + 7])
+        return jnp.where(ax <= st, gn, jnp.where(ax >= en, line, herm))
+
+    def gain_rows(env8):
+        ax = jnp.abs(env8)
+        lx = jnp.log(jnp.maximum(ax, 1e-36))
+        return knee_gain(ax, lx, 6) * knee_gain(ax, lx, 14)
+
+    def sq_rows(rows):
+        v = jnp.abs(rows) * g
+        return v * v
+
+    # PASS 1 — rolling sum of squares, the ~2-op serial chain of
+    # _rms_kernel, written into yout_ref (scratch until pass 3
+    # overwrites it row-by-row).  Keeping the sqrt and the envelope
+    # OUT of this chain matters: a single fused per-sample chain
+    # (rsum -> sqrt -> envelope) measured ~20 us SLOWER than the sum
+    # of the separate chains — the sqrt serializes into the recurrence.
+    def accum(new8, old8, rsum):
+        rows = []
+        for j in range(unroll):
+            rsum = rsum + (new8[j:j + 1, :] - old8[j:j + 1, :])
+            rows.append(rsum)
+        return rsum, jnp.concatenate(rows, axis=0)
+
+    def body_head(k, rsum):
+        t0 = k * unroll
+        new8 = sq_rows(x_ref[pl.ds(t0, unroll), :])
+        old8 = win_ref[pl.ds(t0, unroll), :]
+        rsum, rows = accum(new8, old8, rsum)
+        yout_ref[pl.ds(t0, unroll), :] = rows
+        return rsum
+
+    def body_tail(k, rsum):
+        t0 = k * unroll
+        new8 = sq_rows(x_ref[pl.ds(t0, unroll), :])
+        old8 = sq_rows(x_ref[pl.ds(t0 - n_win, unroll), :])
+        rsum, rows = accum(new8, old8, rsum)
+        yout_ref[pl.ds(t0, unroll), :] = rows
+        return rsum
+
+    rsum0 = jnp.sum(win_ref[...], axis=0, keepdims=True)
+    rsum0 = jax.lax.fori_loop(0, n_win // unroll, body_head, rsum0)
+    jax.lax.fori_loop(n_win // unroll, t_total // unroll, body_tail,
+                      rsum0)
+
+    # PASS 2 — vectorized level sweep over the whole tile
+    yout_ref[...] = jnp.sqrt(jnp.maximum(yout_ref[...] * inv_n, 0.0))
+
+    # PASS 3 — envelope recurrence (the ~8-op serial chain) reading
+    # levels from yout_ref, then per-group knee gain applied to x;
+    # each row group is read before it is overwritten
+    def body_env(k, carry):
+        e, peak, hold = carry
+        t0 = k * unroll
+        lvl8 = yout_ref[pl.ds(t0, unroll), :]
+        x8 = x_ref[pl.ds(t0, unroll), :]
+        rows = []
+        for j in range(unroll):
+            e, peak, hold = _env_step(lvl8[j:j + 1, :], e, peak, hold,
+                                      ta, tr, rt, nh, use_rt)
+            rows.append(e)
+        env8 = jnp.concatenate(rows, axis=0)
+        yout_ref[pl.ds(t0, unroll), :] = x8 * gain_rows(env8)
+        return e, peak, hold
+
+    init = (s_ref[0:1, :], s_ref[1:2, :], s_ref[2:3, :])
+    e, pk, hd = jax.lax.fori_loop(0, t_total // unroll, body_env, init)
+    sout_ref[0:1, :] = e
+    sout_ref[1:2, :] = pk
+    sout_ref[2:3, :] = hd
+    wout_ref[...] = sq_rows(x_ref[pl.ds(t_total - n_win, n_win), :])
+
+
+def chain_dyn_pallas(window: Array, env_state, x: Array, n_win: int,
+                     sc_gain, tau_attack, tau_release, release_thresh,
+                     hold_samples, knees, interpret: bool = False):
+    """Fused RMS sidechain + compressor envelope + gain application on
+    [C, T] inputs.
+
+    ``window``: [C, N] carried squared-detector history.  ``knees``:
+    (CompKnee, CompKnee).  Returns (window', EnvState', y*gain [C, T])
+    — identical math to sliding_rms_pallas -> peak_envelope ->
+    compressor_x2_gain -> multiply, in one kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from lsp_dsp_units_tpu.ops.dynamics import EnvState
+
+    c, t = x.shape
+    n = int(n_win)
+    assert t >= n and t % _UNROLL == 0 and n % _UNROLL == 0
+    c_pad = -(-c // _LANES) * _LANES
+    xt = jnp.zeros((t, c_pad), jnp.float32)
+    xt = jax.lax.dynamic_update_slice(
+        xt, x.T.astype(jnp.float32), (0, 0))
+    wt = jnp.zeros((n, c_pad), jnp.float32)
+    wt = jax.lax.dynamic_update_slice(
+        wt, window.T.astype(jnp.float32), (0, 0))
+    s = jnp.zeros((3, c_pad), jnp.float32)
+    s = s.at[0, :c].set(env_state.envelope)
+    s = s.at[1, :c].set(env_state.peak)
+    s = s.at[2, :c].set(env_state.hold.astype(jnp.float32))
+    k0, k1 = knees
+    vals = ([jnp.asarray(sc_gain, jnp.float32),
+             jnp.asarray(tau_attack, jnp.float32),
+             jnp.asarray(tau_release, jnp.float32),
+             jnp.asarray(release_thresh, jnp.float32),
+             jnp.asarray(hold_samples, jnp.float32),
+             jnp.float32(1.0)]
+            + [jnp.asarray(v, jnp.float32) for v in k0]
+            + [jnp.asarray(v, jnp.float32) for v in k1]
+            + [jnp.float32(0.0)] * 10)
+    params = jnp.stack(vals).reshape(1, 32)
+
+    yout, wout, s_out = pl.pallas_call(
+        functools.partial(_chain_dyn_kernel, n_win=n, unroll=_UNROLL),
+        out_shape=(jax.ShapeDtypeStruct((t, c_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((n, c_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((3, c_pad), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(params, xt, wt, s)
+
+    new_state = EnvState(
+        envelope=s_out[0, :c], peak=s_out[1, :c],
+        hold=s_out[2, :c].astype(jnp.int32))
+    return wout[:, :c].T, new_state, yout[:, :c].T

@@ -1,0 +1,162 @@
+"""Single-kernel ring-FDL convolver block: forward packed FFT -> ring
+MAC -> half-frame inverse FFT, one Pallas program.
+
+The three-kernel form (ops.pallas_fft rfft/irfft + ops.pallas_fdl ring
+MAC) round-trips the new spectrum and the accumulator through HBM
+(~16 MB/block) and pays three kernel launches; fusing keeps the
+per-channel spectrum and accumulator in VMEM from the moment the FFT
+produces them until the inverse consumes them.  Everything stays on the
+[n1, n2] packed grid (ops.pallas_fft convention), so the spectra ring
+is just a free 4D view of the carried [P, C, F] buffer.
+
+Dataflow per channel tile (grid over C):
+  z = deinterleaved frame halves          [c_t, n1, n2] x2 (XLA glue)
+  S = fwd four-step + untangle            (pallas_fft._fwd_one)
+  acc = sum_p ring'[p] * Hrot[p]          (ring' = ring with slot w := S)
+  ring[w] := S                            (aliased in-place slot write)
+  y = half-frame inverse                  (pallas_fft._inv_one, rows
+                                           a >= n1/2 only)
+
+Matches the reference convolver's frame loop semantics
+(/root/reference/src/main/util/Convolver.cpp:159-293): one frame FFT,
+partition MAC against the history FDL, one inverse per block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+
+Array = jax.Array
+
+_C_TILE = 8
+
+
+def _kernel(w_ref, zr_ref, zi_ref, ring_re_ref, ring_im_ref,
+            h_re_ref, h_im_ref, *rest, n: int, x3: bool):
+    from jax.experimental import pallas as pl
+
+    (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
+     yr_ref, yi_ref, rout_re_ref, rout_im_ref) = rest
+    t = (None, None, (w1r_ref[...], w1i_ref[...]),
+         (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
+         (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
+         rfix_ref[...], m0_ref[...], m00_ref[...])
+    dot = pfft._dot3 if x3 else pfft._dot
+    m00 = m00_ref[...]
+    w = w_ref[0]
+    n_p = ring_re_ref.shape[0]
+    inv_m = 2.0 / n
+
+    for c in range(zr_ref.shape[0]):
+        sr, si = pfft._fwd_one(zr_ref[c], zi_ref[c], t, dot)
+        acc_r = jnp.zeros_like(sr)
+        acc_i = jnp.zeros_like(si)
+        for p in range(n_p):
+            m = (p == w).astype(jnp.float32)
+            xr = ring_re_ref[p, c] * (1.0 - m) + sr * m
+            xi = ring_im_ref[p, c] * (1.0 - m) + si * m
+            hr = h_re_ref[p]
+            hi = h_im_ref[p]
+            pr = xr * hr - xi * hi
+            pi = xr * hi + xi * hr
+            # packed DC/Nyquist bin multiplies slot-wise (real x real)
+            pr = pr * (1.0 - m00) + (xr * hr) * m00
+            pi = pi * (1.0 - m00) + (xi * hi) * m00
+            acc_r = acc_r + pr
+            acc_i = acc_i + pi
+        rout_re_ref[0, c] = sr
+        rout_im_ref[0, c] = si
+        gr, gi = pfft._inv_one(acc_r, acc_i, t, inv_m, True, dot)
+        yr_ref[c] = gr
+        yi_ref[c] = gi
+
+
+def fdl_fused_pallas(ring_re: Array, ring_im: Array,
+                     h_rot_re: Array, h_rot_im: Array,
+                     frame: Array, w: Array, n: int,
+                     interpret: bool = False, x3: bool = True
+                     ) -> Tuple[Array, Array, Array]:
+    """One convolver block, fully fused.
+
+    ``ring_*``: [P, C, F] scrambled-packed spectra ring (donated; slot
+    ``w`` of the returned buffers holds the frame's spectrum).
+    ``h_rot_*``: [P, F] packed IR spectra pre-rotated
+    (``h_rot[p] = H[(w - p) % P]``).  ``frame``: [C, N] overlap-save
+    frame (N = 2B = 2F).  ``w``: [] int32.
+
+    Returns (y [C, B] — the frame's last-half convolution output,
+    ring_re', ring_im')."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c, f = ring_re.shape
+    n1, n2 = pfft.factor_m(n)
+    assert n1 * n2 == f and frame.shape == (c, n)
+    c_t = _C_TILE if c % _C_TILE == 0 else c
+
+    xp = frame.astype(jnp.float32).reshape(c, f, 2)
+    zr = xp[..., 0].reshape(c, n1, n2)
+    zi = xp[..., 1].reshape(c, n1, n2)
+    ring4_re = ring_re.reshape(p, c, n1, n2)
+    ring4_im = ring_im.reshape(p, c, n1, n2)
+    h3_re = h_rot_re.reshape(p, n1, n2)
+    h3_im = h_rot_im.reshape(p, n1, n2)
+    w_arr = jnp.reshape(jnp.asarray(w, jnp.int32), (1,))
+
+    t = pfft._tables(n)
+    consts = [jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
+              for v in pair] + [jnp.asarray(t[6]), jnp.asarray(t[7]),
+                                jnp.asarray(t[8]), jnp.asarray(t[9]),
+                                jnp.asarray(t[10])]
+    const_specs = [
+        pl.BlockSpec(v.shape, functools.partial(
+            lambda nd, ci, wr: (0,) * nd, v.ndim)) for v in consts]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c // c_t,),
+        in_specs=[
+            pl.BlockSpec((c_t, n1, n2), lambda ci, wr: (ci, 0, 0)),
+            pl.BlockSpec((c_t, n1, n2), lambda ci, wr: (ci, 0, 0)),
+            pl.BlockSpec((p, c_t, n1, n2),
+                         lambda ci, wr: (0, ci, 0, 0)),
+            pl.BlockSpec((p, c_t, n1, n2),
+                         lambda ci, wr: (0, ci, 0, 0)),
+            pl.BlockSpec((p, n1, n2), lambda ci, wr: (0, 0, 0)),
+            pl.BlockSpec((p, n1, n2), lambda ci, wr: (0, 0, 0)),
+        ] + const_specs,
+        out_specs=(
+            pl.BlockSpec((c_t, n1 // 2, n2), lambda ci, wr: (ci, 0, 0)),
+            pl.BlockSpec((c_t, n1 // 2, n2), lambda ci, wr: (ci, 0, 0)),
+            pl.BlockSpec((1, c_t, n1, n2),
+                         lambda ci, wr: (wr[0], ci, 0, 0)),
+            pl.BlockSpec((1, c_t, n1, n2),
+                         lambda ci, wr: (wr[0], ci, 0, 0)),
+        ),
+    )
+    yzr, yzi, rout_re, rout_im = pl.pallas_call(
+        functools.partial(_kernel, n=n, x3=x3),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((c, n1 // 2, n2), jnp.float32),
+            jax.ShapeDtypeStruct((c, n1 // 2, n2), jnp.float32),
+            jax.ShapeDtypeStruct((p, c, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((p, c, n1, n2), jnp.float32),
+        ),
+        # scalar prefetch is input 0; ring planes are inputs 3/4 and
+        # alias outputs 2/3 (slot-only in-place write)
+        input_output_aliases={3: 2, 4: 3},
+        interpret=interpret,
+    )(w_arr, zr, zi, ring4_re, ring4_im, h3_re, h3_im, *consts)
+
+    m_half = (n1 // 2) * n2
+    y = jnp.stack([yzr.reshape(c, m_half), yzi.reshape(c, m_half)],
+                  axis=-1).reshape(c, 2 * m_half)
+    return y, rout_re.reshape(p, c, f), rout_im.reshape(p, c, f)

@@ -18,8 +18,9 @@ grid.  The ring-FDL convolver never looks at bin ORDER — its MAC is
 elementwise and its IR spectra are packed once at build — so the
 scramble costs nothing and the irfft here consumes it directly.
 (Packing DC+Nyquist into one complex bin is the classic real-FFT
-convention the reference's own dsp::fastconv packed format uses,
-/root/reference — see PARITY.md fastconv notes.)
+storage convention; the reference convolver likewise works on an
+opaque internal packed spectrum via dsp::fastconv_parse/apply,
+/root/reference/src/main/util/Convolver.cpp:159-293 — PARITY.md.)
 
 Math (forward, N-point real, M = N/2 = n1*n2):
   z[n] = x[2n] + i x[2n+1]                       (real packing)

@@ -172,10 +172,33 @@ class FilterConvChain:
         y, eq_st = biquad_block.cascade_block_fused(params.eq_block,
                                                     state.eq, x)
         fdl_st, y = fftconv.fdl_ring_step(params.h_spectra, state.fdl, y)
-        sc_st, level = self.sidechain.process(state.sc, y)
-        env_st, gain, _ = self.compressor.process(params.comp, state.env,
-                                                  level)
-        y = y * gain
+        # Mosaic fast path: sliding-RMS sidechain + compressor envelope
+        # + two-knee gain + apply, fused into ONE kernel (the rolling
+        # sum and the envelope recurrence are both serial in t and
+        # share one loop; the separate-kernel form pays two [C,T]
+        # transposes and a level/env HBM round trip).  Same gate as
+        # the individual kernels; CPU tests drive the fused kernel in
+        # interpret mode (tests/test_e2e_chain.py).
+        n_sc = self.sidechain.reactivity
+        t = y.shape[-1]
+        c_pad = -(-y.shape[0] // 128) * 128 if y.ndim == 2 else 0
+        if (jax.default_backend() == "tpu" and y.ndim == 2
+                and y.dtype == jnp.float32
+                and self.sidechain.mode == SidechainMode.RMS
+                and t >= n_sc and t % 8 == 0 and n_sc % 8 == 0
+                and (2 * t + 2 * n_sc) * c_pad * 4 <= (9 << 20)):
+            from lsp_dsp_units_tpu.ops.pallas_env import chain_dyn_pallas
+            win, env_st, y = chain_dyn_pallas(
+                state.sc.window, state.env, y, n_sc,
+                self.sidechain.gain, params.comp.tau_attack,
+                params.comp.tau_release, params.comp.release_thresh,
+                params.comp.hold, params.comp.knees)
+            sc_st = state.sc._replace(window=win)
+        else:
+            sc_st, level = self.sidechain.process(state.sc, y)
+            env_st, gain, _ = self.compressor.process(params.comp,
+                                                      state.env, level)
+            y = y * gain
         return ChainRingState(eq=eq_st, fdl=fdl_st, sc=sc_st,
                               env=env_st), y
 

@@ -243,3 +243,51 @@ def test_step_ring_matches_step():
         snr = 10 * np.log10(max(np.sum(ref ** 2), 1e-30)
                             / max(np.sum(err ** 2), 1e-30))
         assert snr > 120.0, (k, snr)
+
+
+def test_chain_dyn_pallas_matches_staged():
+    """The fused sidechain+envelope+gain kernel (ops.pallas_env.
+    chain_dyn_pallas, the TPU branch of step_ring's dynamics tail)
+    equals the staged XLA path: sliding-RMS -> peak_envelope ->
+    compressor_x2_gain -> multiply."""
+    from lsp_dsp_units_tpu.ops import dynamics as dyn
+    from lsp_dsp_units_tpu.ops.pallas_env import chain_dyn_pallas
+    from lsp_dsp_units_tpu.models.dynamics.compressor import Compressor
+    from lsp_dsp_units_tpu.models.util.sidechain import (
+        Sidechain, SidechainMode)
+
+    sr, c, t = 48000, 4, 512
+    sc = Sidechain(sr, SidechainMode.RMS, reactivity_ms=2.0 / 3.0)
+    n = sc.reactivity                      # 32 samples
+    assert n % 8 == 0
+    comp = Compressor(sr, attack_thresh=0.25, release_thresh=0.125,
+                      attack_ms=2.0, release_ms=10.0, knee=0.7071,
+                      ratio=4.0)
+    cp = comp.build()
+    rng = np.random.default_rng(3)
+
+    sc_st = sc.init_state((c,))
+    env_st = dyn.env_init((c,))
+    win_f = sc_st.window
+    env_f = env_st
+    for k in range(4):
+        x = jnp.asarray(
+            (rng.standard_normal((c, t)) * 0.5).astype(np.float32))
+        # staged golden
+        sc_st, level = sc.process(sc_st, x)
+        env_st, gain, _ = comp.process(cp, env_st, level)
+        y_ref = np.asarray(x * gain)
+        # fused kernel (interpret mode off-TPU)
+        win_f, env_f, y = chain_dyn_pallas(
+            win_f, env_f, x, n, sc.gain, cp.tau_attack,
+            cp.tau_release, cp.release_thresh, cp.hold, cp.knees,
+            interpret=True)
+        err = np.asarray(y, np.float64) - y_ref
+        snr = 10 * np.log10(max(np.sum(y_ref.astype(np.float64) ** 2),
+                                1e-30) / max(np.sum(err ** 2), 1e-30))
+        assert snr > 110.0, (k, snr)
+    np.testing.assert_allclose(np.asarray(win_f),
+                               np.asarray(sc_st.window), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(env_f.envelope),
+                               np.asarray(env_st.envelope), rtol=1e-5)
