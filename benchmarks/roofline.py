@@ -87,23 +87,16 @@ def analytic(chain, params) -> dict:
                         + p * f * 2                  # IR spectra read
                         + c * 2 * b * 2 * 2),        # FFT buffers
     }
-    # Sidechain RMS: square, cumsum over T+N, diff, scale, sqrt
-    stages["sidechain_rms"] = {
-        "flops": 10.0 * c * (b + n_win),
-        "bytes": f32 * (c * b * 3 + c * n_win * 2),
-    }
-    # Envelope follower (pallas): ~10 VPU ops/sample/lane, but SERIAL
-    # over T — the latency floor column below is the real bound
-    stages["envelope"] = {
-        "flops": 10.0 * c * b,
-        "bytes": f32 * (c * b * 2),
+    # Dynamics tail, ONE fused kernel (pallas_env.chain_dyn_pallas):
+    # sliding-RMS rolling sum (2-cycle serial chain) + envelope
+    # recurrence (8-cycle serial chain) + knee gain sweep; the two
+    # serial chains run as separate passes, so the latency floor is
+    # their SUM plus the vectorized sweeps
+    stages["dyn_tail"] = {
+        "flops": 50.0 * c * b + 10.0 * c * n_win,
+        "bytes": f32 * (c * b * 2 + c * n_win * 2),
         "serial_t": b,
-        "chain_cycles": 8,   # dependent max/mul/add/select chain per step
-    }
-    # Knee gain curve (log2/exp2 piecewise) + apply
-    stages["gain_curve"] = {
-        "flops": 30.0 * c * b,
-        "bytes": f32 * (c * b * 3),
+        "chain_cycles": 10,  # 2 (rolling sum) + 8 (envelope) per step
     }
     # TPDF i16 delivery: noise table read + clamp/round, i16 write
     stages["delivery_i16"] = {
@@ -228,11 +221,14 @@ def main_measure():
         return st, jnp.sum(quantize_i16(y, table, jnp.uint32(3))
                            .astype(jnp.float32)) * 1e-9
 
-    # fft1 sits LAST: it is a side probe (FFT pair alone), not part of
-    # the stage-prefix chain the consecutive marginals difference.
+    # Stage-prefix chain matches the FUSED hot path: eq -> fdl (one
+    # Pallas kernel) -> dyn tail (sidechain+envelope+gain, one Pallas
+    # kernel inside step_ring) -> i16.  "sidechain" and "fft1" sit
+    # LAST as side probes (the staged sidechain kernel alone / the
+    # packed FFT pair alone), not part of the consecutive marginals.
     variants = [("floor", v_floor), ("eq", v_eq), ("fdl", v_fdl),
-                ("sidechain", v_sc), ("env+gain", v_env),
-                ("i16", v_i16), ("fft1", v_fft)]
+                ("dyn", v_env), ("i16", v_i16),
+                ("sidechain", v_sc), ("fft1", v_fft)]
 
     # Each variant is timed as ONE dispatch running SCAN sequential
     # steps inside a lax.scan: device time scales by SCAN while the
@@ -309,9 +305,9 @@ def main_measure():
         prev = name
 
     stages = analytic(chain, params)
-    meas = [marg.get("eq"), marg.get("fdl"), marg.get("sidechain"),
-            marg.get("env+gain"), None, marg.get("i16")]
-    full_dev = float(np.median(arr["env+gain"] - arr["floor"]))
+    meas = [marg.get("eq"), marg.get("fdl"), marg.get("dyn"),
+            marg.get("i16")]
+    full_dev = float(np.median(arr["dyn"] - arr["floor"]))
     print(f"\n{'stage':<16}{'SoL us':>9}{'measured us':>13}{'% SoL':>8}")
     rows = sol_table(stages, peaks)
     for (name, mf, mb, tbw, tser, sol), m in zip(rows, meas + [None]):
@@ -327,7 +323,7 @@ def main_measure():
     print(json.dumps({"floor_ms": floor * 1e3,
                       "full_step_device_ms": full_dev * 1e3,
                       "full_step_device_ms_best":
-                          (best["env+gain"] - best["floor"]) * 1e3,
+                          (best["dyn"] - best["floor"]) * 1e3,
                       "device_kind": kind}), flush=True)
 
 
