@@ -32,6 +32,11 @@ import numpy as np
 from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc, sc_mul
 from lsp_dsp_units_tpu.ops.unroll import unrolled_scan
 
+# device-path contractions run at HIGHEST precision: the TPU default
+# (1-pass bf16) rounds f32 operands to ~8 mantissa bits, measured as a
+# ~6 dB chain-level SNR loss (NUMERICS.md round-4 late)
+_PREC = jax.lax.Precision.HIGHEST
+
 Array = jax.Array
 
 
@@ -277,7 +282,8 @@ def state_to_fused(params: FusedCascadeParams, state: Array) -> Array:
     """DF2T per-stage state [..., K, 2] -> fused (balanced) basis."""
     k2 = params.m_mat.shape[0]
     sv = state.reshape(state.shape[:-2] + (k2,))
-    sv = jnp.einsum("ij,...j->...i", params.t_mat, sv)
+    sv = jnp.einsum("ij,...j->...i", params.t_mat, sv,
+                    precision=_PREC)
     return sv.reshape(state.shape)
 
 
@@ -285,7 +291,8 @@ def state_from_fused(params: FusedCascadeParams, state: Array) -> Array:
     """Fused (balanced) basis state [..., K, 2] -> DF2T per-stage."""
     k2 = params.m_mat.shape[0]
     sv = state.reshape(state.shape[:-2] + (k2,))
-    sv = jnp.einsum("ij,...j->...i", params.t_inv, sv)
+    sv = jnp.einsum("ij,...j->...i", params.t_inv, sv,
+                    precision=_PREC)
     return sv.reshape(state.shape)
 
 
@@ -305,8 +312,10 @@ def cascade_seq_fused(params: FusedCascadeParams, state: Array,
     sv = state.reshape(state.shape[:-2] + (k2,))
 
     def step(s, xn):
-        y = jnp.einsum("k,...k->...", params.c1_vec, s) + params.d1 * xn
-        s2 = (jnp.einsum("kj,...j->...k", params.a1_mat, s)
+        y = jnp.einsum("k,...k->...", params.c1_vec, s,
+                       precision=_PREC) + params.d1 * xn
+        s2 = (jnp.einsum("kj,...j->...k", params.a1_mat, s,
+                         precision=_PREC)
               + params.b1_vec * xn[..., None])
         return s2, y
 
@@ -334,20 +343,26 @@ def cascade_block_fused(params: FusedCascadeParams, state: Array,
     if m == 1:
         spec = sc_mul(rfft_sc(x, 2 * b), (params.h_re, params.h_im))
         y_zs = irfft_sc(spec, 2 * b)[..., :b]
-        y = y_zs + jnp.einsum("bk,...k->...b", params.g_mat, sv)
-        sv2 = (jnp.einsum("kj,...j->...k", params.m_mat, sv)
-               + jnp.einsum("kb,...b->...k", params.w_mat, x))
+        y = y_zs + jnp.einsum("bk,...k->...b", params.g_mat, sv,
+                          precision=_PREC)
+        sv2 = (jnp.einsum("kj,...j->...k", params.m_mat, sv,
+                      precision=_PREC)
+           + jnp.einsum("kb,...b->...k", params.w_mat, x,
+                        precision=_PREC))
         return y.astype(x.dtype), sv2.reshape(state.shape)
 
     blocks = jnp.moveaxis(x.reshape(x.shape[:-1] + (m, b)), -2, 0)
     spec = sc_mul(rfft_sc(blocks, 2 * b), (params.h_re, params.h_im))
     y_zs = irfft_sc(spec, 2 * b)[..., :b]                 # [M, ..., B]
-    wx = jnp.einsum("kb,m...b->m...k", params.w_mat, blocks)
+    wx = jnp.einsum("kb,m...b->m...k", params.w_mat, blocks,
+                    precision=_PREC)
 
     def step(s, inp):
         zs, wxi = inp
-        y_blk = zs + jnp.einsum("bk,...k->...b", params.g_mat, s)
-        s2 = jnp.einsum("kj,...j->...k", params.m_mat, s) + wxi
+        y_blk = zs + jnp.einsum("bk,...k->...b", params.g_mat, s,
+                                precision=_PREC)
+        s2 = jnp.einsum("kj,...j->...k", params.m_mat, s,
+                        precision=_PREC) + wxi
         return s2, y_blk
 
     sv2, y_out = jax.lax.scan(step, sv, (y_zs, wx))

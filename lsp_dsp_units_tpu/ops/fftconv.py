@@ -30,6 +30,11 @@ from lsp_dsp_units_tpu.ops.cplx import (irfft_sc, rfft_sc, sc_mul, sc_sum)
 
 Array = jax.Array
 
+# device-path contractions run at HIGHEST precision: the TPU default
+# (1-pass bf16) rounds f32 operands to ~8 mantissa bits, measured as a
+# ~6 dB chain-level SNR loss (NUMERICS.md round-4 late)
+_PREC = jax.lax.Precision.HIGHEST
+
 
 class Spectra(NamedTuple):
     """Split-complex spectra container."""
@@ -166,14 +171,22 @@ def fdl_process(h_spectra: Spectra, state: FDLState, x: Array,
         # old history in oldest-last order: Old[q] = state block -1-q
         old_re, old_im = state.spec_re, state.spec_im    # [..., P, F]
         # split-complex contractions (f batched, q/j contracted)
-        far_re = (jnp.einsum("...qf,qkf->...kf", old_re, wf_re)
-                  - jnp.einsum("...qf,qkf->...kf", old_im, wf_im))
-        far_im = (jnp.einsum("...qf,qkf->...kf", old_re, wf_im)
-                  + jnp.einsum("...qf,qkf->...kf", old_im, wf_re))
-        near_re = (jnp.einsum("...jf,jkf->...kf", specs_re, wn_re)
-                   - jnp.einsum("...jf,jkf->...kf", specs_im, wn_im))
-        near_im = (jnp.einsum("...jf,jkf->...kf", specs_re, wn_im)
-                   + jnp.einsum("...jf,jkf->...kf", specs_im, wn_re))
+        far_re = (jnp.einsum("...qf,qkf->...kf", old_re, wf_re,
+                             precision=_PREC)
+                  - jnp.einsum("...qf,qkf->...kf", old_im, wf_im,
+                               precision=_PREC))
+        far_im = (jnp.einsum("...qf,qkf->...kf", old_re, wf_im,
+                             precision=_PREC)
+                  + jnp.einsum("...qf,qkf->...kf", old_im, wf_re,
+                               precision=_PREC))
+        near_re = (jnp.einsum("...jf,jkf->...kf", specs_re, wn_re,
+                              precision=_PREC)
+                   - jnp.einsum("...jf,jkf->...kf", specs_im, wn_im,
+                                precision=_PREC))
+        near_im = (jnp.einsum("...jf,jkf->...kf", specs_re, wn_im,
+                              precision=_PREC)
+                   + jnp.einsum("...jf,jkf->...kf", specs_im, wn_re,
+                                precision=_PREC))
         acc_re = far_re + near_re
         acc_im = far_im + near_im
         # new state: newest P spectra, index 0 = newest (block M-1)
@@ -261,11 +274,13 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
         hre_p, him_p = pfft.pack_spectra(h_spectra.re, h_spectra.im,
                                          nfft)
         rot_full = (w - jnp.arange(p)) % p
+        import os
+        x3 = os.environ.get("LSP_TPU_FFT_X3", "1") != "0"
         y, buf_re, buf_im = fdl_fused_pallas(
             state.spec_re, state.spec_im,
             jnp.take(hre_p, rot_full, axis=-2),
             jnp.take(him_p, rot_full, axis=-2),
-            frame, w, nfft, interpret=interp)
+            frame, w, nfft, interpret=interp, x3=x3)
         return RingFDLState(spec_re=buf_re, spec_im=buf_im,
                             history=x_block, pos=w), y.astype(x_block.dtype)
     # (A natural-order [P, C, 8193] Pallas MAC was built and measured
@@ -372,7 +387,8 @@ def direct_conv_block(h: Array, history: Array, x_block: Array) -> Array:
     # x[n+K-1-k] h[k] -> use correlation with reversed taps
     idx = jnp.arange(x_block.shape[-1])[:, None] + jnp.arange(k)[None, :]
     windows = frame[..., idx]                          # [..., B, K]
-    return jnp.einsum("...bk,k->...b", windows, h[::-1])
+    return jnp.einsum("...bk,k->...b", windows, h[::-1],
+                      precision=_PREC)
 
 
 def np_convolve_golden(x: np.ndarray, h: np.ndarray) -> np.ndarray:

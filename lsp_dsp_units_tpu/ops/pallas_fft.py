@@ -139,7 +139,11 @@ def _dot3(a, b):
     bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def d(p, q):
-        return jnp.dot(p, q, preferred_element_type=jnp.float32)
+        # precision pinned: a global jax_default_matmul_precision of
+        # "highest" would otherwise request fp32 contraction on these
+        # bf16 operands, which Mosaic rejects ("Bad lhs type")
+        return jnp.dot(p, q, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
 
     return d(ah, bh) + (d(ah, bl) + d(al, bh))
 

@@ -95,7 +95,8 @@ def upsample(history: Array, x: Array, ratio: int, lobes: int,
     t = x.shape[-1]
     idx = jnp.arange(t)[:, None] + jnp.arange(2 * a + 1)[None, :]
     wins = frame[..., idx]                                 # [..., T, 2a+1]
-    phases = jnp.einsum("...tj,jp->...tp", wins, m)        # [..., T, R]
+    phases = jnp.einsum("...tj,jp->...tp", wins, m,
+                        precision=jax.lax.Precision.HIGHEST)  # [..., T, R]
     y = phases.reshape(x.shape[:-1] + (t * ratio,))
     return frame[..., -2 * a:], y.astype(x.dtype)
 

@@ -27,6 +27,11 @@ import numpy as np
 from lsp_dsp_units_tpu.ops import biquad_block as bb
 from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc, sc_mul
 
+# device-path contractions run at HIGHEST precision: the TPU default
+# (1-pass bf16) rounds f32 operands to ~8 mantissa bits, measured as a
+# ~6 dB chain-level SNR loss (NUMERICS.md round-4 late)
+_PREC = jax.lax.Precision.HIGHEST
+
 Array = jax.Array
 
 
@@ -68,12 +73,15 @@ def fused_cascade_time_sharded(params: bb.FusedCascadeParams,
     blocks = jnp.moveaxis(x.reshape(x.shape[:-1] + (m_blocks, b)), -2, 0)
     spec = sc_mul(rfft_sc(blocks, 2 * b), (params.h_re, params.h_im))
     y_zs = irfft_sc(spec, 2 * b)[..., :b]
-    wx = jnp.einsum("kb,m...b->m...k", params.w_mat, blocks)
+    wx = jnp.einsum("kb,m...b->m...k", params.w_mat, blocks,
+                    precision=_PREC)
 
     def step(s, inp):
         zs, wxi = inp
-        y_blk = zs + jnp.einsum("bk,...k->...b", params.g_mat, s)
-        s2 = jnp.einsum("kj,...j->...k", params.m_mat, s) + wxi
+        y_blk = zs + jnp.einsum("bk,...k->...b", params.g_mat, s,
+                                precision=_PREC)
+        s2 = jnp.einsum("kj,...j->...k", params.m_mat, s,
+                        precision=_PREC) + wxi
         return s2, y_blk
 
     d_dev, y_zero = jax.lax.scan(step, sv0, (y_zs, wx))
@@ -95,7 +103,8 @@ def fused_cascade_time_sharded(params: bb.FusedCascadeParams,
 
     def body(i, carry):
         s_in, s_fin = carry
-        nxt = jnp.einsum("kj,...j->...k", m_shard, s_fin) + d_all[i]
+        nxt = jnp.einsum("kj,...j->...k", m_shard, s_fin,
+                         precision=_PREC) + d_all[i]
         s_in = jnp.where(i == idx, s_fin, s_in)
         return (s_in, nxt)
 
@@ -110,11 +119,13 @@ def fused_cascade_time_sharded(params: bb.FusedCascadeParams,
             m_pows.append(mj)
             mj = params.m_mat @ mj
         gm = jnp.stack([params.g_mat @ p for p in m_pows], 0)  # [m,B,2K]
-    corr = jnp.einsum("mbk,...k->m...b", gm, s_in_dev)
+    corr = jnp.einsum("mbk,...k->m...b", gm, s_in_dev,
+                      precision=_PREC)
     y = jnp.moveaxis(y_zero + corr, 0, -2).reshape(x.shape)
 
     # make the final state provably replicated (see time_iir)
-    s_final = jnp.einsum("kj,...j->...k", m_shard, s_in_dev) + d_dev
+    s_final = jnp.einsum("kj,...j->...k", m_shard, s_in_dev,
+                         precision=_PREC) + d_dev
     s_final = jax.lax.psum(
         jnp.where(idx == n - 1, s_final, jnp.zeros_like(s_final)),
         axis_name)
