@@ -175,16 +175,33 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
         # the on-device module time; recorded so the driver's
         # BENCH_r*.json carries chip capability even in bad weather.
         try:
-            blocks_per_call = blocks_per_step * max(scan_k, 1)
+            # the probe must amortize the dispatch floor's jitter (the
+            # tunnel round trip drifts 1-50 ms and jitters +-3 ms): one
+            # probe dispatch runs PROBE_R super-steps inside a lax.scan
+            # so device compute (~40 ms at R=8, K=16) dominates the
+            # floor — differencing two ~5 ms dispatches against a noisy
+            # floor under-reads by 10-20% (measured vs a 512-step scan)
+            PROBE_R = 8
+            blocks_per_call = blocks_per_step * max(scan_k, 1) * PROBE_R
 
             floor_fn = jax.jit(lambda v: jnp.sum(v) * 0.0)
             np.asarray(floor_fn(x))
 
             def compute_fn(params, state, x, k):
-                # the full step (scan or bulk), scalar checksum return:
-                # identical on-device work, no payload stream
-                st, q = step(params, state, x, k)
-                return st, jnp.sum(q.astype(jnp.float32)) * 1e-9
+                # PROBE_R * K chain steps in ONE FLAT scan, scalar
+                # checksum return: identical per-block on-device work,
+                # no payload stream and no nested-scan carry handling
+                # (scanning over the jitted super-step measured ~45%
+                # high vs the flat form)
+                def body(carry, _):
+                    st, kk, acc = carry
+                    st, q = step_fn(params, st, x, kk)
+                    return (st, kk + jnp.uint32(1),
+                            acc + jnp.sum(q.astype(jnp.float32))), None
+                (st, _, acc), _ = jax.lax.scan(
+                    body, (state, k, jnp.float32(0.0)), None,
+                    length=PROBE_R * max(scan_k, 1))
+                return st, acc * 1e-9
 
             comp = jax.jit(compute_fn)
 
@@ -200,11 +217,8 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
                 np.asarray(leaf)
                 return (time.perf_counter() - t0) / n
 
-            n_probe = 10
-            t_floor = min(timed(floor_fn, (x,), n_probe)
-                          for _ in range(3))
-            t_comp = min(timed(comp, (params, st2, x, jnp.uint32(1)),
-                               max(3, n_probe // 2))
+            t_floor = min(timed(floor_fn, (x,), 10) for _ in range(3))
+            t_comp = min(timed(comp, (params, st2, x, jnp.uint32(1)), 2)
                          for _ in range(3))
             dev_s = max(t_comp - t_floor, 1e-9)
             result.update({
@@ -212,7 +226,7 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
                 "device_ms_per_block": round(
                     dev_s / blocks_per_call * 1e3, 4),
                 "samples_per_sec_device": round(
-                    per_call / dev_s, 1),
+                    per_call * PROBE_R / dev_s, 1),
             })
         except Exception as e:             # probes must not kill the bench
             result["device_probe_error"] = str(e)[:200]

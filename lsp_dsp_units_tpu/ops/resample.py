@@ -96,7 +96,7 @@ def upsample(history: Array, x: Array, ratio: int, lobes: int,
     idx = jnp.arange(t)[:, None] + jnp.arange(2 * a + 1)[None, :]
     wins = frame[..., idx]                                 # [..., T, 2a+1]
     phases = jnp.einsum("...tj,jp->...tp", wins, m,
-                        precision=jax.lax.Precision.HIGHEST)  # [..., T, R]
+                        precision=jax.lax.Precision.HIGH)  # [..., T, R]
     y = phases.reshape(x.shape[:-1] + (t * ratio,))
     return frame[..., -2 * a:], y.astype(x.dtype)
 

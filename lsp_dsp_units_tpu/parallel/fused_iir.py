@@ -27,10 +27,12 @@ import numpy as np
 from lsp_dsp_units_tpu.ops import biquad_block as bb
 from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc, sc_mul
 
-# device-path contractions run at HIGHEST precision: the TPU default
-# (1-pass bf16) rounds f32 operands to ~8 mantissa bits, measured as a
-# ~6 dB chain-level SNR loss (NUMERICS.md round-4 late)
-_PREC = jax.lax.Precision.HIGHEST
+# device-path contractions run at HIGH precision (bf16_3x, f32-class
+# accuracy): the TPU default (1-pass bf16) rounds f32 operands to ~8
+# mantissa bits — measured as a ~6 dB chain-level SNR loss — while
+# HIGHEST (6-pass) doubles the MXU passes for accuracy far below the
+# chain's own f32 floor (NUMERICS.md round-4 late)
+_PREC = jax.lax.Precision.HIGH
 
 Array = jax.Array
 

@@ -110,7 +110,7 @@ def ilufs_integrated_time_sharded(meter, fparams, x_local: Array,
     # 2. channel-weighted quarter loudness contributions [m]
     sq = (y * y).reshape(c, m, meter.blk_size)
     q = jnp.einsum("c,cm->m", meter.weights, jnp.sum(sq, axis=-1),
-                   precision=jax.lax.Precision.HIGHEST) * meter.avg_coeff
+                   precision=jax.lax.Precision.HIGH) * meter.avg_coeff
 
     # halo: last 3 quarters of the LEFT neighbour
     n = jax.lax.axis_size(axis_name)
