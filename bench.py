@@ -107,13 +107,20 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
 
     if scan_k:
         # K-block super-step via lax.scan (round-2/3 primary config;
-        # kept as a fallback tier behind the bulk step below)
+        # kept as a fallback tier behind the bulk step below).  Each
+        # iteration processes a ROTATED copy of the input block: with
+        # a loop-invariant x, XLA hoists every x-only computation out
+        # of the scan (measured: the EQ's whole zero-state FFT
+        # convolution, ~160 us/block, ran ONCE per super-step) and the
+        # bench stops measuring the streaming cost.
         inner = step_fn
 
         def super_fn(params, state, x, k0):
             def body(carry, _):
                 st, k = carry
-                st, q = inner(params, st, x, k)
+                xv = jnp.roll(x, jnp.int32(k & jnp.uint32(0x7fff)),
+                              axis=-1)
+                st, q = inner(params, st, xv, k)
                 return (st, k + jnp.uint32(1)), q
             (st, _), qs = jax.lax.scan(body, (state, k0), None,
                                        length=scan_k)
@@ -195,7 +202,9 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
                 # high vs the flat form)
                 def body(carry, _):
                     st, kk, acc = carry
-                    st, q = step_fn(params, st, x, kk)
+                    xv = jnp.roll(x, jnp.int32(kk & jnp.uint32(0x7fff)),
+                                  axis=-1)
+                    st, q = step_fn(params, st, xv, kk)
                     return (st, kk + jnp.uint32(1),
                             acc + jnp.sum(q.astype(jnp.float32))), None
                 (st, _, acc), _ = jax.lax.scan(

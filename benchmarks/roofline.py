@@ -241,13 +241,19 @@ def main_measure():
     SCAN = 128
 
     def scanned(fn):
+        # every iteration sees a ROTATED input: a loop-invariant x lets
+        # XLA hoist x-only work out of the scan (the EQ's whole
+        # zero-state FFT convolution, ~160 us/block, vanished from the
+        # measurement this way — NUMERICS.md round-4 late)
         def run(st, x):
             def body(carry, _):
-                s, acc = carry
-                s, c = fn(s, x)
-                return (s, acc + c), None
-            (s, acc), _ = jax.lax.scan(
-                body, (st, jnp.float32(0.0)), None, length=SCAN)
+                s, k, acc = carry
+                xv = jnp.roll(x, k, axis=-1)
+                s, c = fn(s, xv)
+                return (s, k + 1, acc + c), None
+            (s, _, acc), _ = jax.lax.scan(
+                body, (st, jnp.int32(0), jnp.float32(0.0)), None,
+                length=SCAN)
             return s, acc
         return run
 

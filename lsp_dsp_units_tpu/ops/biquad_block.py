@@ -343,8 +343,23 @@ def cascade_block_fused(params: FusedCascadeParams, state: Array,
     sv = state.reshape(state.shape[:-2] + (2 * k,))
 
     if m == 1:
-        spec = sc_mul(rfft_sc(x, 2 * b), (params.h_re, params.h_im))
-        y_zs = irfft_sc(spec, 2 * b)[..., :b]
+        from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+        if (jax.default_backend() == "tpu" and x.ndim == 2
+                and pfft.supported(2 * b)):
+            # packed Pallas FFT path: the backend's native pair costs
+            # ~160 us at the production shape (measured STREAMING —
+            # with loop-varying input; a constant-input scan lets XLA
+            # hoist this whole convolution, which hid its cost from
+            # every earlier bench — NUMERICS.md round-4 late)
+            sr, si = pfft.rfft_packed_zeropad(x)
+            hre_p, him_p = pfft.pack_spectra(params.h_re, params.h_im,
+                                             2 * b)
+            y_zs = pfft.irfft_packed(
+                pfft.mul_packed(sr, si, hre_p, him_p), 2 * b,
+                half="first")
+        else:
+            spec = sc_mul(rfft_sc(x, 2 * b), (params.h_re, params.h_im))
+            y_zs = irfft_sc(spec, 2 * b)[..., :b]
         y = y_zs + jnp.einsum("bk,...k->...b", params.g_mat, sv,
                           precision=_PREC)
         sv2 = (jnp.einsum("kj,...j->...k", params.m_mat, sv,

@@ -73,7 +73,7 @@ def _kernel(w_ref, zr_ref, zi_ref, ring_re_ref, ring_im_ref,
             acc_i = acc_i + pi
         rout_re_ref[0, c] = sr
         rout_im_ref[0, c] = si
-        gr, gi = pfft._inv_one(acc_r, acc_i, t, inv_m, True, dot)
+        gr, gi = pfft._inv_one(acc_r, acc_i, t, inv_m, "last", dot)
         yr_ref[c] = gr
         yi_ref[c] = gi
 

@@ -158,11 +158,19 @@ def _conj_pair(zr, zi, p1, rrev, rfix, m0, dot):
     return pr, -pi
 
 
-def _fwd_one(zr, zi, t, dot):
-    """Forward four-step + untangle for ONE channel ([n1, n2] grids)."""
+def _fwd_one(zr, zi, t, dot, halfin=False):
+    """Forward four-step + untangle for ONE channel ([n1, n2] grids).
+    ``halfin=True``: the caller's frame is x || zeros (zero-padded
+    linear convolution) and z carries only the FIRST n1/2 rows — the
+    zero rows are never materialized and stage A contracts only the
+    matching W1 columns."""
     (_, _, (w1r, w1i), (w2r, w2i), (twr, twi), (wnr, wni),
      p1, rrev, rfix, m0, m00) = t
     _dot = dot
+    if halfin:
+        n1 = w1r.shape[0]
+        w1r = w1r[:, :n1 // 2]
+        w1i = w1i[:, :n1 // 2]
     # stage A: y = W1 @ z
     yr = _dot(w1r, zr) - _dot(w1i, zi)
     yi = _dot(w1r, zi) + _dot(w1i, zr)
@@ -188,15 +196,21 @@ def _fwd_one(zr, zi, t, dot):
 def _inv_one(xr, xi, t, inv_m, half, dot):
     """Inverse for ONE channel: scrambled-packed [n1, n2] spectrum ->
     packed time z = x[2n] + i x[2n+1] on the natural [a, b] grid.
-    ``half=True`` computes only rows a >= n1/2 (time samples N/2..N-1
-    — all an overlap-save consumer keeps), halving the final stage."""
+    ``half`` selects which N/2 time samples the final stage computes:
+    "last" (rows a >= n1/2 — all an overlap-save consumer keeps) or
+    "first" (rows a < n1/2 — all a zero-padded linear-convolution
+    consumer keeps), halving the final stage either way."""
     (_, _, (w1r, w1i), (w2r, w2i), (twr, twi), (wnr, wni),
      p1, rrev, rfix, m0, m00) = t
     _dot = dot
-    if half:
+    if half == "last":
         n1 = w1r.shape[0]
         w1r = w1r[n1 // 2:, :]
         w1i = w1i[n1 // 2:, :]
+    elif half == "first":
+        n1 = w1r.shape[0]
+        w1r = w1r[:n1 // 2, :]
+        w1i = w1i[:n1 // 2, :]
     # strip the packed Nyquist: true X grid has im(X[0]) = 0
     k1 = 1.0 - m00
     xr0 = xr
@@ -225,7 +239,7 @@ def _inv_one(xr, xi, t, inv_m, half, dot):
     return gr * inv_m, gi * inv_m
 
 
-def _fwd_kernel(zr_ref, zi_ref, *rest, x3):
+def _fwd_kernel(zr_ref, zi_ref, *rest, x3, halfin=False):
     (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
      wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
      xr_ref, xi_ref) = rest
@@ -235,7 +249,7 @@ def _fwd_kernel(zr_ref, zi_ref, *rest, x3):
          rfix_ref[...], m0_ref[...], m00_ref[...])
     dot = _dot3 if x3 else _dot
     for c in range(zr_ref.shape[0]):
-        xr, xi = _fwd_one(zr_ref[c], zi_ref[c], t, dot)
+        xr, xi = _fwd_one(zr_ref[c], zi_ref[c], t, dot, halfin=halfin)
         xr_ref[c] = xr
         xi_ref[c] = xi
 
@@ -256,12 +270,13 @@ def _inv_kernel(xr_ref, xi_ref, *rest, inv_m, half, x3):
 
 
 def _call(kernel, n: int, a_re: Array, a_im: Array,
-          interpret: bool, out_rows: int = 0, **kw):
+          interpret: bool, out_rows: int = 0, in_rows: int = 0, **kw):
     from jax.experimental import pallas as pl
 
     t = _tables(n)
     n1, n2 = t[0], t[1]
     n1_out = out_rows or n1
+    n1_in = in_rows or n1
     consts = [jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
               for v in pair] + [jnp.asarray(t[6]), jnp.asarray(t[7]),
                                 jnp.asarray(t[8]), jnp.asarray(t[9]),
@@ -274,8 +289,8 @@ def _call(kernel, n: int, a_re: Array, a_im: Array,
     out_re, out_im = pl.pallas_call(
         functools.partial(kernel, **kw),
         grid=(c // c_t,),
-        in_specs=[pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0)),
-                  pl.BlockSpec((c_t, n1, n2), lambda ci: (ci, 0, 0))]
+        in_specs=[pl.BlockSpec((c_t, n1_in, n2), lambda ci: (ci, 0, 0)),
+                  pl.BlockSpec((c_t, n1_in, n2), lambda ci: (ci, 0, 0))]
         + const_specs,
         out_specs=(pl.BlockSpec((c_t, n1_out, n2), lambda ci: (ci, 0, 0)),
                    pl.BlockSpec((c_t, n1_out, n2), lambda ci: (ci, 0, 0))),
@@ -302,14 +317,37 @@ def rfft_packed(x: Array, interpret: bool = False, x3: bool = X3
     return xr.reshape(c, n // 2), xi.reshape(c, n // 2)
 
 
+def rfft_packed_zeropad(x: Array, interpret: bool = False,
+                        x3: bool = X3) -> Tuple[Array, Array]:
+    """rfft_packed of ``x || zeros`` (N = 2 * len(x)) without ever
+    materializing the zero half: the packed z rows a >= n1/2 are all
+    zero, so the kernel receives only the first n1/2 rows and stage A
+    contracts only the matching W1 columns (half the stage-A MXU work
+    and half the input traffic — the zero-padded-convolution sibling
+    of irfft_packed(half="first"))."""
+    c, b = x.shape
+    n = 2 * b
+    n1, n2 = factor_m(n)
+    xp = x.astype(jnp.float32).reshape(c, b // 2, 2)
+    zr = xp[..., 0].reshape(c, n1 // 2, n2)
+    zi = xp[..., 1].reshape(c, n1 // 2, n2)
+    xr, xi = _call(_fwd_kernel, n, zr, zi, interpret,
+                   in_rows=n1 // 2, x3=x3, halfin=True)
+    return xr.reshape(c, n // 2), xi.reshape(c, n // 2)
+
+
 def irfft_packed(spec: Tuple[Array, Array], n: int,
-                 interpret: bool = False, half: bool = False,
+                 interpret: bool = False, half=False,
                  x3: bool = X3) -> Array:
     """Inverse of :func:`rfft_packed`: [C, N//2] scrambled-packed
-    split-complex -> real [C, N].  ``half=True`` returns only the LAST
-    N/2 samples (the kept half of an overlap-save frame), skipping half
-    the final DFT stage and half the output traffic."""
+    split-complex -> real [C, N].  ``half``: "last" (or True) returns
+    only the last N/2 samples (the kept half of an overlap-save
+    frame); "first" only the first N/2 (a zero-padded linear-conv
+    block) — either skips half the final DFT stage and half the
+    output traffic."""
     xr, xi = spec
+    if half is True:
+        half = "last"
     c = xr.shape[0]
     n1, n2 = factor_m(n)
     rows = n1 // 2 if half else n1
@@ -355,3 +393,16 @@ def unpack_spectra(pre: Array, pim: Array, n: int
     re = jnp.concatenate([re_nat, pim[..., :1]], axis=-1)   # Nyquist
     im = jnp.concatenate([im_nat, pim[..., :1] * 0.0], axis=-1)
     return re, im
+
+
+def mul_packed(ar: Array, ai: Array, br: Array, bi: Array
+               ) -> Tuple[Array, Array]:
+    """Elementwise product of two scrambled-packed spectra: complex
+    everywhere except bin 0, whose (re, im) slots hold the two REAL
+    values (DC, Nyquist) and multiply slot-wise."""
+    pr = ar * br - ai * bi
+    pi = ar * bi + ai * br
+    dc = jnp.arange(ar.shape[-1]) == 0
+    pr = jnp.where(dc, ar * br, pr)
+    pi = jnp.where(dc, ai * bi, pi)
+    return pr, pi

@@ -70,3 +70,28 @@ def test_supported_gate():
     assert pf.factor_m(16384) == (64, 128)
     assert pf.factor_m(4096) == (16, 128)    # rebalanced to full lanes
     assert pf.factor_m(32768) == (128, 128)
+
+
+def test_mul_packed_first_half_linear_conv():
+    """Zero-padded linear convolution through the packed pipeline
+    (rfft_packed -> mul_packed -> irfft_packed(half="first") — the EQ
+    zero-state path) equals the natural-order split-complex form."""
+    from lsp_dsp_units_tpu.ops.cplx import rfft_sc, irfft_sc, sc_mul
+
+    rng = np.random.default_rng(5)
+    b, c = 2048, 4
+    n = 2 * b
+    x = rng.standard_normal((c, b)).astype(np.float32)
+    h = rng.standard_normal(b + 1).astype(np.float32) * 0.2
+    hre, him = rfft_sc(jnp.asarray(h), n)
+
+    ref = irfft_sc(sc_mul(rfft_sc(jnp.asarray(x), n), (hre, him)),
+                   n)[..., :b]
+
+    frame = jnp.concatenate([jnp.asarray(x), jnp.zeros((c, b))], -1)
+    sr, si = pf.rfft_packed(frame, interpret=True)
+    hre_p, him_p = pf.pack_spectra(hre, him, n)
+    y = pf.irfft_packed(pf.mul_packed(sr, si, hre_p, him_p), n,
+                        interpret=True, half="first")
+    assert y.shape == (c, b)
+    assert _snr(ref, y) > 95.0
