@@ -237,6 +237,16 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
                 "samples_per_sec_device": round(
                     per_call * PROBE_R / dev_s, 1),
             })
+            # decompose the best delivered window: call = floor +
+            # device + payload -> the session's D2H rate in ms/MB, so
+            # a congested session is fully provable from the record
+            # (round-3 verdict ask #3; weather range measured
+            # 0.45..4.7 ms/MB across sessions)
+            if best_call_s is not None:
+                bytes_out = per_call * (2 if delivery == "i16" else 4)
+                pay_s = best_call_s - t_floor - dev_s / PROBE_R
+                result["payload_ms_per_mb"] = round(
+                    max(pay_s, 0.0) * 1e3 / (bytes_out / 1e6), 3)
         except Exception as e:             # probes must not kill the bench
             result["device_probe_error"] = str(e)[:200]
 
