@@ -55,7 +55,7 @@ def _kernel(w_ref, zr_ref, zi_ref, ring_re_ref, ring_im_ref,
     inv_m = 2.0 / n
 
     for c in range(zr_ref.shape[0]):
-        sr, si = pfft._fwd_one(zr_ref[c], zi_ref[c], t, dot)
+        sr, si = pfft._fwd_one(zr_ref[c], zi_ref[c], t, dot, x3=x3)
         acc_r = jnp.zeros_like(sr)
         acc_i = jnp.zeros_like(si)
         for p in range(n_p):
@@ -73,7 +73,8 @@ def _kernel(w_ref, zr_ref, zi_ref, ring_re_ref, ring_im_ref,
             acc_i = acc_i + pi
         rout_re_ref[0, c] = sr
         rout_im_ref[0, c] = si
-        gr, gi = pfft._inv_one(acc_r, acc_i, t, inv_m, "last", dot)
+        gr, gi = pfft._inv_one(acc_r, acc_i, t, inv_m, "last", dot,
+                               x3=x3)
         yr_ref[c] = gr
         yi_ref[c] = gi
 

@@ -148,17 +148,53 @@ def _dot3(a, b):
     return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
-def _conj_pair(zr, zi, p1, rrev, rfix, m0, dot):
+def _split_bf16(a):
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return ah, al
+
+
+def _dperm(a, p, lhs_perm=False):
+    """bf16x3-accuracy product with an EXACTLY-bf16-representable
+    permutation matrix (0/1 entries): the matrix's low half is
+    identically zero, so TWO passes reproduce the full split —
+    (ah + al) @ p — instead of dot3's three."""
+    ph = p.astype(jnp.bfloat16)
+    ah, al = _split_bf16(a)
+
+    def d(u, v):
+        return jnp.dot(u, v, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+
+    if lhs_perm:
+        return d(ph, ah) + d(ph, al)
+    return d(ah, ph) + d(al, ph)
+
+
+def _conj_pair(zr, zi, p1, rrev, rfix, m0, dot, x3):
     """(zfr, zfi) with zf[k1,k2] = conj(Z[(M - k)%M]) on the scrambled
-    grid."""
-    ar = dot(zr, rrev)
-    ai = dot(zi, rrev)
-    pr = dot(p1, ar) + m0 * dot(zr, rfix)
-    pi = dot(p1, ai) + m0 * dot(zi, rfix)
+    grid.  Only ROW 0 of the rfix product survives the m0 mask, so the
+    matmul runs on an 8-row slice (the minimum sublane tile) instead of
+    the full grid — ~20% of the transform's MXU work saved; the
+    permutation products themselves use the 2-pass exact-bf16 form
+    under x3."""
+    if x3:
+        dperm_r = functools.partial(_dperm, lhs_perm=False)
+        def dperm_l(p, a):
+            return _dperm(a, p, lhs_perm=True)
+    else:
+        dperm_r = dot
+        dperm_l = dot
+    ar = dperm_r(zr, rrev)
+    ai = dperm_r(zi, rrev)
+    fr = dperm_r(zr[0:8, :], rfix)[0:1, :]
+    fi = dperm_r(zi[0:8, :], rfix)[0:1, :]
+    pr = dperm_l(p1, ar) + m0 * fr
+    pi = dperm_l(p1, ai) + m0 * fi
     return pr, -pi
 
 
-def _fwd_one(zr, zi, t, dot, halfin=False):
+def _fwd_one(zr, zi, t, dot, halfin=False, x3=True):
     """Forward four-step + untangle for ONE channel ([n1, n2] grids).
     ``halfin=True``: the caller's frame is x || zeros (zero-padded
     linear convolution) and z carries only the FIRST n1/2 rows — the
@@ -181,7 +217,7 @@ def _fwd_one(zr, zi, t, dot, halfin=False):
     fr = _dot(tr, w2r) - _dot(ti, w2i)
     fi = _dot(tr, w2i) + _dot(ti, w2r)
     # untangle to the rfft half-spectrum
-    zfr, zfi = _conj_pair(fr, fi, p1, rrev, rfix, m0, dot)
+    zfr, zfi = _conj_pair(fr, fi, p1, rrev, rfix, m0, dot, x3)
     er = 0.5 * (fr + zfr)
     ei = 0.5 * (fi + zfi)
     orr = 0.5 * (fi - zfi)        # O = -i (Z - conj_pair)/2
@@ -193,7 +229,7 @@ def _fwd_one(zr, zi, t, dot, halfin=False):
     return xr, xi
 
 
-def _inv_one(xr, xi, t, inv_m, half, dot):
+def _inv_one(xr, xi, t, inv_m, half, dot, x3=True):
     """Inverse for ONE channel: scrambled-packed [n1, n2] spectrum ->
     packed time z = x[2n] + i x[2n+1] on the natural [a, b] grid.
     ``half`` selects which N/2 time samples the final stage computes:
@@ -216,7 +252,7 @@ def _inv_one(xr, xi, t, inv_m, half, dot):
     xr0 = xr
     xi0 = xi * k1
     # Xf[k] = conj(X[M-k]); bin (0,0) must read the PACKED X[M]
-    xfr, xfi = _conj_pair(xr0, xi0, p1, rrev, rfix, m0, dot)
+    xfr, xfi = _conj_pair(xr0, xi0, p1, rrev, rfix, m0, dot, x3)
     xfr = xfr * k1 + xi * m00     # X[M] (real) from the packed slot
     xfi = xfi * k1
     er = 0.5 * (xr0 + xfr)
@@ -249,7 +285,8 @@ def _fwd_kernel(zr_ref, zi_ref, *rest, x3, halfin=False):
          rfix_ref[...], m0_ref[...], m00_ref[...])
     dot = _dot3 if x3 else _dot
     for c in range(zr_ref.shape[0]):
-        xr, xi = _fwd_one(zr_ref[c], zi_ref[c], t, dot, halfin=halfin)
+        xr, xi = _fwd_one(zr_ref[c], zi_ref[c], t, dot, halfin=halfin,
+                          x3=x3)
         xr_ref[c] = xr
         xi_ref[c] = xi
 
@@ -264,7 +301,8 @@ def _inv_kernel(xr_ref, xi_ref, *rest, inv_m, half, x3):
          rfix_ref[...], m0_ref[...], m00_ref[...])
     dot = _dot3 if x3 else _dot
     for c in range(xr_ref.shape[0]):
-        zr, zi = _inv_one(xr_ref[c], xi_ref[c], t, inv_m, half, dot)
+        zr, zi = _inv_one(xr_ref[c], xi_ref[c], t, inv_m, half, dot,
+                          x3=x3)
         zr_ref[c] = zr
         zi_ref[c] = zi
 
