@@ -161,3 +161,166 @@ def fdl_fused_pallas(ring_re: Array, ring_im: Array,
     y = jnp.stack([yzr.reshape(c, m_half), yzi.reshape(c, m_half)],
                   axis=-1).reshape(c, 2 * m_half)
     return y, rout_re.reshape(p, c, f), rout_im.reshape(p, c, f)
+
+
+def _eqfdl_kernel(w_ref, zx_r_ref, zx_i_ref, cz_r_ref, cz_i_ref,
+                  hz_r_ref, hz_i_ref, ring_re_ref, ring_im_ref,
+                  heq_r_ref, heq_i_ref, h_re_ref, h_im_ref,
+                  *rest, n: int, x3: bool):
+    from jax.experimental import pallas as pl
+
+    (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
+     yr_ref, yi_ref, uz_r_ref, uz_i_ref,
+     rout_re_ref, rout_im_ref) = rest
+    t = (None, None, (w1r_ref[...], w1i_ref[...]),
+         (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
+         (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
+         rfix_ref[...], m0_ref[...], m00_ref[...])
+    dot = pfft._dot3 if x3 else pfft._dot
+    m00 = m00_ref[...]
+    w = w_ref[0]
+    n_p = ring_re_ref.shape[0]
+    inv_m = 2.0 / n
+    heq_r = heq_r_ref[...]
+    heq_i = heq_i_ref[...]
+
+    for c in range(zx_r_ref.shape[0]):
+        # EQ zero-state convolution: zero-padded forward, packed
+        # product with the cascade spectrum, first-half inverse, plus
+        # the carried-state correction (computed outside, z-packed)
+        xr_s, xi_s = pfft._fwd_one(zx_r_ref[c], zx_i_ref[c], t, dot,
+                                   halfin=True, x3=x3)
+        pr = xr_s * heq_r - xi_s * heq_i
+        pi = xr_s * heq_i + xi_s * heq_r
+        pr = pr * (1.0 - m00) + (xr_s * heq_r) * m00
+        pi = pi * (1.0 - m00) + (xi_s * heq_i) * m00
+        uzr, uzi = pfft._inv_one(pr, pi, t, inv_m, "first", dot, x3=x3)
+        uzr = uzr + cz_r_ref[c]
+        uzi = uzi + cz_i_ref[c]
+        uz_r_ref[c] = uzr
+        uz_i_ref[c] = uzi
+
+        # FDL frame = [previous EQ-output block || this one], already
+        # in packed z-rows (the EQ inverse emits exactly this format)
+        zfr = jnp.concatenate([hz_r_ref[c], uzr], axis=0)
+        zfi = jnp.concatenate([hz_i_ref[c], uzi], axis=0)
+        sr, si = pfft._fwd_one(zfr, zfi, t, dot, x3=x3)
+        acc_r = jnp.zeros_like(sr)
+        acc_i = jnp.zeros_like(si)
+        for p in range(n_p):
+            m = (p == w).astype(jnp.float32)
+            xr = ring_re_ref[p, c] * (1.0 - m) + sr * m
+            xi = ring_im_ref[p, c] * (1.0 - m) + si * m
+            hr = h_re_ref[p]
+            hi = h_im_ref[p]
+            ppr = xr * hr - xi * hi
+            ppi = xr * hi + xi * hr
+            ppr = ppr * (1.0 - m00) + (xr * hr) * m00
+            ppi = ppi * (1.0 - m00) + (xi * hi) * m00
+            acc_r = acc_r + ppr
+            acc_i = acc_i + ppi
+        rout_re_ref[0, c] = sr
+        rout_im_ref[0, c] = si
+        gr, gi = pfft._inv_one(acc_r, acc_i, t, inv_m, "last", dot,
+                               x3=x3)
+        yr_ref[c] = gr
+        yi_ref[c] = gi
+
+
+def eqfdl_fused_pallas(ring_re: Array, ring_im: Array,
+                       h_rot_re: Array, h_rot_im: Array,
+                       heq_re: Array, heq_im: Array,
+                       x_block: Array, corr: Array, hist: Array,
+                       w: Array, n: int,
+                       interpret: bool = False, x3: bool = True):
+    """EQ zero-state convolution + ring-FDL convolver block, ONE
+    Pallas program (the chain's whole linear path per block).
+
+    ``heq_*``: [F] packed EQ cascade spectrum.  ``x_block``: [C, B]
+    raw input.  ``corr``: [C, B] the EQ's carried-state correction
+    (g_mat @ sv, computed outside).  ``hist``: [C, B] previous block's
+    EQ OUTPUT (the overlap-save history).  Other args as
+    :func:`fdl_fused_pallas`.
+
+    Returns (y [C, B], u [C, B] — this block's EQ output, to carry as
+    the next ``hist`` — ring_re', ring_im')."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c, f = ring_re.shape
+    n1, n2 = pfft.factor_m(n)
+    b = n // 2
+    assert n1 * n2 == f and x_block.shape == (c, b)
+    c_t = _C_TILE if c % _C_TILE == 0 else c
+
+    def zpack(v):
+        vp = v.astype(jnp.float32).reshape(c, b // 2, 2)
+        return (vp[..., 0].reshape(c, n1 // 2, n2),
+                vp[..., 1].reshape(c, n1 // 2, n2))
+
+    zx_r, zx_i = zpack(x_block)
+    cz_r, cz_i = zpack(corr)
+    hz_r, hz_i = zpack(hist)
+    ring4_re = ring_re.reshape(p, c, n1, n2)
+    ring4_im = ring_im.reshape(p, c, n1, n2)
+    h3_re = h_rot_re.reshape(p, n1, n2)
+    h3_im = h_rot_im.reshape(p, n1, n2)
+    heq2_re = heq_re.reshape(n1, n2)
+    heq2_im = heq_im.reshape(n1, n2)
+    w_arr = jnp.reshape(jnp.asarray(w, jnp.int32), (1,))
+
+    t = pfft._tables(n)
+    consts = [jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
+              for v in pair] + [jnp.asarray(t[6]), jnp.asarray(t[7]),
+                                jnp.asarray(t[8]), jnp.asarray(t[9]),
+                                jnp.asarray(t[10])]
+    const_specs = [
+        pl.BlockSpec(v.shape, functools.partial(
+            lambda nd, ci, wr: (0,) * nd, v.ndim)) for v in consts]
+    half_spec = pl.BlockSpec((c_t, n1 // 2, n2),
+                             lambda ci, wr: (ci, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c // c_t,),
+        in_specs=[half_spec, half_spec, half_spec, half_spec,
+                  half_spec, half_spec,
+                  pl.BlockSpec((p, c_t, n1, n2),
+                               lambda ci, wr: (0, ci, 0, 0)),
+                  pl.BlockSpec((p, c_t, n1, n2),
+                               lambda ci, wr: (0, ci, 0, 0)),
+                  pl.BlockSpec((n1, n2), lambda ci, wr: (0, 0)),
+                  pl.BlockSpec((n1, n2), lambda ci, wr: (0, 0)),
+                  pl.BlockSpec((p, n1, n2), lambda ci, wr: (0, 0, 0)),
+                  pl.BlockSpec((p, n1, n2), lambda ci, wr: (0, 0, 0)),
+                  ] + const_specs,
+        out_specs=(half_spec, half_spec, half_spec, half_spec,
+                   pl.BlockSpec((1, c_t, n1, n2),
+                                lambda ci, wr: (wr[0], ci, 0, 0)),
+                   pl.BlockSpec((1, c_t, n1, n2),
+                                lambda ci, wr: (wr[0], ci, 0, 0))),
+    )
+    half_shape = jax.ShapeDtypeStruct((c, n1 // 2, n2), jnp.float32)
+    yzr, yzi, uzr, uzi, rout_re, rout_im = pl.pallas_call(
+        functools.partial(_eqfdl_kernel, n=n, x3=x3),
+        grid_spec=grid_spec,
+        out_shape=(half_shape, half_shape, half_shape, half_shape,
+                   jax.ShapeDtypeStruct((p, c, n1, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((p, c, n1, n2), jnp.float32)),
+        # scalar prefetch is input 0; ring planes are inputs 7/8 and
+        # alias outputs 4/5 (slot-only in-place write)
+        input_output_aliases={7: 4, 8: 5},
+        interpret=interpret,
+    )(w_arr, zx_r, zx_i, cz_r, cz_i, hz_r, hz_i,
+      ring4_re, ring4_im, heq2_re, heq2_im, h3_re, h3_im, *consts)
+
+    m_half = (n1 // 2) * n2
+
+    def unpack(zr, zi):
+        out = jnp.stack([zr.reshape(c, m_half), zi.reshape(c, m_half)],
+                        axis=-1)
+        return out.reshape(c, 2 * m_half)
+
+    return (unpack(yzr, yzi), unpack(uzr, uzi),
+            rout_re.reshape(p, c, f), rout_im.reshape(p, c, f))

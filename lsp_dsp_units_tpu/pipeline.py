@@ -169,9 +169,50 @@ class FilterConvChain:
         ops.fftconv.fdl_ring_step), minus the shift-register traffic.
         The bench's scan super-step uses this path."""
         assert x.shape[-1] == self.block, (x.shape, self.block)
-        y, eq_st = biquad_block.cascade_block_fused(params.eq_block,
-                                                    state.eq, x)
-        fdl_st, y = fftconv.fdl_ring_step(params.h_spectra, state.fdl, y)
+        b = self.block
+        packed_ring = (state.fdl.spec_re.ndim == 3
+                       and state.fdl.spec_re.shape[-1] == b)
+        if (jax.default_backend() == "tpu" and packed_ring
+                and x.ndim == 2 and params.h_spectra.re.ndim == 2):
+            # the chain's whole LINEAR path — EQ zero-state convolution
+            # AND the ring-FDL convolver — as ONE Mosaic kernel
+            # (ops.pallas_fdl_fused.eqfdl_fused_pallas): the EQ inverse
+            # emits packed z-rows, which are exactly the second half of
+            # the FDL frame, so nothing round-trips through HBM between
+            # the two convolutions.  Only the EQ's skinny state
+            # coupling (G/M/W matmuls) stays in XLA.
+            from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+            from lsp_dsp_units_tpu.ops.pallas_fdl_fused import \
+                eqfdl_fused_pallas
+            eqp = params.eq_block
+            k2 = eqp.m_mat.shape[0]
+            sv = state.eq.reshape(state.eq.shape[:-2] + (k2,))
+            corr = jnp.einsum("bk,...k->...b", eqp.g_mat, sv,
+                              precision=jax.lax.Precision.HIGH)
+            nfft = 2 * b
+            heq_r, heq_i = pfft.pack_spectra(eqp.h_re, eqp.h_im, nfft)
+            p_n = params.h_spectra.re.shape[-2]
+            w = (state.fdl.pos + 1) % p_n
+            rot = (w - jnp.arange(p_n)) % p_n
+            hre_p, him_p = pfft.pack_spectra(params.h_spectra.re,
+                                             params.h_spectra.im, nfft)
+            y, u, buf_re, buf_im = eqfdl_fused_pallas(
+                state.fdl.spec_re, state.fdl.spec_im,
+                jnp.take(hre_p, rot, axis=-2),
+                jnp.take(him_p, rot, axis=-2),
+                heq_r, heq_i, x, corr, state.fdl.history, w, nfft)
+            sv2 = (jnp.einsum("kj,...j->...k", eqp.m_mat, sv,
+                              precision=jax.lax.Precision.HIGH)
+                   + jnp.einsum("kb,...b->...k", eqp.w_mat, x,
+                                precision=jax.lax.Precision.HIGH))
+            eq_st = sv2.reshape(state.eq.shape)
+            fdl_st = fftconv.RingFDLState(
+                spec_re=buf_re, spec_im=buf_im, history=u, pos=w)
+        else:
+            y, eq_st = biquad_block.cascade_block_fused(params.eq_block,
+                                                        state.eq, x)
+            fdl_st, y = fftconv.fdl_ring_step(params.h_spectra,
+                                              state.fdl, y)
         # Mosaic fast path: sliding-RMS sidechain + compressor envelope
         # + two-knee gain + apply, fused into ONE kernel (the rolling
         # sum and the envelope recurrence are both serial in t and

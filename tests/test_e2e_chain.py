@@ -291,3 +291,64 @@ def test_chain_dyn_pallas_matches_staged():
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(env_f.envelope),
                                np.asarray(env_st.envelope), rtol=1e-5)
+
+
+def test_eqfdl_fused_matches_staged():
+    """The single-kernel EQ-conv + ring-FDL path (ops.pallas_fdl_fused.
+    eqfdl_fused_pallas, step_ring's TPU linear path) streamed over
+    several blocks equals the staged cascade_block_fused +
+    fdl_ring_step form."""
+    from lsp_dsp_units_tpu.ops import biquad_block, fftconv
+    from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+    from lsp_dsp_units_tpu.ops.pallas_fdl_fused import eqfdl_fused_pallas
+    from lsp_dsp_units_tpu.pipeline import default_eq_params
+    from lsp_dsp_units_tpu.models.filters.design import design_filter
+
+    sr_hz, c, b = 48000, 8, 2048
+    eq = np.concatenate(
+        [design_filter(p, sr_hz).biquads
+         for p in default_eq_params(sr_hz)[:4]], axis=0)
+    eqp = biquad_block.precompute_fused(eq, b)
+    rng = np.random.default_rng(9)
+    ir = rng.standard_normal(3 * b - 17).astype(np.float32) * 0.1
+    h = fftconv.parse_ir(jnp.asarray(ir), b)
+    p_n = h.re.shape[-2]
+    nfft = 2 * b
+    k2 = eqp.m_mat.shape[0]
+
+    eq_st = biquad_block.init_state(eq.shape[0], (c,))
+    fdl_st = fftconv.init_ring_fdl(h, (c,))
+    st_p = fftconv.init_ring_fdl(h, (c,), packed=True)
+    eq_sv = eq_st
+    heq_r, heq_i = pfft.pack_spectra(eqp.h_re, eqp.h_im, nfft)
+    hre_p, him_p = pfft.pack_spectra(h.re, h.im, nfft)
+
+    for k in range(p_n + 3):
+        x = jnp.asarray(
+            rng.standard_normal((c, b)).astype(np.float32) * 0.25)
+        # staged golden
+        u_ref, eq_st = biquad_block.cascade_block_fused(eqp, eq_st, x)
+        fdl_st, y_ref = fftconv.fdl_ring_step(h, fdl_st, u_ref)
+        # fused (interpret mode)
+        sv = eq_sv.reshape(eq_sv.shape[:-2] + (k2,))
+        corr = jnp.einsum("bk,...k->...b", eqp.g_mat, sv)
+        w = (st_p.pos + 1) % p_n
+        rot = (w - jnp.arange(p_n)) % p_n
+        y, u, buf_re, buf_im = eqfdl_fused_pallas(
+            st_p.spec_re, st_p.spec_im,
+            jnp.take(hre_p, rot, axis=-2),
+            jnp.take(him_p, rot, axis=-2),
+            heq_r, heq_i, x, corr, st_p.history, w, nfft,
+            interpret=True)
+        sv2 = (jnp.einsum("kj,...j->...k", eqp.m_mat, sv)
+               + jnp.einsum("kb,...b->...k", eqp.w_mat, x))
+        eq_sv = sv2.reshape(eq_sv.shape)
+        st_p = fftconv.RingFDLState(spec_re=buf_re, spec_im=buf_im,
+                                    history=u, pos=w)
+
+        for ref, out, tag in ((u_ref, u, "eq"), (y_ref, y, "conv")):
+            ref = np.asarray(ref, np.float64)
+            err = np.asarray(out, np.float64) - ref
+            snr = 10 * np.log10(max(np.sum(ref ** 2), 1e-30)
+                                / max(np.sum(err ** 2), 1e-30))
+            assert snr > 95.0, (k, tag, snr)
