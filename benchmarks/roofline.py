@@ -67,25 +67,28 @@ def analytic(chain, params) -> dict:
     f32 = 4
 
     stages = {}
-    # EQ fused cascade: rfft(2B) + spectral mul + irfft(2B) + G/W/M matmuls
-    stages["eq_fused"] = {
-        "flops": (fft_flops(2 * b, c) * 2            # rfft + irfft
-                  + 6.0 * c * f                      # split-complex mul
-                  + 2.0 * c * k2 * b * 2             # G @ s, W @ x
-                  + 2.0 * c * k2 * k2),              # M @ s
-        # x in, y out, padded FFT work buffers (2B re+im through HBM
-        # twice: XLA materializes the split-complex pair), small mats
-        "bytes": f32 * (c * b * 2 + 4 * c * 2 * b * 2 + k2 * (2 * b + k2)),
-    }
-    # Ring-FDL convolver: rfft(2B), one-slot write, P-partition MAC
-    # reading the whole spectra ring + IR spectra, irfft(2B)
-    stages["fdl_ring"] = {
-        "flops": fft_flops(2 * b, c) * 2 + 8.0 * c * p * f,
-        "bytes": f32 * (c * b * 2                    # y in/out
-                        + c * f * 2                  # slot write
-                        + c * p * f * 2              # ring read (the MAC)
-                        + p * f * 2                  # IR spectra read
-                        + c * 2 * b * 2 * 2),        # FFT buffers
+    # The fused linear path (ONE Pallas kernel): EQ zero-pad forward +
+    # packed product + first-half inverse, then FDL forward + ring MAC
+    # + last-half inverse; HBM touches x, the state correction, the
+    # carried EQ-output block, the spectra ring (read + 1-slot write)
+    # and y.  FLOPs counted as the four-step matmul work at bf16x3
+    # (3 passes, pairing 2-pass/sliced — ops/pallas_fft.py) — unlike a
+    # butterfly FFT this path is MXU-bound, not HBM-bound.
+    mac_units = 2.0 * 128 * 128 * 128                # one [128^3] MAC set
+    # per channel per full transform: stage A 4x(n1^2 n2) + stage C
+    # 4x(n1 n2^2) + pairing (2 big + 2 small + fix/8), all x3 passes
+    # (2 for the permutation terms)
+    full_mxu = (4 * 64 * 64 * 128 + 4 * 64 * 128 * 128
+                + 2 * 64 * 128 * 128 * (2 / 3) * 3
+                + 2 * 64 * 64 * 128 * (2 / 3) * 3) * 3 * 2.0
+    stages["linear_path"] = {
+        "flops": (c * (0.75 + 0.5 + 1.0 + 0.5) * full_mxu
+                  + 8.0 * c * p * b                  # ring MAC
+                  + 2.0 * c * k2 * b * 2),           # G/W matmuls
+        "bytes": f32 * (c * b * 5                    # x, corr, hist, u, y
+                        + c * b * 2                  # slot write
+                        + c * p * b * 2              # ring read
+                        + p * b * 2),                # IR spectra
     }
     # Dynamics tail, ONE fused kernel (pallas_env.chain_dyn_pallas):
     # sliding-RMS rolling sum (2-cycle serial chain) + envelope
@@ -206,6 +209,38 @@ def main_measure():
         fdl, y = fftconv.fdl_ring_step(params.h_spectra, st.fdl, y)
         return st._replace(eq=eq, fdl=fdl), jnp.sum(y) * 1e-9
 
+    def v_linear(st, x):
+        # the chain's fused linear path (EQ conv + FDL, one kernel):
+        # step_ring's own code up to (not including) the dynamics tail
+        from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+        from lsp_dsp_units_tpu.ops.pallas_fdl_fused import \
+            eqfdl_fused_pallas
+        eqp = params.eq_block
+        k2 = eqp.m_mat.shape[0]
+        sv = st.eq.reshape(st.eq.shape[:-2] + (k2,))
+        corr = jnp.einsum("bk,...k->...b", eqp.g_mat, sv,
+                          precision=jax.lax.Precision.HIGH)
+        nfft = 2 * chain.block
+        heq_r, heq_i = pfft.pack_spectra(eqp.h_re, eqp.h_im, nfft)
+        p_n = params.h_spectra.re.shape[-2]
+        w = (st.fdl.pos + 1) % p_n
+        rot = (w - jnp.arange(p_n)) % p_n
+        hre_p, him_p = pfft.pack_spectra(params.h_spectra.re,
+                                         params.h_spectra.im, nfft)
+        y, u, buf_re, buf_im = eqfdl_fused_pallas(
+            st.fdl.spec_re, st.fdl.spec_im,
+            jnp.take(hre_p, rot, axis=-2),
+            jnp.take(him_p, rot, axis=-2),
+            heq_r, heq_i, x, corr, st.fdl.history, w, nfft)
+        sv2 = (jnp.einsum("kj,...j->...k", eqp.m_mat, sv,
+                          precision=jax.lax.Precision.HIGH)
+               + jnp.einsum("kb,...b->...k", eqp.w_mat, x,
+                            precision=jax.lax.Precision.HIGH))
+        fdl = fftconv.RingFDLState(spec_re=buf_re, spec_im=buf_im,
+                                   history=u, pos=w)
+        return st._replace(eq=sv2.reshape(st.eq.shape), fdl=fdl), \
+            jnp.sum(y) * 1e-9
+
     def v_sc(st, x):
         y, eq = biquad_block.cascade_block_fused(params.eq_block, st.eq, x)
         fdl, y = fftconv.fdl_ring_step(params.h_spectra, st.fdl, y)
@@ -221,13 +256,14 @@ def main_measure():
         return st, jnp.sum(quantize_i16(y, table, jnp.uint32(3))
                            .astype(jnp.float32)) * 1e-9
 
-    # Stage-prefix chain matches the FUSED hot path: eq -> fdl (one
-    # Pallas kernel) -> dyn tail (sidechain+envelope+gain, one Pallas
-    # kernel inside step_ring) -> i16.  "sidechain" and "fft1" sit
-    # LAST as side probes (the staged sidechain kernel alone / the
-    # packed FFT pair alone), not part of the consecutive marginals.
-    variants = [("floor", v_floor), ("eq", v_eq), ("fdl", v_fdl),
+    # Stage-prefix chain matches the FUSED hot path: linear (EQ conv +
+    # FDL, ONE Pallas kernel) -> dyn tail (sidechain+envelope+gain,
+    # one Pallas kernel inside step_ring) -> i16.  "eq"/"fdl" (the
+    # staged forms), "sidechain" and "fft1" sit LAST as side probes,
+    # not part of the consecutive marginals.
+    variants = [("floor", v_floor), ("linear", v_linear),
                 ("dyn", v_env), ("i16", v_i16),
+                ("eq", v_eq), ("fdl", v_fdl),
                 ("sidechain", v_sc), ("fft1", v_fft)]
 
     # Each variant is timed as ONE dispatch running SCAN sequential
@@ -311,8 +347,7 @@ def main_measure():
         prev = name
 
     stages = analytic(chain, params)
-    meas = [marg.get("eq"), marg.get("fdl"), marg.get("dyn"),
-            marg.get("i16")]
+    meas = [marg.get("linear"), marg.get("dyn"), marg.get("i16")]
     full_dev = float(np.median(arr["dyn"] - arr["floor"]))
     print(f"\n{'stage':<16}{'SoL us':>9}{'measured us':>13}{'% SoL':>8}")
     rows = sol_table(stages, peaks)
