@@ -369,8 +369,24 @@ def cascade_block_fused(params: FusedCascadeParams, state: Array,
         return y.astype(x.dtype), sv2.reshape(state.shape)
 
     blocks = jnp.moveaxis(x.reshape(x.shape[:-1] + (m, b)), -2, 0)
-    spec = sc_mul(rfft_sc(blocks, 2 * b), (params.h_re, params.h_im))
-    y_zs = irfft_sc(spec, 2 * b)[..., :b]                 # [M, ..., B]
+    from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+    if (jax.default_backend() == "tpu" and blocks.ndim == 3
+            and pfft.supported(2 * b)):
+        # packed Pallas FFT for the batched per-block zero-state convs
+        # (the bulk super-step path): all M x C rows through the
+        # zero-pad forward / packed product / first-half inverse
+        m_b, c_b = blocks.shape[0], blocks.shape[1]
+        rows = blocks.reshape(m_b * c_b, b)
+        sr, si = pfft.rfft_packed_zeropad(rows)
+        hre_p, him_p = pfft.pack_spectra(params.h_re, params.h_im,
+                                         2 * b)
+        y_zs = pfft.irfft_packed(
+            pfft.mul_packed(sr, si, hre_p, him_p), 2 * b,
+            half="first").reshape(m_b, c_b, b)
+    else:
+        spec = sc_mul(rfft_sc(blocks, 2 * b),
+                      (params.h_re, params.h_im))
+        y_zs = irfft_sc(spec, 2 * b)[..., :b]             # [M, ..., B]
     wx = jnp.einsum("kb,m...b->m...k", params.w_mat, blocks,
                     precision=_PREC)
 

@@ -328,6 +328,11 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
                         history=x_block, pos=w), y.astype(x_block.dtype)
 
 
+# tests flip this to force the packed bulk branch (interpret mode)
+# off-TPU; the gate otherwise keeps CPU runs on the XLA form
+_BULK_PACKED_TEST = False
+
+
 class OLSBulkState(NamedTuple):
     """Carried state of the big-FFT overlap-save bulk convolver: the
     last ``nfft - T`` input samples (time domain)."""
@@ -369,6 +374,22 @@ def ols_bulk_process(h: Spectra, state: OLSBulkState, x: Array,
     assert state.history.shape[-1] == t, (state.history.shape, t)
     frame = jnp.concatenate([state.history, x.astype(jnp.float32)],
                             axis=-1)
+    # packed Pallas FFT path: at bulk sizes the four-step's factors
+    # reach [256, 512]+ and the matmuls FILL the MXU (unlike the
+    # per-block [64, 128] grids), while the native FFT runs 15-20x off
+    # HBM rate (one 64x262144 rfft measured 3-4 ms — NUMERICS.md)
+    from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+    if (frame.ndim == 2 and h.re.ndim == 1
+            and pfft.supported(2 * t)
+            and (jax.default_backend() == "tpu" or _BULK_PACKED_TEST)):
+        interp = jax.default_backend() != "tpu"
+        sr, si = pfft.rfft_packed(frame, interpret=interp)
+        hre_p, him_p = pfft.pack_spectra(h.re, h.im, 2 * t)
+        y = pfft.irfft_packed(
+            pfft.mul_packed(sr, si, hre_p, him_p), 2 * t,
+            interpret=interp, half="last")
+        return OLSBulkState(history=x.astype(jnp.float32)), \
+            y.astype(x.dtype)
     sr, si = rfft_sc(frame)
     acc = sc_mul((sr, si), (h.re, h.im))
     y = irfft_sc(acc, axis=-1)[..., t:]

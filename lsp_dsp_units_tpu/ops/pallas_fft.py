@@ -320,7 +320,18 @@ def _call(kernel, n: int, a_re: Array, a_im: Array,
                                 jnp.asarray(t[8]), jnp.asarray(t[9]),
                                 jnp.asarray(t[10])]
     c = a_re.shape[0]
-    c_t = _C_TILE if c % _C_TILE == 0 else c
+    # channel tile chosen by VMEM budget: tables + (in + out + ~3
+    # intermediates) per channel, double-buffered — big transforms
+    # (N = 262144: [256, 512] grids, 0.5 MB/plane) need small tiles
+    tables_b = sum(4 * int(np.prod(v.shape)) for v in consts)
+    per_c = 4 * (n1_in + n1_out + 3 * n1) * n2 * 4
+    c_t = 1
+    for cand in (8, 4, 2):
+        if c % cand == 0 and tables_b + 2 * cand * per_c <= (11 << 20):
+            c_t = cand
+            break
+    if c % c_t:
+        c_t = c
     const_specs = [
         pl.BlockSpec(v.shape, functools.partial(
             lambda nd, ci: (0,) * nd, v.ndim)) for v in consts]

@@ -234,3 +234,23 @@ def test_ring_fdl_packed_matches_natural():
         # bar = the >=95 dB chain contract (NUMERICS.md): the packed
         # path's default bf16x3 matmuls sit at ~103 dB per FFT
         assert snr_db(np.asarray(y_ref), np.asarray(y)) > 95.0, k
+
+
+def test_ols_bulk_packed_matches_xla(monkeypatch):
+    """The packed-Pallas bulk overlap-save branch (the TPU bulk tier)
+    equals the native-FFT XLA form over streamed super-blocks."""
+    rng = np.random.default_rng(13)
+    t_super, c = 8192, 4
+    ir = rng.standard_normal(4096).astype(np.float32) * 0.2
+    h = fftconv.ols_bulk_spectra(jnp.asarray(ir), t_super)
+
+    st_a = fftconv.init_ols_bulk(t_super, (c,))
+    st_b = fftconv.init_ols_bulk(t_super, (c,))
+    for k in range(3):
+        x = jnp.asarray(
+            rng.standard_normal((c, t_super)).astype(np.float32))
+        st_a, y_ref = fftconv.ols_bulk_process(h, st_a, x)
+        monkeypatch.setattr(fftconv, "_BULK_PACKED_TEST", True)
+        st_b, y = fftconv.ols_bulk_process(h, st_b, x)
+        monkeypatch.setattr(fftconv, "_BULK_PACKED_TEST", False)
+        assert snr_db(np.asarray(y_ref), np.asarray(y)) > 95.0, k
