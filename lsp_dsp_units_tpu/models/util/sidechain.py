@@ -110,7 +110,8 @@ class Sidechain:
             # round-4 anatomy).  Gated like ops.dynamics.peak_envelope:
             # 2D input, tile-aligned shapes, VMEM budget.
             c_pad = -(-x.shape[0] // 128) * 128 if x.ndim == 2 else 0
-            if (x.ndim == 2 and t >= n and t % 8 == 0 and n % 8 == 0
+            if (x.ndim == 2 and x.dtype == jnp.float32
+                    and t >= n and t % 8 == 0 and n % 8 == 0
                     and jax.default_backend() == "tpu"
                     and (2 * t + 2 * n) * c_pad * 4 <= (9 << 20)):
                 from lsp_dsp_units_tpu.ops.pallas_env import (

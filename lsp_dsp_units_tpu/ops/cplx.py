@@ -33,10 +33,15 @@ SC = Tuple[Array, Array]   # (real, imag)
 # faster transposes or native-f32 MXUs; default is the native FFT.
 _MXFFT_MIN = 2048
 
+# read ONCE at import: jitted callers cache compiled programs, so a
+# mid-process env flip would silently leave already-compiled shapes on
+# the old branch (mirrors how pallas_fft.X3 is handled)
+import os as _os
+_MXFFT_ENABLED = _os.environ.get("LSP_TPU_MXFFT") == "1"
+
 
 def _use_mxfft(n: int | None, axis: int) -> bool:
-    import os
-    return (os.environ.get("LSP_TPU_MXFFT") == "1"
+    return (_MXFFT_ENABLED
             and n is not None and axis == -1 and n >= _MXFFT_MIN
             and (n & (n - 1)) == 0
             and jax.default_backend() == "tpu")

@@ -234,6 +234,13 @@ def init_ring_fdl(h_spectra: Spectra, batch_shape: Tuple[int, ...] = (),
     stay natural-order; the step packs them on the fly (tiny)."""
     p, f = h_spectra.re.shape[-2], h_spectra.re.shape[-1]
     block = (f - 1)
+    if packed:
+        from lsp_dsp_units_tpu.ops import pallas_fft
+        if not pallas_fft.supported(2 * block):
+            raise ValueError(
+                f"packed ring FDL requires a pallas_fft-supported frame "
+                f"size (2*block = {2 * block}: power of two >= 2048 with "
+                f"an [n1 >= 8, n2 % 128 == 0] grid); use packed=False")
     fdim = block if packed else f
     return RingFDLState(
         spec_re=jnp.zeros((p,) + batch_shape + (fdim,), jnp.float32),
@@ -307,6 +314,9 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
     # line up with the partition-major ring (singletons inserted so h's
     # batch dims align right against the ring's)
     hb = h_spectra.re.ndim - 2
+    assert hb <= nb, (
+        f"h_spectra carries {hb} batch dims but the ring state only "
+        f"{nb}; broadcast the ring (init_ring_fdl batch_shape) instead")
     hshape = ((p,) + (1,) * (nb - hb) + h_spectra.re.shape[:-2]
               + h_spectra.re.shape[-1:])
     hre = jnp.where(keep, jnp.moveaxis(

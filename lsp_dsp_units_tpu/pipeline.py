@@ -59,6 +59,30 @@ def default_eq_params(sample_rate: int):
             for (t, f, g, s) in bands]
 
 
+# eager-call memo for step_ring's per-block spectrum packing: under
+# jit the pack_spectra/gather glue is traced once per compile, but an
+# EAGER streaming caller would repack the (constant) EQ cascade and all
+# P IR spectra every block.  Keyed on array identity; tracers are never
+# cached (each trace context owns its tracers).  Strong refs keep the
+# ids valid; the cache is tiny (a few [P, F] planes) and bounded.
+_PACK_CACHE: dict = {}
+
+
+def _pack_cached(re: Array, im: Array, nfft: int):
+    from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+    if isinstance(re, jax.core.Tracer) or isinstance(im, jax.core.Tracer):
+        return pfft.pack_spectra(re, im, nfft)
+    key = (id(re), id(im), nfft)
+    hit = _PACK_CACHE.get(key)
+    if hit is not None and hit[0] is re and hit[1] is im:
+        return hit[2]
+    packed = pfft.pack_spectra(re, im, nfft)
+    if len(_PACK_CACHE) >= 16:
+        _PACK_CACHE.clear()
+    _PACK_CACHE[key] = (re, im, packed)
+    return packed
+
+
 class ChainParams(NamedTuple):
     eq_coeffs: Array                 # [K, 5] (raw biquads, for analysis)
     eq_block: biquad_block.FusedCascadeParams
@@ -190,12 +214,12 @@ class FilterConvChain:
             corr = jnp.einsum("bk,...k->...b", eqp.g_mat, sv,
                               precision=jax.lax.Precision.HIGH)
             nfft = 2 * b
-            heq_r, heq_i = pfft.pack_spectra(eqp.h_re, eqp.h_im, nfft)
+            heq_r, heq_i = _pack_cached(eqp.h_re, eqp.h_im, nfft)
             p_n = params.h_spectra.re.shape[-2]
             w = (state.fdl.pos + 1) % p_n
             rot = (w - jnp.arange(p_n)) % p_n
-            hre_p, him_p = pfft.pack_spectra(params.h_spectra.re,
-                                             params.h_spectra.im, nfft)
+            hre_p, him_p = _pack_cached(params.h_spectra.re,
+                                        params.h_spectra.im, nfft)
             import os
             x3 = os.environ.get("LSP_TPU_FFT_X3", "1") != "0"
             y, u, buf_re, buf_im = eqfdl_fused_pallas(
