@@ -170,6 +170,10 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
         "delivery": delivery,
         "scan_k": scan_k,
         "blocks_per_step": blocks_per_step,
+        # which FFT matmul precision produced this number (the bf16x3
+        # emulation is the default; a silent default flip or emulation
+        # regression must be visible on the driver record)
+        "fft_x3": os.environ.get("LSP_TPU_FFT_X3", "1") != "0",
     }
     # emit the delivered number NOW so a hang inside the device probes
     # cannot lose it (the parent parses the LAST json line)
@@ -249,6 +253,59 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
                     max(pay_s, 0.0) * 1e3 / (bytes_out / 1e6), 3)
         except Exception as e:             # probes must not kill the bench
             result["device_probe_error"] = str(e)[:200]
+
+        # same-run DELIVERY CEILING: the delivered loop with the chain
+        # replaced by a trivial elementwise op on a same-shape i16
+        # output — same dispatch pattern, same payload, ~zero device
+        # compute.  delivered/ceiling then certifies how close the
+        # bench sits to what this session's tunnel could deliver at
+        # all (round-4 verdict: the record claimed congestion but did
+        # not prove the ceiling).
+        try:
+            y_shape = jnp.shape(y)
+            y_dev = jnp.zeros(y_shape, jnp.int16 if delivery == "i16"
+                              else jnp.float32)
+            triv = jax.jit(lambda v, k: v + k.astype(v.dtype))
+
+            best_ceil = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for j in range(iters):
+                    y_dev = triv(y_dev, jnp.uint32(1))
+                np.asarray(y_dev)
+                el = time.perf_counter() - t0
+                best_ceil = max(best_ceil, per_call * iters / el)
+            result["ceiling_samples_per_sec"] = round(best_ceil, 1)
+            if best_ceil > 0:
+                result["delivered_vs_ceiling"] = round(best / best_ceil, 3)
+        except Exception as e:
+            result["ceiling_probe_error"] = str(e)[:200]
+
+        # chain-SNR spot value vs the float64 ideal (2 fresh blocks
+        # through the production step from zero state): guards the
+        # bf16x3 FFT emulation and every fused kernel against silent
+        # numeric regression while perf work keeps churning.  The
+        # golden runs on host numpy (a few seconds).
+        try:
+            from benchmarks.chain_golden64 import golden_chain_f64
+            rng2 = np.random.default_rng(42)
+            xs2 = [rng2.standard_normal(
+                (channels, chain.block)).astype(np.float32) * 0.25
+                for _ in range(2)]
+            st2b = chain.init_ring_state(params)
+            step2 = jax.jit(chain.step_ring)
+            outs = []
+            for xb in xs2:
+                st2b, yb = step2(params, st2b, jnp.asarray(xb))
+                outs.append(np.asarray(yb, np.float64))
+            golds = golden_chain_f64(chain, params, xs2)
+            g = np.concatenate(golds, axis=-1)
+            err = np.concatenate(outs, axis=-1) - g
+            snr = 10.0 * np.log10(np.sum(g * g)
+                                  / max(np.sum(err * err), 1e-30))
+            result["chain_vs_golden_db"] = round(float(snr), 1)
+        except Exception as e:
+            result["chain_snr_error"] = str(e)[:200]
 
     return result
 
