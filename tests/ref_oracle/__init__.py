@@ -110,6 +110,11 @@ _REF_SOURCES = [
     os.path.join(REFERENCE_ROOT, "src/main/3d/RayTrace3D.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/Scene3D.cpp"),
     os.path.join(REFERENCE_ROOT, "src/main/3d/Object3D.cpp"),
+    # wave 4b: the LAST 2 of the 82 implementation files — the shm IPC
+    # layer, over POSIX-shm ipc:: stubs (driven writer+reader in one
+    # process like the reference's own utest)
+    os.path.join(REFERENCE_ROOT, "src/main/shared/AudioStream.cpp"),
+    os.path.join(REFERENCE_ROOT, "src/main/shared/Catalog.cpp"),
 ]
 
 _LOCK = threading.Lock()
@@ -125,6 +130,7 @@ def _build() -> str:
     srcs = [os.path.join(_HERE, "oracle.cpp"),
             os.path.join(_HERE, "oracle2.cpp"),
             os.path.join(_HERE, "oracle3.cpp"),
+            os.path.join(_HERE, "oracle4.cpp"),
             os.path.join(_HERE, "dsp_stub2.cpp"),
             os.path.join(_HERE, "dsp_stub3.cpp"),
             os.path.join(_HERE, "dsp_stub4.cpp")] + _REF_SOURCES
@@ -375,6 +381,77 @@ def _lib() -> ctypes.CDLL:
             i32, f32, f32, f32, i32, i32, i32, i32,          # params
             f32p, i32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
+        # wave 4b (oracle4.cpp): genuine shared/AudioStream + Catalog
+        # over the POSIX-shm ipc stubs (handle-based)
+        vp = ctypes.c_void_p
+        cch = ctypes.c_char_p
+        i64 = ctypes.c_int64
+        lng = ctypes.c_long
+        lib.ref_as_new.restype = vp
+        lib.ref_as_new.argtypes = []
+        lib.ref_as_create.restype = i32
+        lib.ref_as_create.argtypes = [vp, cch, u32, u32]
+        lib.ref_as_allocate.restype = i32
+        lib.ref_as_allocate.argtypes = [vp, cch, u32, u32, cch, u32]
+        lib.ref_as_open.restype = i32
+        lib.ref_as_open.argtypes = [vp, cch]
+        lib.ref_as_begin.restype = i32
+        lib.ref_as_begin.argtypes = [vp, i64]
+        lib.ref_as_read.restype = i32
+        lib.ref_as_read.argtypes = [vp, u32, f32p, u32, i32]
+        lib.ref_as_write.restype = i32
+        lib.ref_as_write.argtypes = [vp, u32, f32p, u32, i32]
+        lib.ref_as_end.restype = i32
+        lib.ref_as_end.argtypes = [vp]
+        lib.ref_as_channels.restype = u32
+        lib.ref_as_channels.argtypes = [vp]
+        lib.ref_as_length.restype = u32
+        lib.ref_as_length.argtypes = [vp]
+        lib.ref_as_counter.restype = u32
+        lib.ref_as_counter.argtypes = [vp]
+        lib.ref_as_close.restype = i32
+        lib.ref_as_close.argtypes = [vp]
+        lib.ref_as_free.restype = None
+        lib.ref_as_free.argtypes = [vp]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.ref_cat_new.restype = vp
+        lib.ref_cat_new.argtypes = []
+        lib.ref_cat_open.restype = i32
+        lib.ref_cat_open.argtypes = [vp, cch, u32]
+        lib.ref_cat_close.restype = i32
+        lib.ref_cat_close.argtypes = [vp]
+        lib.ref_cat_free.restype = None
+        lib.ref_cat_free.argtypes = [vp]
+        lib.ref_cat_capacity.restype = u32
+        lib.ref_cat_capacity.argtypes = [vp]
+        lib.ref_cat_size.restype = u32
+        lib.ref_cat_size.argtypes = [vp]
+        lib.ref_cat_changed.restype = i32
+        lib.ref_cat_changed.argtypes = [vp]
+        lib.ref_cat_sync.restype = i32
+        lib.ref_cat_sync.argtypes = [vp]
+        lib.ref_cat_publish.restype = lng
+        lib.ref_cat_publish.argtypes = [vp, u32, cch, cch, u32p]
+        lib.ref_cat_get_by_name.restype = i32
+        lib.ref_cat_get_by_name.argtypes = [vp, cch, u32p, u32p, u32p,
+                                            cch]
+        lib.ref_cat_get_by_index.restype = i32
+        lib.ref_cat_get_by_index.argtypes = [vp, u32, u32p, u32p, cch,
+                                             cch]
+        lib.ref_cat_get_or_reserve.restype = i32
+        lib.ref_cat_get_or_reserve.argtypes = [vp, cch, u32, u32p, u32p,
+                                               cch]
+        lib.ref_cat_validate.restype = i32
+        lib.ref_cat_validate.argtypes = [vp, u32, u32, u32, cch, cch]
+        lib.ref_cat_revoke.restype = i32
+        lib.ref_cat_revoke.argtypes = [vp, u32, u32]
+        lib.ref_cat_enumerate.restype = lng
+        lib.ref_cat_enumerate.argtypes = [vp, u32, u32, u32p, u32p,
+                                          u32p, cch, cch]
+        lib.ref_cat_keep_alive.restype = i32
+        lib.ref_cat_keep_alive.argtypes = [vp, cch]
+        lib.ref_cat_gc.restype = i32
+        lib.ref_cat_gc.argtypes = [vp]
         _LIB = lib
         return lib
 

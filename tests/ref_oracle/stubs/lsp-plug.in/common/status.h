@@ -33,7 +33,10 @@ namespace lsp
         STATUS_SKIP,
         STATUS_CANCELLED,
         STATUS_BREAK_POINT,
-        STATUS_NOT_SUPPORTED
+        STATUS_NOT_SUPPORTED,
+        STATUS_OPENED,
+        STATUS_ALREADY_EXISTS,
+        STATUS_TOO_BIG
     };
 
     /* lsp-common-lib helper: keep the first non-OK status. */

@@ -100,6 +100,9 @@ namespace lsp
         void fill_zero(float *dst, size_t count);
         void fill_one(float *dst, size_t count);
         void copy(float *dst, const float *src, size_t count);
+        /* copy with NaN/Inf/denormal stripping (AudioStream
+         * read/write_sanitized copy_function_t) */
+        void sanitize2(float *dst, const float *src, size_t count);
         void move(float *dst, const float *src, size_t count);
         void add2(float *dst, const float *src, size_t count);
         void mul2(float *dst, const float *src, size_t count);

@@ -10,6 +10,27 @@ namespace lsp
     namespace lltl
     {
         template <class T>
+        class parray;
+
+        /* minimal forward iterator over a parray (Catalog::cleanup:
+         * `for (lltl::iterator<Record> it=items->values(); it; ++it)`) */
+        template <class T>
+        class iterator
+        {
+            private:
+                std::vector<T *> *v;
+                size_t i;
+
+            public:
+                iterator(std::vector<T *> *vec, size_t idx)
+                    : v(vec), i(idx) {}
+                explicit operator bool() const { return i < v->size(); }
+                iterator &operator++() { ++i; return *this; }
+                T *get() const { return (i < v->size()) ? (*v)[i] : NULL; }
+                T *operator*() const { return get(); }
+        };
+
+        template <class T>
         class parray
         {
             private:
@@ -50,6 +71,7 @@ namespace lsp
                 bool is_empty() const { return v.empty(); }
                 void swap(parray<T> *o) { v.swap(o->v); }
                 void flush() { v.clear(); }
+                iterator<T> values() { return iterator<T>(&v, 0); }
         };
     } /* namespace lltl */
 } /* namespace lsp */

@@ -17,8 +17,13 @@ namespace lsp
         public:
             LSPString() {}
             bool set_utf8(const char *v) { s = (v != NULL) ? v : ""; return true; }
+            bool set_utf8(const char *v, size_t len)
+            { s.assign((v != NULL) ? v : "", (v != NULL) ? len : 0); return true; }
             bool set(const LSPString *v) { s = v->s; return true; }
+            bool append_ascii(const char *v) { s += (v != NULL) ? v : ""; return true; }
+            bool equals(const LSPString *o) const { return s == o->s; }
             const char *get_utf8() const { return s.c_str(); }
+            const char *get_native() const { return s.c_str(); }
             bool is_empty() const { return s.empty(); }
             bool fmt_utf8(const char *fmt, ...)
             {
@@ -31,6 +36,7 @@ namespace lsp
                 return true;
             }
             void swap(LSPString *o) { s.swap(o->s); }
+            void swap(LSPString &o) { s.swap(o.s); }
             const std::string &str() const { return s; }
             std::string &str() { return s; }
     };

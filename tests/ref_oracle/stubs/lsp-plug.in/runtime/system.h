@@ -6,6 +6,7 @@
 
 #include <lsp-plug.in/common/types.h>
 #include <time.h>
+#include <unistd.h>
 
 namespace lsp
 {
@@ -23,6 +24,14 @@ namespace lsp
             clock_gettime(CLOCK_REALTIME, &ts);
             t->seconds = (uint32_t) ts.tv_sec;
             t->nanos = (uint32_t) ts.tv_nsec;
+        }
+
+        /* shared-memory segment sizing (AudioStream/Catalog align all
+         * shm regions to whole pages) */
+        inline size_t page_size()
+        {
+            long ps = sysconf(_SC_PAGESIZE);
+            return (ps > 0) ? size_t(ps) : 4096;
         }
     } /* namespace system */
 } /* namespace lsp */

