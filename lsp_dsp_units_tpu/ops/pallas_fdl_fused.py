@@ -39,44 +39,40 @@ _C_TILE = 8
 
 def _kernel(w_ref, zr_ref, zi_ref, ring_re_ref, ring_im_ref,
             h_re_ref, h_im_ref, *rest, n: int, x3: bool):
-    from jax.experimental import pallas as pl
-
-    (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
-     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
-     yr_ref, yi_ref, rout_re_ref, rout_im_ref) = rest
-    t = (None, None, (w1r_ref[...], w1i_ref[...]),
-         (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
-         (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
-         rfix_ref[...], m0_ref[...], m00_ref[...])
+    t, tt = pfft._read_tables(rest[:21])
+    (yr_ref, yi_ref, rout_re_ref, rout_im_ref) = rest[21:]
     dot = pfft._dot3 if x3 else pfft._dot
-    m00 = m00_ref[...]
+    m00 = t[10]
     w = w_ref[0]
     n_p = ring_re_ref.shape[0]
     inv_m = 2.0 / n
 
-    for c in range(zr_ref.shape[0]):
-        sr, si = pfft._fwd_one(zr_ref[c], zi_ref[c], t, dot, x3=x3)
-        acc_r = jnp.zeros_like(sr)
-        acc_i = jnp.zeros_like(si)
-        for p in range(n_p):
-            m = (p == w).astype(jnp.float32)
-            xr = ring_re_ref[p, c] * (1.0 - m) + sr * m
-            xi = ring_im_ref[p, c] * (1.0 - m) + si * m
-            hr = h_re_ref[p]
-            hi = h_im_ref[p]
-            pr = xr * hr - xi * hi
-            pi = xr * hi + xi * hr
-            # packed DC/Nyquist bin multiplies slot-wise (real x real)
-            pr = pr * (1.0 - m00) + (xr * hr) * m00
-            pi = pi * (1.0 - m00) + (xi * hi) * m00
-            acc_r = acc_r + pr
-            acc_i = acc_i + pi
-        rout_re_ref[0, c] = sr
-        rout_im_ref[0, c] = si
-        gr, gi = pfft._inv_one(acc_r, acc_i, t, inv_m, "last", dot,
-                               x3=x3)
-        yr_ref[c] = gr
-        yi_ref[c] = gi
+    # whole channel tile at once: lane-packed forward transform, 3D
+    # elementwise ring MAC (h broadcasts [n1, n2] over the tile),
+    # lane-packed half-frame inverse (pfft._fwd_tile/_inv_tile)
+    sr3, si3 = pfft._fwd_tile(zr_ref[...], zi_ref[...], t, tt, dot,
+                              x3=x3)
+    acc_r = jnp.zeros_like(sr3)
+    acc_i = jnp.zeros_like(si3)
+    for p in range(n_p):
+        m = (p == w).astype(jnp.float32)
+        xr = ring_re_ref[p] * (1.0 - m) + sr3 * m
+        xi = ring_im_ref[p] * (1.0 - m) + si3 * m
+        hr = h_re_ref[p]
+        hi = h_im_ref[p]
+        pr = xr * hr - xi * hi
+        pi = xr * hi + xi * hr
+        # packed DC/Nyquist bin multiplies slot-wise (real x real)
+        pr = pr * (1.0 - m00) + (xr * hr) * m00
+        pi = pi * (1.0 - m00) + (xi * hi) * m00
+        acc_r = acc_r + pr
+        acc_i = acc_i + pi
+    rout_re_ref[0] = sr3
+    rout_im_ref[0] = si3
+    gr3, gi3 = pfft._inv_tile(acc_r, acc_i, t, tt, inv_m, "last", dot,
+                              x3=x3)
+    yr_ref[...] = gr3
+    yi_ref[...] = gi3
 
 
 def fdl_fused_pallas(ring_re: Array, ring_im: Array,
@@ -111,11 +107,7 @@ def fdl_fused_pallas(ring_re: Array, ring_im: Array,
     h3_im = h_rot_im.reshape(p, n1, n2)
     w_arr = jnp.reshape(jnp.asarray(w, jnp.int32), (1,))
 
-    t = pfft._tables(n)
-    consts = [jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
-              for v in pair] + [jnp.asarray(t[6]), jnp.asarray(t[7]),
-                                jnp.asarray(t[8]), jnp.asarray(t[9]),
-                                jnp.asarray(t[10])]
+    consts = pfft._all_consts(n, c_t)
     const_specs = [
         pl.BlockSpec(v.shape, functools.partial(
             lambda nd, ci, wr: (0,) * nd, v.ndim)) for v in consts]
@@ -167,65 +159,59 @@ def _eqfdl_kernel(w_ref, zx_r_ref, zx_i_ref, cz_r_ref, cz_i_ref,
                   hz_r_ref, hz_i_ref, ring_re_ref, ring_im_ref,
                   heq_r_ref, heq_i_ref, h_re_ref, h_im_ref,
                   *rest, n: int, x3: bool):
-    from jax.experimental import pallas as pl
-
-    (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
-     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
-     yr_ref, yi_ref, uz_r_ref, uz_i_ref,
-     rout_re_ref, rout_im_ref) = rest
-    t = (None, None, (w1r_ref[...], w1i_ref[...]),
-         (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
-         (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
-         rfix_ref[...], m0_ref[...], m00_ref[...])
+    t, tt = pfft._read_tables(rest[:21])
+    (yr_ref, yi_ref, uz_r_ref, uz_i_ref,
+     rout_re_ref, rout_im_ref) = rest[21:]
     dot = pfft._dot3 if x3 else pfft._dot
-    m00 = m00_ref[...]
+    m00 = t[10]
     w = w_ref[0]
     n_p = ring_re_ref.shape[0]
     inv_m = 2.0 / n
     heq_r = heq_r_ref[...]
     heq_i = heq_i_ref[...]
 
-    for c in range(zx_r_ref.shape[0]):
-        # EQ zero-state convolution: zero-padded forward, packed
-        # product with the cascade spectrum, first-half inverse, plus
-        # the carried-state correction (computed outside, z-packed)
-        xr_s, xi_s = pfft._fwd_one(zx_r_ref[c], zx_i_ref[c], t, dot,
-                                   halfin=True, x3=x3)
-        pr = xr_s * heq_r - xi_s * heq_i
-        pi = xr_s * heq_i + xi_s * heq_r
-        pr = pr * (1.0 - m00) + (xr_s * heq_r) * m00
-        pi = pi * (1.0 - m00) + (xi_s * heq_i) * m00
-        uzr, uzi = pfft._inv_one(pr, pi, t, inv_m, "first", dot, x3=x3)
-        uzr = uzr + cz_r_ref[c]
-        uzi = uzi + cz_i_ref[c]
-        uz_r_ref[c] = uzr
-        uz_i_ref[c] = uzi
+    # EQ zero-state convolution over the whole tile: zero-padded
+    # lane-packed forward, packed product with the cascade spectrum
+    # ([n1, n2] broadcast over channels), first-half inverse, plus the
+    # carried-state correction (computed outside, z-packed)
+    xr_s, xi_s = pfft._fwd_tile(zx_r_ref[...], zx_i_ref[...], t, tt,
+                                dot, halfin=True, x3=x3)
+    pr = xr_s * heq_r - xi_s * heq_i
+    pi = xr_s * heq_i + xi_s * heq_r
+    pr = pr * (1.0 - m00) + (xr_s * heq_r) * m00
+    pi = pi * (1.0 - m00) + (xi_s * heq_i) * m00
+    uzr3, uzi3 = pfft._inv_tile(pr, pi, t, tt, inv_m, "first", dot,
+                                x3=x3)
+    uzr3 = uzr3 + cz_r_ref[...]
+    uzi3 = uzi3 + cz_i_ref[...]
+    uz_r_ref[...] = uzr3
+    uz_i_ref[...] = uzi3
 
-        # FDL frame = [previous EQ-output block || this one], already
-        # in packed z-rows (the EQ inverse emits exactly this format)
-        zfr = jnp.concatenate([hz_r_ref[c], uzr], axis=0)
-        zfi = jnp.concatenate([hz_i_ref[c], uzi], axis=0)
-        sr, si = pfft._fwd_one(zfr, zfi, t, dot, x3=x3)
-        acc_r = jnp.zeros_like(sr)
-        acc_i = jnp.zeros_like(si)
-        for p in range(n_p):
-            m = (p == w).astype(jnp.float32)
-            xr = ring_re_ref[p, c] * (1.0 - m) + sr * m
-            xi = ring_im_ref[p, c] * (1.0 - m) + si * m
-            hr = h_re_ref[p]
-            hi = h_im_ref[p]
-            ppr = xr * hr - xi * hi
-            ppi = xr * hi + xi * hr
-            ppr = ppr * (1.0 - m00) + (xr * hr) * m00
-            ppi = ppi * (1.0 - m00) + (xi * hi) * m00
-            acc_r = acc_r + ppr
-            acc_i = acc_i + ppi
-        rout_re_ref[0, c] = sr
-        rout_im_ref[0, c] = si
-        gr, gi = pfft._inv_one(acc_r, acc_i, t, inv_m, "last", dot,
-                               x3=x3)
-        yr_ref[c] = gr
-        yi_ref[c] = gi
+    # FDL frame = [previous EQ-output block || this one], already in
+    # packed z-rows (the EQ inverse emits exactly this format)
+    zfr3 = jnp.concatenate([hz_r_ref[...], uzr3], axis=1)
+    zfi3 = jnp.concatenate([hz_i_ref[...], uzi3], axis=1)
+    sr3, si3 = pfft._fwd_tile(zfr3, zfi3, t, tt, dot, x3=x3)
+    acc_r = jnp.zeros_like(sr3)
+    acc_i = jnp.zeros_like(si3)
+    for p in range(n_p):
+        m = (p == w).astype(jnp.float32)
+        xr = ring_re_ref[p] * (1.0 - m) + sr3 * m
+        xi = ring_im_ref[p] * (1.0 - m) + si3 * m
+        hr = h_re_ref[p]
+        hi = h_im_ref[p]
+        ppr = xr * hr - xi * hi
+        ppi = xr * hi + xi * hr
+        ppr = ppr * (1.0 - m00) + (xr * hr) * m00
+        ppi = ppi * (1.0 - m00) + (xi * hi) * m00
+        acc_r = acc_r + ppr
+        acc_i = acc_i + ppi
+    rout_re_ref[0] = sr3
+    rout_im_ref[0] = si3
+    gr3, gi3 = pfft._inv_tile(acc_r, acc_i, t, tt, inv_m, "last", dot,
+                              x3=x3)
+    yr_ref[...] = gr3
+    yi_ref[...] = gi3
 
 
 def eqfdl_fused_pallas(ring_re: Array, ring_im: Array,
@@ -270,11 +256,7 @@ def eqfdl_fused_pallas(ring_re: Array, ring_im: Array,
     heq2_im = heq_im.reshape(n1, n2)
     w_arr = jnp.reshape(jnp.asarray(w, jnp.int32), (1,))
 
-    t = pfft._tables(n)
-    consts = [jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
-              for v in pair] + [jnp.asarray(t[6]), jnp.asarray(t[7]),
-                                jnp.asarray(t[8]), jnp.asarray(t[9]),
-                                jnp.asarray(t[10])]
+    consts = pfft._all_consts(n, c_t)
     const_specs = [
         pl.BlockSpec(v.shape, functools.partial(
             lambda nd, ci, wr: (0,) * nd, v.ndim)) for v in consts]

@@ -275,36 +275,242 @@ def _inv_one(xr, xi, t, inv_m, half, dot, x3=True):
     return gr * inv_m, gi * inv_m
 
 
-def _fwd_kernel(zr_ref, zi_ref, *rest, x3, halfin=False):
+@functools.lru_cache(maxsize=16)
+def _tile_tables(n: int, c_t: int):
+    """Channel-tile ("lane-packed") tables: every matmul of the
+    four-step runs at full MXU width across the whole c_t-channel tile
+    (NUMERICS round-4 anatomy: the per-channel [64,64]x[64,128] form
+    under-fills the 128x128 systolic array to ~28% of peak).
+
+      - stage A: ONE K-doubled complex matmul
+        [[W1r,-W1i],[W1i,W1r]] [2n1,2n1] @ [zr;zi] [2n1, c_t*n2]
+      - stage C: channels row-stacked, [c_t*n1, 2n2] @ W2cat [2n2,2n2]
+      - P1 untangle permutation: block-diagonal I_ct (x) P1 (0/1
+        entries, exact in bf16, 2-pass)
+    """
+    t = _tables(n)
+    n1, n2 = t[0], t[1]
+    (w1r, w1i), (w2r, w2i) = t[2], t[3]
+    p1 = t[6]
+    h = n1 // 2
+
+    def blocks(a, b, c, d):
+        return np.block([[a, b], [c, d]]).astype(np.float32)
+
+    w1cat_fwd = blocks(w1r, -w1i, w1i, w1r)                 # [2n1, 2n1]
+    w1cat_fwd_half = np.concatenate(
+        [np.concatenate([w1r[:, :h], -w1i[:, :h]], axis=1),
+         np.concatenate([w1i[:, :h], w1r[:, :h]], axis=1)],
+        axis=0).astype(np.float32)                          # [2n1, n1]
+    w2cat_fwd = blocks(w2r, w2i, -w2i, w2r)                 # [2n2, 2n2]
+    w2cat_inv = blocks(w2r, -w2i, w2i, w2r)
+    w1cat_inv = blocks(w1r, w1i, -w1i, w1r)                 # [[gr],[gi]]
+    w1cat_inv_first = np.concatenate(
+        [w1cat_inv[:h], w1cat_inv[n1:n1 + h]], axis=0)
+    w1cat_inv_last = np.concatenate(
+        [w1cat_inv[h:n1], w1cat_inv[n1 + h:]], axis=0)
+    p1big = np.kron(np.eye(c_t, dtype=np.float32), p1)      # [ct*n1, ..]
+    return (w1cat_fwd, w1cat_fwd_half, w2cat_fwd, w2cat_inv,
+            w1cat_inv, w1cat_inv_first, w1cat_inv_last, p1big)
+
+
+def _to_wide(rows, c_t, n1, n2):
+    """[c_t*n1, n2] rows-stacked -> [n1, c_t*n2] wide-lanes (in-VMEM
+    lane-slice + concat relayout; ~c_t small copies)."""
+    return jnp.concatenate(
+        [rows[c * n1:(c + 1) * n1, :] for c in range(c_t)], axis=-1)
+
+
+def _to_rows(wide, c_t, n1, n2):
+    """[n1, c_t*n2] wide-lanes -> [c_t*n1, n2] rows-stacked."""
+    return jnp.concatenate(
+        [wide[:, c * n2:(c + 1) * n2] for c in range(c_t)], axis=0)
+
+
+def _conj_pair_rows(zr, zi, tt, t, c_t, dot, x3):
+    """Rows-stacked [c_t*n1, n2] conj-pair: zf[k1,k2] = conj(Z[M-k])
+    per channel.  R right-multiplies batch across channels for free;
+    P1 runs as the block-diagonal I (x) P1; the row-0 rfix products
+    batch all channels' first 8 rows into one matmul."""
+    p1 = t[6]
+    rrev = t[7]
+    rfix = t[8]
+    p1big = tt[7]
+    n1 = p1.shape[0]
+    n2 = rrev.shape[0]
+    if x3:
+        dperm_r = functools.partial(_dperm, lhs_perm=False)
+
+        def dperm_l(p, a):
+            return _dperm(a, p, lhs_perm=True)
+    else:
+        dperm_r = dot
+        dperm_l = dot
+    # R: one batched right-perm over re and im stacked along rows
+    acat = dperm_r(jnp.concatenate([zr, zi], axis=0), rrev)
+    ar = acat[:c_t * n1, :]
+    ai = acat[c_t * n1:, :]
+    # rfix: all channels' first-8-row slices, one matmul, keep row 0
+    # of each channel's product
+    r8r = jnp.concatenate(
+        [zr[c * n1:c * n1 + 8, :] for c in range(c_t)], axis=0)
+    r8i = jnp.concatenate(
+        [zi[c * n1:c * n1 + 8, :] for c in range(c_t)], axis=0)
+    f8 = dperm_r(jnp.concatenate([r8r, r8i], axis=0), rfix)
+    # fix rows land on row c*n1 of each channel: build [c_t, n1, n2]
+    # with row 0 = fix, rest 0 (free reshape from rows view)
+    zero_tail = jnp.zeros((c_t, n1 - 1, n2), jnp.float32)
+
+    def fix3(prod):
+        rows0 = jnp.concatenate(
+            [prod[c * 8:c * 8 + 1, :] for c in range(c_t)], axis=0)
+        return jnp.concatenate(
+            [rows0.reshape(c_t, 1, n2), zero_tail],
+            axis=1).reshape(c_t * n1, n2)
+
+    fxr = fix3(f8[:c_t * 8, :])
+    fxi = fix3(f8[c_t * 8:, :])
+    # P1 (block-diagonal): one 2-pass perm matmul over [re | im] lanes
+    pcat = dperm_l(p1big, jnp.concatenate([ar, ai], axis=-1))
+    pr = pcat[:, :n2] + fxr
+    pi = pcat[:, n2:] + fxi
+    return pr, -pi
+
+
+def _fwd_tile(zr3, zi3, t, tt, dot, halfin=False, x3=True):
+    """Forward four-step + untangle for a WHOLE channel tile
+    [c_t, n1, n2] — every matmul at full MXU width (see _tile_tables).
+    Bit-compatible with mapping _fwd_one over channels up to f32
+    accumulation order inside the K-doubled contractions."""
+    (_, _, _, _, (twr, twi), (wnr, wni),
+     p1, rrev, rfix, m0, m00) = t
+    c_t, n1_in, n2 = zr3.shape
+    n1 = twr.shape[0]
+    # stage A: one K-doubled matmul over the wide-lanes layout
+    zw_r = jnp.concatenate([zr3[c] for c in range(c_t)], axis=-1)
+    zw_i = jnp.concatenate([zi3[c] for c in range(c_t)], axis=-1)
+    zcat = jnp.concatenate([zw_r, zw_i], axis=0)   # [2*n1_in, c_t*n2]
+    w1cat = tt[1] if halfin else tt[0]
+    y = dot(w1cat, zcat)                           # [2n1, c_t*n2]
+    yr = _to_rows(y[:n1, :], c_t, n1, n2)          # [c_t*n1, n2]
+    yi = _to_rows(y[n1:, :], c_t, n1, n2)
+    # stage B: twiddle in the free 3D view ([n1, n2] broadcast)
+    yr3 = yr.reshape(c_t, n1, n2)
+    yi3 = yi.reshape(c_t, n1, n2)
+    tr = (yr3 * twr - yi3 * twi).reshape(c_t * n1, n2)
+    ti = (yr3 * twi + yi3 * twr).reshape(c_t * n1, n2)
+    # stage C: one K-doubled rows-stacked matmul
+    tcat = jnp.concatenate([tr, ti], axis=-1)      # [c_t*n1, 2n2]
+    f = dot(tcat, tt[2])                           # [fr | fi]
+    fr = f[:, :n2]
+    fi = f[:, n2:]
+    # untangle
+    zfr, zfi = _conj_pair_rows(fr, fi, tt, t, c_t, dot, x3)
+    er = 0.5 * (fr + zfr)
+    ei = 0.5 * (fi + zfi)
+    orr = 0.5 * (fi - zfi)
+    oi = -0.5 * (fr - zfr)
+    er3 = er.reshape(c_t, n1, n2)
+    ei3 = ei.reshape(c_t, n1, n2)
+    orr3 = orr.reshape(c_t, n1, n2)
+    oi3 = oi.reshape(c_t, n1, n2)
+    xr3 = er3 + wnr * orr3 - wni * oi3
+    xi3 = ei3 + wnr * oi3 + wni * orr3
+    xi3 = xi3 * (1.0 - m00) + (er3 - orr3) * m00
+    return xr3, xi3
+
+
+def _inv_tile(xr3, xi3, t, tt, inv_m, half, dot, x3=True):
+    """Inverse of _fwd_tile for a whole channel tile; ``half`` selects
+    which N/2 time rows the final stage computes (see _inv_one)."""
+    (_, _, _, _, (twr, twi), (wnr, wni),
+     p1, rrev, rfix, m0, m00) = t
+    c_t, n1, n2 = xr3.shape
+    k1 = 1.0 - m00
+    xr03 = xr3
+    xi03 = xi3 * k1
+    xr0 = xr03.reshape(c_t * n1, n2)
+    xi0 = xi03.reshape(c_t * n1, n2)
+    xfr, xfi = _conj_pair_rows(xr0, xi0, tt, t, c_t, dot, x3)
+    xfr3 = xfr.reshape(c_t, n1, n2) * k1 + xi3 * m00
+    xfi3 = xfi.reshape(c_t, n1, n2) * k1
+    er3 = 0.5 * (xr03 + xfr3)
+    ei3 = 0.5 * (xi03 + xfi3)
+    dr3 = 0.5 * (xr03 - xfr3)
+    di3 = 0.5 * (xi03 - xfi3)
+    orr3 = dr3 * wnr + di3 * wni
+    oi3 = di3 * wnr - dr3 * wni
+    zr = (er3 - oi3).reshape(c_t * n1, n2)
+    zi = (ei3 + orr3).reshape(c_t * n1, n2)
+    # inverse stage C': rows-stacked K-doubled right-multiply
+    u = dot(jnp.concatenate([zr, zi], axis=-1), tt[3])  # [ur | ui]
+    ur3 = u[:, :n2].reshape(c_t, n1, n2)
+    ui3 = u[:, n2:].reshape(c_t, n1, n2)
+    vr = (ur3 * twr + ui3 * twi).reshape(c_t * n1, n2)
+    vi = (ui3 * twr - ur3 * twi).reshape(c_t * n1, n2)
+    # inverse stage A': one K-doubled matmul in wide-lanes layout
+    vcat = jnp.concatenate([_to_wide(vr, c_t, n1, n2),
+                            _to_wide(vi, c_t, n1, n2)], axis=0)
+    if half == "last":
+        w1cat = tt[6]
+    elif half == "first":
+        w1cat = tt[5]
+    else:
+        w1cat = tt[4]
+    g = dot(w1cat, vcat) * inv_m            # [2*rows_out, c_t*n2]
+    rows_out = g.shape[0] // 2
+    gr3 = jnp.concatenate(
+        [g[:rows_out, c * n2:(c + 1) * n2].reshape(1, rows_out, n2)
+         for c in range(c_t)], axis=0)
+    gi3 = jnp.concatenate(
+        [g[rows_out:, c * n2:(c + 1) * n2].reshape(1, rows_out, n2)
+         for c in range(c_t)], axis=0)
+    return gr3, gi3
+
+
+def _read_tables(rest):
+    """Unpack the 13 base + 8 tile const refs passed to every kernel
+    into the (t, tt) tuples the tile transforms consume."""
     (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
-     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
-     xr_ref, xi_ref) = rest
+     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref,
+     m00_ref) = rest[:13]
     t = (None, None, (w1r_ref[...], w1i_ref[...]),
          (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
          (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
          rfix_ref[...], m0_ref[...], m00_ref[...])
+    tt = tuple(r[...] for r in rest[13:21])
+    return t, tt
+
+
+def _fwd_kernel(zr_ref, zi_ref, *rest, x3, halfin=False):
+    t, tt = _read_tables(rest)
+    xr_ref, xi_ref = rest[21:]
     dot = _dot3 if x3 else _dot
-    for c in range(zr_ref.shape[0]):
-        xr, xi = _fwd_one(zr_ref[c], zi_ref[c], t, dot, halfin=halfin,
-                          x3=x3)
-        xr_ref[c] = xr
-        xi_ref[c] = xi
+    xr3, xi3 = _fwd_tile(zr_ref[...], zi_ref[...], t, tt, dot,
+                         halfin=halfin, x3=x3)
+    xr_ref[...] = xr3
+    xi_ref[...] = xi3
 
 
 def _inv_kernel(xr_ref, xi_ref, *rest, inv_m, half, x3):
-    (w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
-     wnr_ref, wni_ref, p1_ref, rrev_ref, rfix_ref, m0_ref, m00_ref,
-     zr_ref, zi_ref) = rest
-    t = (None, None, (w1r_ref[...], w1i_ref[...]),
-         (w2r_ref[...], w2i_ref[...]), (twr_ref[...], twi_ref[...]),
-         (wnr_ref[...], wni_ref[...]), p1_ref[...], rrev_ref[...],
-         rfix_ref[...], m0_ref[...], m00_ref[...])
+    t, tt = _read_tables(rest)
+    zr_ref, zi_ref = rest[21:]
     dot = _dot3 if x3 else _dot
-    for c in range(xr_ref.shape[0]):
-        zr, zi = _inv_one(xr_ref[c], xi_ref[c], t, inv_m, half, dot,
-                          x3=x3)
-        zr_ref[c] = zr
-        zi_ref[c] = zi
+    zr3, zi3 = _inv_tile(xr_ref[...], xi_ref[...], t, tt, inv_m, half,
+                         dot, x3=x3)
+    zr_ref[...] = zr3
+    zi_ref[...] = zi3
+
+
+def _all_consts(n: int, c_t: int):
+    """The 13 base + 8 tile const arrays every kernel receives."""
+    t = _tables(n)
+    tt = _tile_tables(n, c_t)
+    return ([jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
+             for v in pair]
+            + [jnp.asarray(t[6]), jnp.asarray(t[7]), jnp.asarray(t[8]),
+               jnp.asarray(t[9]), jnp.asarray(t[10])]
+            + [jnp.asarray(v) for v in tt])
 
 
 def _call(kernel, n: int, a_re: Array, a_im: Array,
@@ -315,23 +521,21 @@ def _call(kernel, n: int, a_re: Array, a_im: Array,
     n1, n2 = t[0], t[1]
     n1_out = out_rows or n1
     n1_in = in_rows or n1
-    consts = [jnp.asarray(v) for pair in (t[2], t[3], t[4], t[5])
-              for v in pair] + [jnp.asarray(t[6]), jnp.asarray(t[7]),
-                                jnp.asarray(t[8]), jnp.asarray(t[9]),
-                                jnp.asarray(t[10])]
     c = a_re.shape[0]
     # channel tile chosen by VMEM budget: tables + (in + out + ~3
     # intermediates) per channel, double-buffered — big transforms
     # (N = 262144: [256, 512] grids, 0.5 MB/plane) need small tiles
-    tables_b = sum(4 * int(np.prod(v.shape)) for v in consts)
     per_c = 4 * (n1_in + n1_out + 3 * n1) * n2 * 4
     c_t = 1
     for cand in (8, 4, 2):
+        tables_b = sum(4 * int(np.prod(v.shape))
+                       for v in _all_consts(n, cand))
         if c % cand == 0 and tables_b + 2 * cand * per_c <= (11 << 20):
             c_t = cand
             break
     if c % c_t:
         c_t = c
+    consts = _all_consts(n, c_t)
     const_specs = [
         pl.BlockSpec(v.shape, functools.partial(
             lambda nd, ci: (0,) * nd, v.ndim)) for v in consts]

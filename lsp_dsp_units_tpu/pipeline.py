@@ -77,6 +77,11 @@ def _pack_cached(re: Array, im: Array, nfft: int):
     if hit is not None and hit[0] is re and hit[1] is im:
         return hit[2]
     packed = pfft.pack_spectra(re, im, nfft)
+    # inputs may be concrete CONSTANTS closed over inside a trace — the
+    # packed result is then a tracer and must never be cached (it would
+    # leak into later traces); only eager, concrete results are kept
+    if any(isinstance(p, jax.core.Tracer) for p in packed):
+        return packed
     if len(_PACK_CACHE) >= 16:
         _PACK_CACHE.clear()
     _PACK_CACHE[key] = (re, im, packed)
