@@ -373,17 +373,32 @@ class RayTrace3D:
 
             dn = jnp.sum(dirs * n, -1, keepdims=True)
             specular = dirs - 2.0 * dn * n
+            d_hit = jnp.maximum(
+                jnp.linalg.norm(hit_pt - vsrc, axis=-1), 1e-9)
+
+            def continuity(apex):
+                # amplitude continuity at the interface: the carried
+                # amp is a source-strength coefficient (deposit =
+                # amp / r_from_apex), so an apex SHIFT (diffusion /
+                # dispersion pullbacks, RayTrace3D.cpp:759-771) must
+                # rescale amp by d_new/d_old at the hit point — a
+                # mirror apex preserves the distance (factor 1), which
+                # is why purely specular scenes never exposed this;
+                # the genuine gets continuity for free from its
+                # per-beam area accounting (sqrt(area/A) amplitudes).
+                return jnp.linalg.norm(hit_pt - apex, axis=-1) / d_hit
+
             # reflected branch (RayTrace3D.cpp:759-764 / 778-783)
             kd_r = (1.0 + 1.0 / diff) * d_pl
             vsrc_r = vsrc - kd_r[:, None] * n
             dir_r = continue_dir(vsrc_r, specular)
-            amp_r = a1 * (trans - 1.0)            # sign negated
+            amp_r = a1 * (trans - 1.0) * continuity(vsrc_r)
             # refracted branch (765-771 / 785-791)
             kd_t = jnp.where(outer, perm / disp - 1.0,
                              1.0 / (disp * perm) - 1.0) * d_pl
             vsrc_t = vsrc + kd_t[:, None] * n
             dir_t = continue_dir(vsrc_t, dirs)
-            amp_t = a1 * trans
+            amp_t = a1 * trans * continuity(vsrc_t)
             speed_t = jnp.where(outer, speed * perm, speed / perm)
 
             # ---- compaction: keep the strongest R of the 2R ---------
@@ -395,7 +410,14 @@ class RayTrace3D:
             c_when = jnp.concatenate([new_when, new_when], 0)
             c_a0 = jnp.concatenate([a0, a0], 0)
             c_tri = jnp.concatenate([idx, idx], 0)
-            _, top = jax.lax.top_k(jnp.abs(c_amp), R)
+            # deterministic pseudo-random tie-break: with |reflected|
+            # == |transmitted| (transparency == 0.5) a plain top_k
+            # keeps the lowest indices — the ENTIRE transmitted family
+            # — out of the survivor set
+            h32 = (jnp.arange(c_amp.shape[0], dtype=jnp.uint32)
+                   * jnp.uint32(2654435761)) >> 16
+            tie = 1.0 + h32.astype(jnp.float32) * (1e-7 / 65536.0)
+            _, top = jax.lax.top_k(jnp.abs(c_amp) * tie, R)
             return (c_orig[top], c_dir[top], c_vsrc[top], c_amp[top],
                     c_a0[top], c_speed[top], c_when[top], c_tri[top],
                     bins, dep, alig, acos)

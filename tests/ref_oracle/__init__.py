@@ -452,6 +452,17 @@ def _lib() -> ctypes.CDLL:
         lib.ref_cat_keep_alive.argtypes = [vp, cch]
         lib.ref_cat_gc.restype = i32
         lib.ref_cat_gc.argtypes = [vp]
+        # wave 4b (oracle4.cpp): two-object genuine ray trace (divider
+        # scenes with their own material — interface-physics parity)
+        i32pp = ctypes.POINTER(ctypes.c_int32)
+        lib.ref_raytrace2.restype = i32
+        lib.ref_raytrace2.argtypes = [
+            f32p, i32, i32pp, i32, f32p,          # room
+            i32pp, i32, f32p,                     # divider
+            i32, f32p,                            # source
+            i32, i32, i32, f32p,                  # capture
+            i32, f32, f32, f32, i32, i32, i32,    # params
+            f32p, i32, i32pp, i32pp]
         _LIB = lib
         return lib
 
@@ -946,6 +957,53 @@ def raytrace(verts: np.ndarray, faces: np.ndarray, material,
         ctypes.byref(n_caps))
     if rc != 0:
         raise RuntimeError(f"ref_raytrace failed: {rc}")
+    n = min(out_len.value, max_len)
+    return out[:n_caps.value, :n].copy()
+
+
+def raytrace2(verts: np.ndarray, faces: np.ndarray, material,
+              faces2, material2,
+              src_cfg, cap_cfg, src_type: int = 0, cap_config: int = 0,
+              cap_direction: int = 5, cap_side: int = 5,
+              sample_rate: int = 48000, energy_thresh: float = 1e-3,
+              tolerance: float = 1e-5, detalization: float = 1e-10,
+              normalize: bool = True, rmin: int = -1, rmax: int = -1,
+              max_len: int = 1 << 18) -> np.ndarray:
+    """Two-object genuine ray trace: ``faces2``/``material2`` define a
+    second object (e.g. a divider) with its own material — the
+    interface-physics parity driver (RayTrace3D.cpp:641-832).  Other
+    args as :func:`raytrace`; pass faces2=None for one object."""
+    lib = _lib()
+    verts = np.ascontiguousarray(verts, np.float32).reshape(-1, 3)
+    faces = np.ascontiguousarray(faces, np.int32).reshape(-1, 3)
+    material = np.ascontiguousarray(material, np.float32)
+    if faces2 is None:
+        faces2 = np.zeros((0, 3), np.int32)
+    faces2 = np.ascontiguousarray(faces2, np.int32).reshape(-1, 3)
+    material2 = np.ascontiguousarray(
+        material2 if material2 is not None else np.zeros(9), np.float32)
+    src_cfg = np.ascontiguousarray(src_cfg, np.float32)
+    cap_cfg = np.ascontiguousarray(cap_cfg, np.float32)
+    assert material.size == 9 and material2.size == 9
+    assert src_cfg.size == 11 and cap_cfg.size == 9
+    out = np.zeros((2, max_len), np.float32)
+    out_len = ctypes.c_int32(0)
+    n_caps = ctypes.c_int32(0)
+    i32p_ = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.ref_raytrace2(
+        _f32(verts), verts.shape[0],
+        faces.ctypes.data_as(i32p_), faces.shape[0],
+        _f32(material),
+        faces2.ctypes.data_as(i32p_), faces2.shape[0],
+        _f32(material2),
+        src_type, _f32(src_cfg),
+        cap_config, cap_direction, cap_side, _f32(cap_cfg),
+        sample_rate, energy_thresh, tolerance, detalization,
+        int(normalize), rmin, rmax,
+        _f32(out), max_len, ctypes.byref(out_len),
+        ctypes.byref(n_caps))
+    if rc != 0:
+        raise RuntimeError(f"ref_raytrace2 failed: {rc}")
     n = min(out_len.value, max_len)
     return out[:n_caps.value, :n].copy()
 

@@ -13,6 +13,10 @@
 #include <lsp-plug.in/dsp/dsp.h>
 #include <lsp-plug.in/dsp-units/shared/AudioStream.h>
 #include <lsp-plug.in/dsp-units/shared/Catalog.h>
+#include <lsp-plug.in/dsp-units/3d/RayTrace3D.h>
+#include <lsp-plug.in/dsp-units/3d/Scene3D.h>
+#include <lsp-plug.in/dsp-units/3d/raytrace.h>
+#include <lsp-plug.in/dsp-units/sampling/Sample.h>
 
 #include <cmath>
 #include <cstdint>
@@ -299,6 +303,176 @@ int ref_cat_keep_alive(void *h, const char *name)
 int ref_cat_gc(void *h)
 {
     return ((dspu::Catalog *) h)->gc();
+}
+
+/* ---------------- two-object genuine ray trace ---------------- */
+
+static void fill_material(dspu::rt::material_t *m, const float *material)
+{
+    memset(m, 0, sizeof(*m));
+    m->absorption[0]   = material[0];
+    m->absorption[1]   = material[1];
+    m->diffusion[0]    = material[2];
+    m->diffusion[1]    = material[3];
+    m->dispersion[0]   = material[4];
+    m->dispersion[1]   = material[5];
+    m->transparency[0] = material[6];
+    m->transparency[1] = material[7];
+    m->permeability    = material[8];
+}
+
+/* Like oracle3.cpp ref_raytrace, but with TWO objects carrying their
+ * own materials (faces2/material2; nfaces2 == 0 degrades to the
+ * single-object form) — needed to drive the reference's interface
+ * physics (RayTrace3D.cpp:641-832: diffusion/dispersion splits,
+ * transparency transmission legs, permeability speed scaling) on
+ * scenes where a divider differs from the room walls. */
+int ref_raytrace2(const float *verts, int32_t nverts,
+                  const int32_t *faces, int32_t nfaces,
+                  const float *material,
+                  const int32_t *faces2, int32_t nfaces2,
+                  const float *material2,
+                  int32_t src_type, const float *src_cfg,
+                  int32_t cap_config, int32_t cap_direction,
+                  int32_t cap_side, const float *cap_cfg,
+                  int32_t sample_rate, float energy_thresh,
+                  float tolerance, float detalization,
+                  int32_t normalize, int32_t rmin, int32_t rmax,
+                  float *out, int32_t out_cap, int32_t *out_len,
+                  int32_t *n_caps)
+{
+    lsp::status_t res;
+
+    dspu::Scene3D scene;
+    dspu::Object3D *obj = scene.add_object("room");
+    if (obj == NULL)
+        return -100;
+
+    for (int32_t i = 0; i < nverts; ++i)
+    {
+        dsp::point3d_t p;
+        dsp::init_point_xyz(&p, verts[3 * i], verts[3 * i + 1],
+                            verts[3 * i + 2]);
+        if (scene.add_vertex(&p) < 0)
+            return -101;
+    }
+
+    for (int32_t i = 0; i < nfaces; ++i)
+    {
+        res = obj->add_triangle(i, faces[3 * i], faces[3 * i + 1],
+                                faces[3 * i + 2], -1, -1, -1);
+        if (res != lsp::STATUS_OK)
+            return -102;
+    }
+
+    dspu::Object3D *obj2 = NULL;
+    if (nfaces2 > 0)
+    {
+        obj2 = scene.add_object("divider");
+        if (obj2 == NULL)
+            return -105;
+        for (int32_t i = 0; i < nfaces2; ++i)
+        {
+            res = obj2->add_triangle(
+                nfaces + i, faces2[3 * i], faces2[3 * i + 1],
+                faces2[3 * i + 2], -1, -1, -1);
+            if (res != lsp::STATUS_OK)
+                return -106;
+        }
+    }
+    scene.postprocess_after_loading();
+    obj->post_load();
+    if (obj2 != NULL)
+        obj2->post_load();
+
+    dspu::RayTrace3D rt;
+    if ((res = rt.init()) != lsp::STATUS_OK)
+        return -int(res);
+    if ((res = rt.set_scene(&scene, false)) != lsp::STATUS_OK)
+        return -int(res);
+
+    dspu::rt::material_t m;
+    fill_material(&m, material);
+    if ((res = rt.set_material(0, &m)) != lsp::STATUS_OK)
+        return -int(res);
+    if (obj2 != NULL)
+    {
+        fill_material(&m, material2);
+        if ((res = rt.set_material(1, &m)) != lsp::STATUS_OK)
+            return -int(res);
+    }
+
+    dspu::room_source_config_t scfg;
+    dsp::init_point_xyz(&scfg.sPos, src_cfg[0], src_cfg[1], src_cfg[2]);
+    scfg.fYaw = src_cfg[3];
+    scfg.fPitch = src_cfg[4];
+    scfg.fRoll = src_cfg[5];
+    scfg.enType = (dspu::rt_audio_source_t) src_type;
+    scfg.fSize = src_cfg[6];
+    scfg.fHeight = src_cfg[7];
+    scfg.fAngle = src_cfg[8];
+    scfg.fCurvature = src_cfg[9];
+    scfg.fAmplitude = src_cfg[10];
+
+    dspu::rt_source_settings_t ssrc;
+    if ((res = dspu::rt_configure_source(&ssrc, &scfg)) != lsp::STATUS_OK)
+        return -int(res);
+    if ((res = rt.add_source(&ssrc)) != lsp::STATUS_OK)
+        return -int(res);
+
+    dspu::room_capture_config_t ccfg;
+    dsp::init_point_xyz(&ccfg.sPos, cap_cfg[0], cap_cfg[1], cap_cfg[2]);
+    ccfg.fYaw = cap_cfg[3];
+    ccfg.fPitch = cap_cfg[4];
+    ccfg.fRoll = cap_cfg[5];
+    ccfg.fCapsule = cap_cfg[6];
+    ccfg.sConfig = (dspu::rt_capture_config_t) cap_config;
+    ccfg.fAngle = cap_cfg[7];
+    ccfg.fDistance = cap_cfg[8];
+    ccfg.enDirection = (dspu::rt_audio_capture_t) cap_direction;
+    ccfg.enSide = (dspu::rt_audio_capture_t) cap_side;
+
+    size_t nc = 0;
+    dspu::rt_capture_settings_t cset[2];
+    if ((res = dspu::rt_configure_capture(&nc, cset, &ccfg))
+        != lsp::STATUS_OK)
+        return -int(res);
+    *n_caps = int32_t(nc);
+
+    dspu::Sample sample;
+    if (!sample.init(nc, 512, 0))
+        return -103;
+
+    for (size_t i = 0; i < nc; ++i)
+    {
+        ssize_t id = rt.add_capture(&cset[i]);
+        if (id < 0)
+            return -104;
+        res = rt.bind_capture(id, &sample, i, rmin, rmax);
+        if (res != lsp::STATUS_OK)
+            return -int(res);
+    }
+
+    rt.set_sample_rate(sample_rate);
+    rt.set_energy_threshold(energy_thresh);
+    rt.set_tolerance(tolerance);
+    rt.set_detalization(detalization);
+    rt.set_normalize(normalize != 0);
+
+    if ((res = rt.process(1, 1.0f)) != lsp::STATUS_OK)
+        return -int(res);
+
+    int32_t len = int32_t(sample.length());
+    *out_len = len;
+    int32_t n = (len < out_cap) ? len : out_cap;
+    for (size_t i = 0; i < nc; ++i)
+    {
+        memset(&out[i * out_cap], 0, sizeof(float) * out_cap);
+        memcpy(&out[i * out_cap], sample.channel(i), sizeof(float) * n);
+    }
+
+    rt.destroy(false);
+    return 0;
 }
 
 } /* extern "C" */
