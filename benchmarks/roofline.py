@@ -274,7 +274,7 @@ def main_measure():
     # when the floor's weather jitter exceeds the stage deltas.
     # SCAN=128: a congested session's round trip jitters by +-3 ms,
     # so 32 steps/dispatch still left +-90 us/step of noise.
-    SCAN = 128
+    SCAN = int(os.environ.get("ROOFLINE_SCAN", "128"))
 
     def scanned(fn):
         # every iteration sees a ROTATED input: a loop-invariant x lets
@@ -317,7 +317,7 @@ def main_measure():
     # within-window differencing, median across windows (robust to
     # the occasional 100 ms tunnel stall).  All times are per STEP
     # (call time / SCAN).
-    WINDOWS = 9
+    WINDOWS = int(os.environ.get("ROOFLINE_WINDOWS", "9"))
     names = [name for name, _, _ in jitted]
     win_t = {name: [] for name in names}
     for w in range(WINDOWS):

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.ops import biquad as biquad_ops
-from lsp_dsp_units_tpu.ops.cplx import cmul, crmul
+from lsp_dsp_units_tpu.ops.cplx import (cmul, crmul, rfft_sc,
+                                        irfft_sc, sc_mul)
 from lsp_dsp_units_tpu.models.filters.design import (
     FilterParams, design_filter, freq_chart)
 from lsp_dsp_units_tpu.models.misc import windows as win
@@ -248,8 +249,13 @@ class Equalizer:
         assert t % n == 0, f"FIR mode needs multiples of {n}, got {t}"
         m = t // n
         frames = x.reshape(x.shape[:-1] + (m, n))
-        spec = cmul(jnp.fft.rfft(frames, 2 * n, axis=-1), conv_spec)
-        y2 = jnp.fft.irfft(spec, 2 * n, axis=-1)     # [..., M, 2N]
+        # split-complex through rfft_sc/irfft_sc: rides the packed
+        # Pallas FFT on TPU and keeps complex arithmetic off the
+        # tunnel (ops/cplx.py)
+        sr, si = rfft_sc(frames, 2 * n, axis=-1)
+        pr, pi = sc_mul((sr, si), (jnp.real(conv_spec),
+                                   jnp.imag(conv_spec)))
+        y2 = irfft_sc((pr, pi), 2 * n, axis=-1)      # [..., M, 2N]
         heads = y2[..., :n]
         tails = y2[..., n:]
         prev = jnp.concatenate(
@@ -307,8 +313,9 @@ class Equalizer:
         prev = jnp.concatenate(
             [state.spm_hist[..., None, :], hops[..., :-1, :]], axis=-2)
         frames = jnp.concatenate([prev, hops], axis=-1)     # [..., M, N]
-        spec = crmul(jnp.fft.rfft(frames, axis=-1), params.spm_gain)
-        y = jnp.fft.irfft(spec, n, axis=-1)
+        sr, si = rfft_sc(frames, axis=-1)
+        y = irfft_sc((sr * params.spm_gain, si * params.spm_gain),
+                     n, axis=-1)
         w = jnp.asarray(win.sqr_cosine(n), x.dtype)
         y = y * w
         heads = y[..., :half]

@@ -18,6 +18,7 @@ import numpy as np
 
 from lsp_dsp_units_tpu.models.misc import windows as win
 from lsp_dsp_units_tpu.models.misc import envelope as env
+from lsp_dsp_units_tpu.ops.cplx import rfft_sc
 
 Array = jax.Array
 
@@ -80,7 +81,8 @@ class Analyzer:
         starts = state.buffer.shape[-1] + jnp.arange(m) * p - self.n
         idx = starts[:, None] + jnp.arange(self.n)[None, :]
         frames = full[:, idx]                       # [C, M, N]
-        mags = jnp.abs(jnp.fft.rfft(frames * self._window, axis=-1))
+        mr, mi = rfft_sc(frames * self._window, axis=-1)
+        mags = jnp.sqrt(mr * mr + mi * mi)
 
         def step(amp, new):
             # the strobe copy precedes the mix, so `data` lags by one

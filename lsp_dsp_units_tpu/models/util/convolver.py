@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.ops import fftconv
-from lsp_dsp_units_tpu.ops.cplx import cmul
+from lsp_dsp_units_tpu.ops.cplx import cmul, rfft_sc, irfft_sc, sc_mul
 
 CONVOLVER_RANK_MIN = 8    # reference Convolver.h:28
 CONVOLVER_RANK_MAX = 16   # reference Convolver.h:29
@@ -75,7 +75,7 @@ def convolve_oneshot(x: jax.Array, h: jax.Array) -> jax.Array:
     size = 1
     while size < n:
         size <<= 1
-    X = jnp.fft.rfft(x, n=size, axis=-1)
-    H = jnp.fft.rfft(h, n=size, axis=-1)
-    y = jnp.fft.irfft(cmul(X, H), n=size, axis=-1)
+    xs = rfft_sc(x, size, axis=-1)
+    hs = rfft_sc(h, size, axis=-1)
+    y = irfft_sc(sc_mul(xs, hs), size, axis=-1)
     return y[..., :t].astype(x.dtype)

@@ -103,9 +103,13 @@ class FFTCrossover:
         b = self.num_bands
         if b == 0:
             return state, jnp.zeros((0,) + x.shape, x.dtype)
-        fns = [(lambda spec, _m=self.masks[i]: crmul(spec, _m))
-               for i in range(b)]
-        state, y = self.splitter.process(state, x, fns)
+        # split-complex band masks: per-bin REAL gains multiply re/im
+        # directly — no complex arithmetic on the device path, and the
+        # splitter's FFTs ride the packed Pallas kernel on TPU
+        fns_sc = [(lambda sc, _m=self.masks[i]: (sc[0] * _m,
+                                                 sc[1] * _m))
+                  for i in range(self.num_bands)]
+        state, y = self.splitter.process(state, x, fns_sc=fns_sc)
         # splitter output is [..., H, T] -> [B, ..., T]
         y = jnp.moveaxis(y, -2, 0)
         return state, y.astype(x.dtype)

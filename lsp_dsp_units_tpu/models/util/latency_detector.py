@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from lsp_dsp_units_tpu.ops.cplx import cmul
+from lsp_dsp_units_tpu.ops.cplx import cmul, rfft_sc, irfft_sc, sc_mul
 from lsp_dsp_units_tpu.utils.units import next_pow2
 
 
@@ -113,9 +113,9 @@ class LatencyDetector:
         rec = np.concatenate(self._captured)
         n = rec.size
         nfft = next_pow2(n + self.chirp.size)
-        X = jnp.fft.rfft(jnp.asarray(rec), nfft)
-        C = jnp.fft.rfft(jnp.asarray(self.chirp[::-1].copy()), nfft)
-        corr = jnp.fft.irfft(cmul(X, C), nfft)
+        xs = rfft_sc(jnp.asarray(rec), nfft)
+        cs = rfft_sc(jnp.asarray(self.chirp[::-1].copy()), nfft)
+        corr = irfft_sc(sc_mul(xs, cs), nfft)
         corr = np.asarray(corr)[: n]
         peak = int(np.argmax(np.abs(corr)))
         peak_val = abs(corr[peak])

@@ -22,9 +22,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsp_dsp_units_tpu.models.misc import windows as win
+from lsp_dsp_units_tpu.ops.cplx import SC, rfft_sc, irfft_sc
 
 Array = jax.Array
 SpectrumFn = Callable[[Array], Array]
+# split-complex hook: fn_sc((re, im)) -> (re, im).  On the TPU tunnel
+# complex64 arithmetic outside the FFT boundary is UNIMPLEMENTED
+# (ops/cplx.py), so device-side hooks use this form; the complex-hook
+# API stays for CPU/compat.  The FFTs themselves ride the packed
+# Pallas path on TPU via rfft_sc/irfft_sc.
+SpectrumFnSC = Callable[[SC], SC]
+
+
+def _apply_hook(sr: Array, si: Array, fn, fn_sc):
+    if fn_sc is not None:
+        return fn_sc((sr, si))
+    if fn is not None:
+        spec = fn(jax.lax.complex(sr, si))
+        return jnp.real(spec), jnp.imag(spec)
+    return sr, si
 
 
 class SpectralState(NamedTuple):
@@ -76,14 +92,15 @@ class SpectralProcessor:
 
     def process(self, state: SpectralState, x: Array,
                 fn: Optional[SpectrumFn] = None,
+                fn_sc: Optional[SpectrumFnSC] = None,
                 ) -> Tuple[SpectralState, Array]:
         """x [..., T] (T multiple of N/2) -> windowed-analysis spectrum
-        through ``fn`` -> windowed overlap-add resynthesis."""
+        through ``fn`` (complex) or ``fn_sc`` (split-complex) ->
+        windowed overlap-add resynthesis."""
         frames, hops, m = self._frames(state, x)
-        spec = jnp.fft.rfft(frames * self._win, axis=-1)
-        if fn is not None:
-            spec = fn(spec)
-        y = jnp.fft.irfft(spec, self.frame, axis=-1) * self._win
+        sr, si = rfft_sc(frames * self._win, axis=-1)
+        sr, si = _apply_hook(sr, si, fn, fn_sc)
+        y = irfft_sc((sr, si), self.frame, axis=-1) * self._win
         h = self.hop
         heads = y[..., :h]
         tails = y[..., h:]
@@ -98,11 +115,13 @@ class SpectralProcessor:
                              pending=computed[..., -1, :]), out
 
     def analyze(self, state: SpectralState, x: Array,
-                fn: SpectrumFn) -> SpectralState:
-        """Analysis-only pass: ``fn`` observes each frame's spectrum,
+                fn: Optional[SpectrumFn] = None,
+                fn_sc: Optional[SpectrumFnSC] = None) -> SpectralState:
+        """Analysis-only pass: the hook observes each frame's spectrum,
         no output is produced (reference SpectralProcessor.cpp:201-246)."""
         frames, hops, m = self._frames(state, x)
-        fn(jnp.fft.rfft(frames * self._win, axis=-1))
+        sr, si = rfft_sc(frames * self._win, axis=-1)
+        _apply_hook(sr, si, fn, fn_sc)
         return state._replace(hist=hops[..., -1, :])
 
 
@@ -166,10 +185,17 @@ class SpectralSplitter:
                               jnp.float32))
 
     def process(self, state: SplitterState, x: Array,
-                fns: Sequence[Optional[SpectrumFn]],
+                fns: Sequence[Optional[SpectrumFn]] = None,
+                fns_sc: Sequence[Optional["SpectrumFnSC"]] = None,
                 ) -> Tuple[SplitterState, Array]:
-        """x [..., T] (T multiple of hop) -> [..., H, T] band outputs."""
+        """x [..., T] (T multiple of hop) -> [..., H, T] band outputs.
+        ``fns`` are complex hooks, ``fns_sc`` split-complex ones."""
+        if fns is None:
+            fns = [None] * self.handlers
+        if fns_sc is None:
+            fns_sc = [None] * self.handlers
         assert len(fns) == self.handlers
+        assert len(fns_sc) == self.handlers
         h = self.hop
         n = self.frame
         t = x.shape[-1]
@@ -182,16 +208,18 @@ class SpectralSplitter:
         full = jnp.concatenate([state.hist, x], axis=-1)
         idx = (jnp.arange(m)[:, None] * h + jnp.arange(n)[None, :])
         frames = full[..., idx]                        # [..., M, N]
-        spec = jnp.fft.rfft(frames, axis=-1)
+        sr, si = rfft_sc(frames, axis=-1)
 
         outs = []
         new_tails = []
         new_pending = []
         for hi, fn in enumerate(fns):
-            if fn is None:
+            fn_sc = fns_sc[hi]
+            if fn is None and fn_sc is None:
                 y2 = frames[..., -2 * h:]
             else:
-                y2 = jnp.fft.irfft(fn(spec), n, axis=-1)[..., -2 * h:]
+                br, bi = _apply_hook(sr, si, fn, fn_sc)
+                y2 = irfft_sc((br, bi), n, axis=-1)[..., -2 * h:]
             y2 = y2 * self._win
             heads = y2[..., :h]
             tails = y2[..., h:]

@@ -45,7 +45,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from lsp_dsp_units_tpu.ops.cplx import cmul
+from lsp_dsp_units_tpu.ops.cplx import cmul, rfft_sc, irfft_sc, sc_mul
 from lsp_dsp_units_tpu.models.sampling.sample import Sample
 from lsp_dsp_units_tpu.utils.units import next_pow2
 
@@ -363,9 +363,9 @@ class SyncChirpProcessor:
         inv = self.inverse_filter()
         n = response.size + inv.size
         nfft = next_pow2(n)
-        X = jnp.fft.rfft(jnp.asarray(response), nfft)
-        I = jnp.fft.rfft(jnp.asarray(inv), nfft)
-        out = jnp.fft.irfft(cmul(X, I), nfft)
+        xs = rfft_sc(jnp.asarray(response), nfft)
+        ins = rfft_sc(jnp.asarray(inv), nfft)
+        out = irfft_sc(sc_mul(xs, ins), nfft)
         return np.asarray(out)[: n] / self.amplitude
 
     @property

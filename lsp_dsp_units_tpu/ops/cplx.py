@@ -47,9 +47,42 @@ def _use_mxfft(n: int | None, axis: int) -> bool:
             and jax.default_backend() == "tpu")
 
 
+# packed Pallas four-step FFT as the generic rfft_sc/irfft_sc TPU fast
+# path (round-4 verdict ask #3: the backend's native FFT runs 15-20x
+# below HBM streaming rate, but only the bench chain rode the Pallas
+# kernel).  The scrambled-packed output is unscrambled by a TRANSPOSE
+# (pack_spectra/unpack_spectra), so every natural-order consumer —
+# spectral units, convolver glue, equalizer — wins without semantic
+# changes.  bf16x3 matmuls (~105 dB) by default, like the chain;
+# LSP_TPU_PACKED_FFT=0 opts out (read once at import — jitted callers
+# cache compiled branches).
+_PACKED_ENABLED = _os.environ.get("LSP_TPU_PACKED_FFT", "1") != "0"
+
+
+def _use_packed(n: int, axis: int) -> bool:
+    if not (_PACKED_ENABLED and axis == -1
+            and jax.default_backend() == "tpu"):
+        return False
+    from lsp_dsp_units_tpu.ops import pallas_fft
+    return pallas_fft.supported(n)
+
+
 def rfft_sc(x: Array, n: int | None = None, axis: int = -1) -> SC:
-    if _use_mxfft(n if n is not None else x.shape[axis], axis):
-        m = x.shape[-1] if n is None else int(n)
+    m = x.shape[axis] if n is None else int(n)
+    if _use_packed(m, axis):
+        from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+        if x.shape[-1] < m:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, m - x.shape[-1])]
+            x = jnp.pad(x, pad)
+        elif x.shape[-1] > m:
+            x = x[..., :m]
+        lead = x.shape[:-1]
+        x2 = x.reshape((-1, m)).astype(jnp.float32)
+        pre, pim = pfft.rfft_packed(x2)
+        re, im = pfft.unpack_spectra(pre, pim, m)
+        return (re.reshape(lead + (m // 2 + 1,)),
+                im.reshape(lead + (m // 2 + 1,)))
+    if _use_mxfft(m, axis):
         if x.shape[-1] < m:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, m - x.shape[-1])]
             x = jnp.pad(x, pad)
@@ -63,6 +96,18 @@ def rfft_sc(x: Array, n: int | None = None, axis: int = -1) -> SC:
 
 def irfft_sc(sc: SC, n: int | None = None, axis: int = -1) -> Array:
     m = 2 * (sc[0].shape[axis] - 1) if n is None else int(n)
+    if _use_packed(m, axis) and sc[0].shape[-1] == m // 2 + 1:
+        from lsp_dsp_units_tpu.ops import pallas_fft as pfft
+        lead = sc[0].shape[:-1]
+        re = sc[0].reshape((-1, m // 2 + 1)).astype(jnp.float32)
+        im = sc[1].reshape((-1, m // 2 + 1)).astype(jnp.float32)
+        # materialize before the pack transposes: XLA fusing the
+        # caller's spectrum-hook producer into a transpose measured
+        # ~5x slower in the SpectralProcessor context (NUMERICS r5)
+        re, im = jax.lax.optimization_barrier((re, im))
+        pre, pim = pfft.pack_spectra(re, im, m)
+        y = pfft.irfft_packed((pre, pim), m)
+        return y.reshape(lead + (m,))
     if _use_mxfft(m, axis) and sc[0].shape[-1] == m // 2 + 1:
         from lsp_dsp_units_tpu.ops.mxfft import irfft_mx
         return irfft_mx(sc, m)

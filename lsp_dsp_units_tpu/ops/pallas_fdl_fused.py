@@ -52,6 +52,9 @@ def _kernel(w_ref, zr_ref, zi_ref, ring_re_ref, ring_im_ref,
     # lane-packed half-frame inverse (pfft._fwd_tile/_inv_tile)
     sr3, si3 = pfft._fwd_tile(zr_ref[...], zi_ref[...], t, tt, dot,
                               x3=x3)
+    # (a four-real-product-sum form with one select outside the loop
+    # measured ~16 us SLOWER at SCAN=512 — four live [c_t, n1, n2]
+    # accumulators spill; the two-accumulator masked form stays)
     acc_r = jnp.zeros_like(sr3)
     acc_i = jnp.zeros_like(si3)
     for p in range(n_p):
@@ -62,7 +65,6 @@ def _kernel(w_ref, zr_ref, zi_ref, ring_re_ref, ring_im_ref,
         hi = h_im_ref[p]
         pr = xr * hr - xi * hi
         pi = xr * hi + xi * hr
-        # packed DC/Nyquist bin multiplies slot-wise (real x real)
         pr = pr * (1.0 - m00) + (xr * hr) * m00
         pi = pi * (1.0 - m00) + (xi * hi) * m00
         acc_r = acc_r + pr
@@ -134,6 +136,9 @@ def fdl_fused_pallas(ring_re: Array, ring_im: Array,
                          lambda ci, wr: (wr[0], ci, 0, 0)),
         ),
     )
+    # materialize kernel inputs (see pallas_fft._call: producer
+    # fusion into the custom-call input is pathologically slow)
+    zr, zi = jax.lax.optimization_barrier((zr, zi))
     yzr, yzi, rout_re, rout_im = pl.pallas_call(
         functools.partial(_kernel, n=n, x3=x3),
         grid_spec=grid_spec,
@@ -176,10 +181,9 @@ def _eqfdl_kernel(w_ref, zx_r_ref, zx_i_ref, cz_r_ref, cz_i_ref,
     # carried-state correction (computed outside, z-packed)
     xr_s, xi_s = pfft._fwd_tile(zx_r_ref[...], zx_i_ref[...], t, tt,
                                 dot, halfin=True, x3=x3)
-    pr = xr_s * heq_r - xi_s * heq_i
-    pi = xr_s * heq_i + xi_s * heq_r
-    pr = pr * (1.0 - m00) + (xr_s * heq_r) * m00
-    pi = pi * (1.0 - m00) + (xi_s * heq_i) * m00
+    m00b = m00 > 0.5
+    pr = jnp.where(m00b, xr_s * heq_r, xr_s * heq_r - xi_s * heq_i)
+    pi = jnp.where(m00b, xi_s * heq_i, xr_s * heq_i + xi_s * heq_r)
     uzr3, uzi3 = pfft._inv_tile(pr, pi, t, tt, inv_m, "first", dot,
                                 x3=x3)
     uzr3 = uzr3 + cz_r_ref[...]
@@ -192,6 +196,7 @@ def _eqfdl_kernel(w_ref, zx_r_ref, zx_i_ref, cz_r_ref, cz_i_ref,
     zfr3 = jnp.concatenate([hz_r_ref[...], uzr3], axis=1)
     zfi3 = jnp.concatenate([hz_i_ref[...], uzi3], axis=1)
     sr3, si3 = pfft._fwd_tile(zfr3, zfi3, t, tt, dot, x3=x3)
+    # two-accumulator masked MAC (see _kernel note)
     acc_r = jnp.zeros_like(sr3)
     acc_i = jnp.zeros_like(si3)
     for p in range(n_p):
@@ -200,12 +205,12 @@ def _eqfdl_kernel(w_ref, zx_r_ref, zx_i_ref, cz_r_ref, cz_i_ref,
         xi = ring_im_ref[p] * (1.0 - m) + si3 * m
         hr = h_re_ref[p]
         hi = h_im_ref[p]
-        ppr = xr * hr - xi * hi
-        ppi = xr * hi + xi * hr
-        ppr = ppr * (1.0 - m00) + (xr * hr) * m00
-        ppi = ppi * (1.0 - m00) + (xi * hi) * m00
-        acc_r = acc_r + ppr
-        acc_i = acc_i + ppi
+        pr = xr * hr - xi * hi
+        pi = xr * hi + xi * hr
+        pr = pr * (1.0 - m00) + (xr * hr) * m00
+        pi = pi * (1.0 - m00) + (xi * hi) * m00
+        acc_r = acc_r + pr
+        acc_i = acc_i + pi
     rout_re_ref[0] = sr3
     rout_im_ref[0] = si3
     gr3, gi3 = pfft._inv_tile(acc_r, acc_i, t, tt, inv_m, "last", dot,
@@ -284,6 +289,8 @@ def eqfdl_fused_pallas(ring_re: Array, ring_im: Array,
                                 lambda ci, wr: (wr[0], ci, 0, 0))),
     )
     half_shape = jax.ShapeDtypeStruct((c, n1 // 2, n2), jnp.float32)
+    zx_r, zx_i, cz_r, cz_i, hz_r, hz_i = jax.lax.optimization_barrier(
+        (zx_r, zx_i, cz_r, cz_i, hz_r, hz_i))
     yzr, yzi, uzr, uzi, rout_re, rout_im = pl.pallas_call(
         functools.partial(_eqfdl_kernel, n=n, x3=x3),
         grid_spec=grid_spec,

@@ -539,6 +539,12 @@ def _call(kernel, n: int, a_re: Array, a_im: Array,
     const_specs = [
         pl.BlockSpec(v.shape, functools.partial(
             lambda nd, ci: (0,) * nd, v.ndim)) for v in consts]
+    # materialize the inputs BEFORE the kernel: letting XLA fuse the
+    # caller's producer chain (windowing, frame concats) into the
+    # custom-call input measured ~16x slower at the SpectralProcessor
+    # shapes (4.2 ms vs 0.26 ms per 128-step scan iteration) — the
+    # fused producer re-evaluates per grid-step DMA
+    a_re, a_im = jax.lax.optimization_barrier((a_re, a_im))
     out_re, out_im = pl.pallas_call(
         functools.partial(kernel, **kw),
         grid=(c // c_t,),
@@ -563,11 +569,16 @@ def rfft_packed(x: Array, interpret: bool = False, x3: bool = X3
     produced by this function or :func:`pack_spectra`)."""
     c, n = x.shape
     n1, n2 = factor_m(n)
-    xp = x.astype(jnp.float32).reshape(c, n // 2, 2)
+    # materialize BEFORE the stride-2 deinterleave: XLA fusing a
+    # caller's producer chain into these slices measured ~16x slower
+    # in the SpectralProcessor context (NUMERICS round 5)
+    x = jax.lax.optimization_barrier(x.astype(jnp.float32))
+    xp = x.reshape(c, n // 2, 2)
     zr = xp[..., 0].reshape(c, n1, n2)
     zi = xp[..., 1].reshape(c, n1, n2)
     xr, xi = _call(_fwd_kernel, n, zr, zi, interpret, x3=x3)
-    return xr.reshape(c, n // 2), xi.reshape(c, n // 2)
+    return jax.lax.optimization_barrier(
+        (xr.reshape(c, n // 2), xi.reshape(c, n // 2)))
 
 
 def rfft_packed_zeropad(x: Array, interpret: bool = False,
@@ -581,7 +592,8 @@ def rfft_packed_zeropad(x: Array, interpret: bool = False,
     c, b = x.shape
     n = 2 * b
     n1, n2 = factor_m(n)
-    xp = x.astype(jnp.float32).reshape(c, b // 2, 2)
+    x = jax.lax.optimization_barrier(x.astype(jnp.float32))
+    xp = x.reshape(c, b // 2, 2)
     zr = xp[..., 0].reshape(c, n1 // 2, n2)
     zi = xp[..., 1].reshape(c, n1 // 2, n2)
     xr, xi = _call(_fwd_kernel, n, zr, zi, interpret,
@@ -599,6 +611,7 @@ def irfft_packed(spec: Tuple[Array, Array], n: int,
     block) — either skips half the final DFT stage and half the
     output traffic."""
     xr, xi = spec
+    xr, xi = jax.lax.optimization_barrier((xr, xi))
     if half is True:
         half = "last"
     c = xr.shape[0]
@@ -611,7 +624,9 @@ def irfft_packed(spec: Tuple[Array, Array], n: int,
     m_out = rows * n2
     out = jnp.stack([zr.reshape(c, m_out), zi.reshape(c, m_out)],
                     axis=-1)
-    return out.reshape(c, 2 * m_out)
+    # materialize the interleave before returning: consumers fusing
+    # into it (overlap-add slicing) measured ~3x slower (NUMERICS r5)
+    return jax.lax.optimization_barrier(out.reshape(c, 2 * m_out))
 
 
 @functools.lru_cache(maxsize=8)
@@ -623,13 +638,23 @@ def _pack_perm(n: int) -> np.ndarray:
 
 def pack_spectra(re: Array, im: Array, n: int) -> Tuple[Array, Array]:
     """Natural-order rfft spectrum [..., N//2 + 1] -> scrambled-packed
-    [..., N//2] (Nyquist folded into im of the DC bin).  Used to
-    convert IR spectra (ops.fftconv.Spectra) once per step — tiny
-    ([P, F]) next to the ring traffic."""
-    perm = jnp.asarray(_pack_perm(n))
-    pre = jnp.take(re, perm, axis=-1)
-    pim = jnp.take(im, perm, axis=-1)
-    # bin 0: re = DC (perm[0] = 0 already), im = Nyquist (real)
+    [..., N//2] (Nyquist folded into im of the DC bin).
+
+    The scramble permutation k = k1 + n1*k2 -> (k1, k2) is exactly a
+    [n2, n1] -> [n1, n2] TRANSPOSE of the natural array, so the
+    conversion is reshape + swapaxes (HBM-rate data movement), not a
+    gather."""
+    n1, n2 = factor_m(n)
+    f = n // 2
+    lead = re.shape[:-1]
+
+    def scr(v):
+        return jnp.swapaxes(v[..., :f].reshape(lead + (n2, n1)),
+                            -1, -2).reshape(lead + (f,))
+
+    pre = scr(re)
+    pim = scr(im)
+    # bin 0: re = DC (natural bin 0 maps to packed 0), im = Nyquist
     nyq = re[..., -1:]
     pim = jnp.concatenate([nyq, pim[..., 1:]], axis=-1)
     return pre, pim
@@ -637,12 +662,17 @@ def pack_spectra(re: Array, im: Array, n: int) -> Tuple[Array, Array]:
 
 def unpack_spectra(pre: Array, pim: Array, n: int
                    ) -> Tuple[Array, Array]:
-    """Inverse of :func:`pack_spectra` (tests / interop)."""
-    inv = np.zeros(n // 2, np.int64)
-    inv[_pack_perm(n)] = np.arange(n // 2)
-    inv_j = jnp.asarray(inv)
-    re_nat = jnp.take(pre, inv_j, axis=-1)
-    im_nat = jnp.take(pim, inv_j, axis=-1).at[..., 0].set(0.0)
+    """Inverse of :func:`pack_spectra`."""
+    n1, n2 = factor_m(n)
+    f = n // 2
+    lead = pre.shape[:-1]
+
+    def unscr(v):
+        return jnp.swapaxes(v.reshape(lead + (n1, n2)),
+                            -1, -2).reshape(lead + (f,))
+
+    re_nat = unscr(pre)
+    im_nat = unscr(pim).at[..., 0].set(0.0)
     re = jnp.concatenate([re_nat, pim[..., :1]], axis=-1)   # Nyquist
     im = jnp.concatenate([im_nat, pim[..., :1] * 0.0], axis=-1)
     return re, im

@@ -260,6 +260,10 @@ class FilterConvChain:
                 and self.sidechain.mode == SidechainMode.RMS
                 and t >= n_sc and t % 8 == 0 and n_sc % 8 == 0
                 and (2 * t + 2 * n_sc) * c_pad * 4 <= (9 << 20)):
+            # (the _ct variant with in-kernel transposes measured
+            # SLOWER on-chip — 155 vs 134 us: Mosaic's [T,C]<->[C,T]
+            # transpose lowers worse than XLA's HBM transpose — so the
+            # [T, C_pad] XLA-transposed form stays the production path)
             from lsp_dsp_units_tpu.ops.pallas_env import chain_dyn_pallas
             win, env_st, y = chain_dyn_pallas(
                 state.sc.window, state.env, y, n_sc,

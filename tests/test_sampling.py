@@ -385,3 +385,58 @@ def test_multiformat_roundtrip_or_gated():
         y, sr = wavio.read_audio(p)
         assert sr == 48000
         np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_device_mix_matches_host_player():
+    """The device mixdown (models/sampling/device_mix.py) is
+    sample-exact against the host SamplePlayer on its supported scope:
+    DIRECT-loop and one-shot voices, delays, gains, channel routing,
+    no crossfade (reference SamplePlayer.cpp:305-366 batch mixing)."""
+    from lsp_dsp_units_tpu.models.sampling.device_mix import (
+        build_bank, build_voices, mix_block)
+    from lsp_dsp_units_tpu.models.sampling.player import (
+        SamplePlayer, PlaySettings, LoopMode)
+
+    rng = np.random.default_rng(11)
+    sr = 48000
+    n0, n1 = 3000, 2200
+    s0 = Sample(1, sr, n0)
+    s0.data = rng.normal(size=(1, n0)).astype(np.float32) * 0.25
+    s1 = Sample(1, sr, n1)
+    s1.data = rng.normal(size=(1, n1)).astype(np.float32) * 0.25
+
+    # host player mixes MONO (reference SamplePlayer::process): route
+    # every device voice to channel 0 and compare mono streams
+    channels = 1
+    specs = []
+    for v in range(24):
+        sid = v % 2
+        loop = v % 3 == 0
+        specs.append(dict(
+            sample_id=sid, channel=0,
+            volume=0.05 + 0.01 * v, delay=(v * 37) % 900,
+            loop=loop, loop_start=250, loop_end=1800))
+
+    player = SamplePlayer(max_samples=2, max_playbacks=64)
+    player.bind(0, s0)
+    player.bind(1, s1)
+    for s in specs:
+        player.play(PlaySettings(
+            sample_id=s["sample_id"], channel=s["channel"],
+            volume=s["volume"], delay=s["delay"],
+            loop_mode=(LoopMode.DIRECT if s["loop"] else LoopMode.NONE),
+            loop_start=s["loop_start"], loop_end=s["loop_end"],
+            xfade_length=0))
+
+    bank, bank_len = build_bank([s0.data[0], s1.data[0]])
+    voices, st = build_voices(specs, channels, [n0, n1])
+
+    block = 512
+    host = np.zeros(block * 8, np.float32)
+    dev = np.zeros((1, block * 8), np.float32)
+    for b in range(8):
+        h = player.process(block)
+        host[b * block:(b + 1) * block] = np.asarray(h)
+        st, y = mix_block(bank, bank_len, voices, st, block)
+        dev[:, b * block:(b + 1) * block] = np.asarray(y)
+    np.testing.assert_allclose(dev[0], host, atol=2e-6)
