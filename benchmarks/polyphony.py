@@ -55,7 +55,8 @@ def measure(voices: int = 256, block: int = 1024, n_blocks: int = 200,
 
 
 def measure_device(voices: int = 1024, block: int = 1024,
-                   scan_k: int = 64, sr: int = 48000):
+                   scan_k: int = 64, sr: int = 48000,
+                   mode: str = "gather"):
     """Device mixdown rate (models/sampling/device_mix.py): one gather
     + one routing matmul per block, scan_k blocks per dispatch so the
     tunnel round trip amortizes (round-4 verdict ask #9: a device path
@@ -66,9 +67,13 @@ def measure_device(voices: int = 1024, block: int = 1024,
     from lsp_dsp_units_tpu.models.sampling.device_mix import (
         build_bank, build_voices, mix_block)
 
+    from lsp_dsp_units_tpu.models.sampling.device_mix import (
+        build_bank_padded, mix_block_dma)
+
     rng = np.random.default_rng(0)
     data = rng.normal(size=sr).astype(np.float32) * 0.25
     bank, bank_len = build_bank([data])
+    bank_p, _, pad = build_bank_padded([data], block)
     specs = [dict(sample_id=0, channel=0, volume=0.1,
                   delay=(v * 7) % 4800, loop=(v % 2 == 0),
                   loop_start=1000, loop_end=40000)
@@ -78,7 +83,11 @@ def measure_device(voices: int = 1024, block: int = 1024,
     def run(st, k0):
         def body(carry, _):
             s, acc = carry
-            s, y = mix_block(bank, bank_len, voices_t, s, block)
+            if mode == "dma":
+                s, y = mix_block_dma(bank_p, bank_len, pad, voices_t,
+                                     s, block)
+            else:
+                s, y = mix_block(bank, bank_len, voices_t, s, block)
             return (s, acc + jnp.sum(y)), None
         (s, acc), _ = jax.lax.scan(body, (st, jnp.float32(0.0)), None,
                                    length=scan_k)
@@ -96,6 +105,7 @@ def measure_device(voices: int = 1024, block: int = 1024,
         best = max(best, scan_k * block / el)
     return {
         "voices": voices,
+        "mode": mode,
         "backend": jax.default_backend(),
         "out_samples_per_sec": round(best, 1),
         "x_realtime": round(best / sr, 2),
@@ -108,7 +118,9 @@ if __name__ == "__main__":
     import sys
     if "--device" in sys.argv:
         for v in (1024, 4096):
-            print(json.dumps(measure_device(voices=v)))
+            for mode in ("gather", "dma"):
+                print(json.dumps(measure_device(voices=v, mode=mode)),
+                      flush=True)
     else:
         for v in (64, 256):
             print(json.dumps(measure(voices=v)))
