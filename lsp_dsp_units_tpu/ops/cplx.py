@@ -71,14 +71,21 @@ def rfft_sc(x: Array, n: int | None = None, axis: int = -1) -> SC:
     m = x.shape[axis] if n is None else int(n)
     if _use_packed(m, axis):
         from lsp_dsp_units_tpu.ops import pallas_fft as pfft
-        if x.shape[-1] < m:
-            pad = [(0, 0)] * (x.ndim - 1) + [(0, m - x.shape[-1])]
-            x = jnp.pad(x, pad)
-        elif x.shape[-1] > m:
-            x = x[..., :m]
         lead = x.shape[:-1]
-        x2 = x.reshape((-1, m)).astype(jnp.float32)
-        pre, pim = pfft.rfft_packed(x2)
+        if x.shape[-1] * 2 == m:
+            # zero-padded upper half (block convolution): the zero
+            # rows are never materialized and stage A contracts half
+            # its columns (rfft_packed_zeropad)
+            x2 = x.reshape((-1, m // 2)).astype(jnp.float32)
+            pre, pim = pfft.rfft_packed_zeropad(x2)
+        else:
+            if x.shape[-1] < m:
+                pad = [(0, 0)] * (x.ndim - 1) + [(0, m - x.shape[-1])]
+                x = jnp.pad(x, pad)
+            elif x.shape[-1] > m:
+                x = x[..., :m]
+            x2 = x.reshape((-1, m)).astype(jnp.float32)
+            pre, pim = pfft.rfft_packed(x2)
         re, im = pfft.unpack_spectra(pre, pim, m)
         return (re.reshape(lead + (m // 2 + 1,)),
                 im.reshape(lead + (m // 2 + 1,)))

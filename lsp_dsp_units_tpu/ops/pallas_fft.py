@@ -76,11 +76,17 @@ def factor_m(n: int) -> Tuple[int, int]:
 
 def supported(n: int) -> bool:
     """Shapes this kernel handles well: N a power of two with an
-    [n1 >= 8, n2 multiple of 128] packed grid."""
+    [n1 >= 8, n2 multiple of 128] packed grid that FITS VMEM at
+    c_t = 1 (the [256, 512]-grid transforms of the bulk tier's
+    N = 262144+ super-blocks would fail Mosaic's VMEM budget)."""
     if n & (n - 1) or n < 2048:
         return False
     n1, n2 = factor_m(n)
-    return n1 >= 8 and n2 % 128 == 0
+    if n1 < 8 or n2 % 128 != 0:
+        return False
+    # mirror _call's per-channel working-set estimate at c_t = 1
+    per_c = 4 * (2 * n1 + 3 * n1) * n2 * 4
+    return 2 * per_c <= (11 << 20)
 
 
 @functools.lru_cache(maxsize=8)
