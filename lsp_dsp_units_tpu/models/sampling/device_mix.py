@@ -147,7 +147,7 @@ def build_bank_padded(samples: Sequence[np.ndarray], block: int
 
 def mix_block_dma(bank_pad: Array, bank_len: int, pad: int,
                   voices: DeviceVoices, state: DeviceMixState,
-                  block: int, interpret: bool = False
+                  block: int, interpret=None
                   ) -> Tuple[DeviceMixState, Array]:
     """mix_block with the per-voice window read as ONE contiguous DMA
     per voice (ops.slicedma) instead of a flat gather — the XLA gather

@@ -75,7 +75,7 @@ def _kernel(starts_ref, bank_ref, out_ref, scratch, sems,
 
 
 def batched_slice(bank: Array, starts: Array, size: int,
-                  interpret: bool = False) -> Array:
+                  interpret=None) -> Array:
     """out[v, :] = bank[starts[v] : starts[v] + size].
 
     ``bank``: [N] float32, N a multiple of 128 with at least
@@ -85,6 +85,8 @@ def batched_slice(bank: Array, starts: Array, size: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert size % _LANE == 0
     n = bank.shape[0]
     assert n % _LANE == 0
