@@ -385,8 +385,28 @@ def peak_envelope_pallas(env_state, x: Array, tau_attack, tau_release,
     return new_state, env_t[:, :c].T
 
 
+def _accum_skip(new8, old8, rsum, unroll):
+    """Skip-prefix rolling-sum tile: the sequential form chains 2
+    dependent VPU ops per SAMPLE; here the per-tile diffs and their
+    in-tile prefix (Hillis-Steele over the unroll rows, log2(U)
+    vectorized passes) sit OFF the serial chain, leaving ONE dependent
+    broadcast-add per U samples — an ~8x shorter recurrence.  The
+    summation association differs from the sequential form (rsum +
+    in-tile prefix vs row-by-row accumulation), changing ulps only."""
+    d8 = new8 - old8
+    p = d8
+    sh = 1
+    while sh < unroll:
+        z = jnp.zeros_like(p[:sh, :])
+        p = p + jnp.concatenate([z, p[:-sh, :]], axis=0)
+        sh *= 2
+    rows = rsum + p
+    return rows[unroll - 1:unroll, :], rows
+
+
 def _chain_dyn_kernel(params_ref, x_ref, win_ref, s_ref,
-                      yout_ref, wout_ref, sout_ref, *, n_win, unroll):
+                      yout_ref, wout_ref, sout_ref, *, n_win, unroll,
+                      skip_prefix=True):
     """Fused sidechain sliding-RMS -> compressor envelope -> two-knee
     gain -> apply, one VMEM pass (reference Sidechain.cpp:455-460 RMS +
     Compressor.cpp:231-256 envelope + :297-310 gain).  The rolling sum
@@ -427,18 +447,23 @@ def _chain_dyn_kernel(params_ref, x_ref, win_ref, s_ref,
         v = jnp.abs(rows) * g
         return v * v
 
-    # PASS 1 — rolling sum of squares, the ~2-op serial chain of
-    # _rms_kernel, written into yout_ref (scratch until pass 3
-    # overwrites it row-by-row).  Keeping the sqrt and the envelope
-    # OUT of this chain matters: a single fused per-sample chain
-    # (rsum -> sqrt -> envelope) measured ~20 us SLOWER than the sum
-    # of the separate chains — the sqrt serializes into the recurrence.
-    def accum(new8, old8, rsum):
-        rows = []
-        for j in range(unroll):
-            rsum = rsum + (new8[j:j + 1, :] - old8[j:j + 1, :])
-            rows.append(rsum)
-        return rsum, jnp.concatenate(rows, axis=0)
+    # PASS 1 — rolling sum of squares, written into yout_ref (scratch
+    # until pass 3 overwrites it row-by-row).  Keeping the sqrt and
+    # the envelope OUT of this chain matters: a single fused
+    # per-sample chain (rsum -> sqrt -> envelope) measured ~20 us
+    # SLOWER than the sum of the separate chains — the sqrt serializes
+    # into the recurrence.  skip_prefix shortens the chain to one
+    # dependent add per unroll tile (_accum_skip).
+    if skip_prefix:
+        def accum(new8, old8, rsum):
+            return _accum_skip(new8, old8, rsum, unroll)
+    else:
+        def accum(new8, old8, rsum):
+            rows = []
+            for j in range(unroll):
+                rsum = rsum + (new8[j:j + 1, :] - old8[j:j + 1, :])
+                rows.append(rsum)
+            return rsum, jnp.concatenate(rows, axis=0)
 
     def body_head(k, rsum):
         t0 = k * unroll
