@@ -34,7 +34,7 @@ from lsp_dsp_units_tpu.ops import pallas_fft as pfft
 
 Array = jax.Array
 
-_C_TILE = 8
+_C_TILE = 4   # same-run A/B: 319.8 (ct=4) vs 323.0 (ct=8) vs 328.4 (ct=2) us/block
 
 
 def _kernel(w_ref, zr_ref, zi_ref, ring_re_ref, ring_im_ref,
