@@ -90,8 +90,17 @@ def batched_slice(bank: Array, starts: Array, size: int,
     assert size % _LANE == 0
     n = bank.shape[0]
     assert n % _LANE == 0
-    v = starts.shape[0]
-    v_t = _V_TILE if v % _V_TILE == 0 else v
+    v0 = starts.shape[0]
+    # pad the batch to the voice tile (a v_t = V fallback would give
+    # one grid step with a [V, tr + 8, 128] scratch — VMEM blowup for
+    # large odd V); padded rows fetch offset 0 and are sliced off
+    rem = (-v0) % _V_TILE
+    if rem:
+        starts = jnp.concatenate(
+            [jnp.asarray(starts, jnp.int32),
+             jnp.zeros(rem, jnp.int32)])
+    v = v0 + rem
+    v_t = _V_TILE
     tr = size // _LANE
     bank2 = bank.reshape(n // _LANE, _LANE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -111,4 +120,4 @@ def batched_slice(bank: Array, starts: Array, size: int,
         out_shape=jax.ShapeDtypeStruct((v, tr, _LANE), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(starts, jnp.int32), bank2)
-    return out.reshape(v, size)
+    return out.reshape(v, size)[:v0]
