@@ -65,10 +65,8 @@ def measure_device(voices: int = 1024, block: int = 1024,
     import jax.numpy as jnp
 
     from lsp_dsp_units_tpu.models.sampling.device_mix import (
-        build_bank, build_voices, mix_block)
-
-    from lsp_dsp_units_tpu.models.sampling.device_mix import (
-        build_bank_padded, mix_block_dma)
+        build_bank, build_bank_padded, build_voices, mix_block,
+        mix_block_dma)
 
     rng = np.random.default_rng(0)
     data = rng.normal(size=sr).astype(np.float32) * 0.25

@@ -55,7 +55,9 @@ class EqMode(enum.Enum):
 class EqParams(NamedTuple):
     """Traced equalizer parameters."""
     coeffs: Array         # [K, 5] cascade biquads (IIR mode; else [0, 5])
-    conv_spec: Array      # FIR/FFT: rfft of the 2N-padded FIR [N+1] complex
+    conv_re: Array        # FIR/FFT: rfft of the 2N-padded FIR [N+1],
+    conv_im: Array        #   SPLIT-COMPLEX (no complex64 on the device
+    #                         path — ops/cplx.py tunnel contract)
     spm_gain: Array       # SPM: real zero-phase bin gains [N/2+1]
     fused: Optional[object] = None   # FusedCascadeParams when iir_block set
 
@@ -183,7 +185,8 @@ class Equalizer:
             fused = biquad_block.precompute_fused(coeffs, self.iir_block)
         return EqParams(
             coeffs=jnp.asarray(coeffs, jnp.float32),
-            conv_spec=jnp.asarray(conv_spec),
+            conv_re=jnp.asarray(conv_spec.real, jnp.float32),
+            conv_im=jnp.asarray(conv_spec.imag, jnp.float32),
             spm_gain=jnp.asarray(spm_gain),
             fused=fused)
 
@@ -237,10 +240,11 @@ class Equalizer:
                                                    state.iir, x)
             return state._replace(iir=iir), y
         if self.mode in (EqMode.FIR, EqMode.FFT):
-            return self._process_fir(params.conv_spec, state, x)
+            return self._process_fir((params.conv_re, params.conv_im),
+                                     state, x)
         return self._process_spm(params, state, x)
 
-    def _process_fir(self, conv_spec: Array, state: EqState, x: Array,
+    def _process_fir(self, conv_sc, state: EqState, x: Array,
                      ) -> Tuple[EqState, Array]:
         """Frame-N block convolution with 2N FFT, overlap-add across
         frames in closed form (Equalizer.cpp:477-518)."""
@@ -253,8 +257,7 @@ class Equalizer:
         # Pallas FFT on TPU and keeps complex arithmetic off the
         # tunnel (ops/cplx.py)
         sr, si = rfft_sc(frames, 2 * n, axis=-1)
-        pr, pi = sc_mul((sr, si), (jnp.real(conv_spec),
-                                   jnp.imag(conv_spec)))
+        pr, pi = sc_mul((sr, si), conv_sc)
         y2 = irfft_sc((pr, pi), 2 * n, axis=-1)      # [..., M, 2N]
         heads = y2[..., :n]
         tails = y2[..., n:]
@@ -280,11 +283,12 @@ class Equalizer:
         assert x.shape[-1] == n, "xfade step processes exactly one frame"
         # old convolution with the carried overlap-add tail folded in —
         # the reference's vOutBuffer after fastconv_parse_apply
-        st_old, y_old = self._process_fir(old.conv_spec, state, x)
+        st_old, y_old = self._process_fir((old.conv_re, old.conv_im),
+                                          state, x)
         # new convolution over a ZERO base (reference's vFft: no previous
         # tail), Equalizer.cpp:491-493
         st_new, _ = self._process_fir(
-            new.conv_spec,
+            (new.conv_re, new.conv_im),
             state._replace(fir_tail=jnp.zeros_like(state.fir_tail)), x)
         # linear ramp old->new across [N/2, 3N/2) of the 2N result
         # buffer; beyond 3N/2 the tail is pure new (Equalizer.cpp:496-498)

@@ -160,6 +160,17 @@ def mix_block_dma(bank_pad: Array, bank_len: int, pad: int,
     from lsp_dsp_units_tpu.ops.slicedma import batched_slice
 
     assert pad >= block
+    # the single-fold select below is only exact when every looping
+    # voice's span covers a whole block (the gather path's % span is
+    # general); validate on concrete voice tables — a violation would
+    # otherwise produce silently wrong audio
+    if not isinstance(voices.loop_end, jax.core.Tracer):
+        span_np = (np.asarray(voices.loop_end, np.int64)
+                   - np.asarray(voices.loop_start, np.int64))
+        loop_np = np.asarray(voices.loop_on) > 0.5
+        assert np.all(span_np[loop_np] >= block), (
+            "mix_block_dma requires loop span >= block for looping "
+            "voices (single wrap per block); use mix_block")
     pos = state.pos
     n_total = bank_pad.shape[0]
     span = jnp.maximum(voices.loop_end - voices.loop_start, 1)

@@ -514,173 +514,10 @@ def _chain_dyn_kernel(params_ref, x_ref, win_ref, s_ref,
     wout_ref[...] = sq_rows(x_ref[pl.ds(t_total - n_win, n_win), :])
 
 
-def _chain_dyn_kernel_ct(params_ref, x_ref, win_ref, s_ref,
-                         yout_ref, wout_ref, sout_ref,
-                         xt_ref, lt_ref, wt_ref, *, n_win, unroll):
-    """_chain_dyn_kernel with the [C, T] <-> [T, C] transposes INSIDE
-    the kernel: the chain hands over (and takes back) the natural
-    [C, T] block layout, and the layout flip happens as one vectorized
-    VMEM pass instead of an XLA HBM round trip (round-4 verdict: the
-    in/out transposes were the dynamics tail's dominant non-serial
-    cost).  xt_ref/lt_ref are [T, C_l] VMEM scratch: the time-major
-    signal and the level/output staging."""
-    from jax.experimental import pallas as pl
-
-    g = params_ref[0, 0]
-    ta = params_ref[0, 1]
-    tr = params_ref[0, 2]
-    rt = params_ref[0, 3]
-    nh = params_ref[0, 4]
-    use_rt = params_ref[0, 5]
-    t_total = xt_ref.shape[0]
-    inv_n = 1.0 / n_win
-
-    # transpose in: [C, T] -> [T, C] (one vectorized pass in VMEM);
-    # the window lands in its own scratch ref so the serial head pass
-    # can pl.ds-slice it (Mosaic has no dynamic_slice on values)
-    xt_ref[...] = jnp.transpose(x_ref[...])
-    wt_ref[...] = jnp.transpose(win_ref[...])           # [N, C]
-
-    def knee_gain(ax, lx, o):
-        st = params_ref[0, o]
-        en = params_ref[0, o + 1]
-        gn = params_ref[0, o + 2]
-        line = jnp.exp(lx * params_ref[0, o + 3] + params_ref[0, o + 4])
-        herm = jnp.exp((params_ref[0, o + 5] * lx
-                        + params_ref[0, o + 6]) * lx
-                       + params_ref[0, o + 7])
-        return jnp.where(ax <= st, gn, jnp.where(ax >= en, line, herm))
-
-    def gain_rows(env8):
-        ax = jnp.abs(env8)
-        lx = jnp.log(jnp.maximum(ax, 1e-36))
-        return knee_gain(ax, lx, 6) * knee_gain(ax, lx, 14)
-
-    def sq_rows(rows):
-        v = jnp.abs(rows) * g
-        return v * v
-
-    # PASS 1 — rolling sum of squares (see _chain_dyn_kernel)
-    def accum(new8, old8, rsum):
-        rows = []
-        for j in range(unroll):
-            rsum = rsum + (new8[j:j + 1, :] - old8[j:j + 1, :])
-            rows.append(rsum)
-        return rsum, jnp.concatenate(rows, axis=0)
-
-    def body_head(k, rsum):
-        t0 = k * unroll
-        new8 = sq_rows(xt_ref[pl.ds(t0, unroll), :])
-        old8 = wt_ref[pl.ds(t0, unroll), :]
-        rsum, rows = accum(new8, old8, rsum)
-        lt_ref[pl.ds(t0, unroll), :] = rows
-        return rsum
-
-    def body_tail(k, rsum):
-        t0 = k * unroll
-        new8 = sq_rows(xt_ref[pl.ds(t0, unroll), :])
-        old8 = sq_rows(xt_ref[pl.ds(t0 - n_win, unroll), :])
-        rsum, rows = accum(new8, old8, rsum)
-        lt_ref[pl.ds(t0, unroll), :] = rows
-        return rsum
-
-    rsum0 = jnp.sum(wt_ref[...], axis=0, keepdims=True)
-    rsum0 = jax.lax.fori_loop(0, n_win // unroll, body_head, rsum0)
-    jax.lax.fori_loop(n_win // unroll, t_total // unroll, body_tail,
-                      rsum0)
-
-    # PASS 2 — vectorized level sweep
-    lt_ref[...] = jnp.sqrt(jnp.maximum(lt_ref[...] * inv_n, 0.0))
-
-    # PASS 3 — envelope recurrence + knee gain into the staging buffer
-    def body_env(k, carry):
-        e, peak, hold = carry
-        t0 = k * unroll
-        lvl8 = lt_ref[pl.ds(t0, unroll), :]
-        x8 = xt_ref[pl.ds(t0, unroll), :]
-        rows = []
-        for j in range(unroll):
-            e, peak, hold = _env_step(lvl8[j:j + 1, :], e, peak, hold,
-                                      ta, tr, rt, nh, use_rt)
-            rows.append(e)
-        env8 = jnp.concatenate(rows, axis=0)
-        lt_ref[pl.ds(t0, unroll), :] = x8 * gain_rows(env8)
-        return e, peak, hold
-
-    init = (s_ref[0:1, :], s_ref[1:2, :], s_ref[2:3, :])
-    e, pk, hd = jax.lax.fori_loop(0, t_total // unroll, body_env, init)
-    sout_ref[0:1, :] = e
-    sout_ref[1:2, :] = pk
-    sout_ref[2:3, :] = hd
-    wout_ref[...] = jnp.transpose(
-        sq_rows(xt_ref[pl.ds(t_total - n_win, n_win), :]))
-    # transpose out: [T, C] -> [C, T]
-    yout_ref[...] = jnp.transpose(lt_ref[...])
-
-
-def chain_dyn_pallas_ct(window: Array, env_state, x: Array, n_win: int,
-                        sc_gain, tau_attack, tau_release,
-                        release_thresh, hold_samples, knees,
-                        interpret: bool = False):
-    """chain_dyn_pallas with NATIVE [C, T] input/output layout — the
-    layout flip runs inside the kernel (VMEM transpose) instead of as
-    XLA HBM transposes around it.  Channels ride the lane axis padded
-    to the next multiple of 8 sublane-compatible width; C values up to
-    128 keep a single-lane-register row."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from lsp_dsp_units_tpu.ops.dynamics import EnvState
-
-    c, t = x.shape
-    n = int(n_win)
-    assert t >= n and t % _UNROLL == 0 and n % _UNROLL == 0
-    c_l = max(8, -(-c // 8) * 8)
-    if c_l > 128:
-        c_l = -(-c // _LANES) * _LANES
-    xc = jnp.zeros((c_l, t), jnp.float32)
-    xc = jax.lax.dynamic_update_slice(xc, x.astype(jnp.float32), (0, 0))
-    wc = jnp.zeros((c_l, n), jnp.float32)
-    wc = jax.lax.dynamic_update_slice(wc, window.astype(jnp.float32),
-                                      (0, 0))
-    s = jnp.zeros((3, c_l), jnp.float32)
-    s = s.at[0, :c].set(env_state.envelope)
-    s = s.at[1, :c].set(env_state.peak)
-    s = s.at[2, :c].set(env_state.hold.astype(jnp.float32))
-    k0, k1 = knees
-    vals = ([jnp.asarray(sc_gain, jnp.float32),
-             jnp.asarray(tau_attack, jnp.float32),
-             jnp.asarray(tau_release, jnp.float32),
-             jnp.asarray(release_thresh, jnp.float32),
-             jnp.asarray(hold_samples, jnp.float32),
-             jnp.float32(1.0)]
-            + [jnp.asarray(v, jnp.float32) for v in k0]
-            + [jnp.asarray(v, jnp.float32) for v in k1]
-            + [jnp.float32(0.0)] * 10)
-    params = jnp.stack(vals).reshape(1, 32)
-
-    yout, wout, s_out = pl.pallas_call(
-        functools.partial(_chain_dyn_kernel_ct, n_win=n,
-                          unroll=_UNROLL),
-        out_shape=(jax.ShapeDtypeStruct((c_l, t), jnp.float32),
-                   jax.ShapeDtypeStruct((c_l, n), jnp.float32),
-                   jax.ShapeDtypeStruct((3, c_l), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((t, c_l), jnp.float32),
-                        pltpu.VMEM((t, c_l), jnp.float32),
-                        pltpu.VMEM((n, c_l), jnp.float32)],
-        interpret=interpret,
-    )(params, xc, wc, s)
-
-    new_state = EnvState(
-        envelope=s_out[0, :c], peak=s_out[1, :c],
-        hold=s_out[2, :c].astype(jnp.int32))
-    return wout[:c, :], new_state, yout[:c, :]
+# (an in-kernel-transpose [C,T]-native variant of the fused
+# dynamics kernel was built and measured SLOWER on-chip — 155 vs
+# 134-140 us: Mosaic's [8192, 64] VMEM transpose lowers worse than
+# XLA's HBM transpose — and was removed; NUMERICS.md round 5)
 
 
 def chain_dyn_pallas(window: Array, env_state, x: Array, n_win: int,

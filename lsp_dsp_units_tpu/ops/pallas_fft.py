@@ -74,11 +74,24 @@ def factor_m(n: int) -> Tuple[int, int]:
     return n1, n2
 
 
+def _tables_bytes(n: int, c_t: int) -> int:
+    """Closed-form byte size of the base + tile const tables (base:
+    w1/w2/tw/wn pairs + p1/rrev/rfix/m0/m00; tile: the K-doubled
+    W-cats, their half variants and I_ct (x) P1) — no arrays are
+    built, so candidate-c_t probing costs nothing."""
+    n1, n2 = factor_m(n)
+    base = 3 * n1 * n1 + 4 * n2 * n2 + 6 * n1 * n2
+    tile = 14 * n1 * n1 + 8 * n2 * n2 + (c_t * n1) ** 2
+    return 4 * (base + tile)
+
+
 def supported(n: int) -> bool:
     """Shapes this kernel handles well: N a power of two with an
     [n1 >= 8, n2 multiple of 128] packed grid that FITS VMEM at
-    c_t = 1 (the [256, 512]-grid transforms of the bulk tier's
-    N = 262144+ super-blocks would fail Mosaic's VMEM budget)."""
+    c_t = 1 INCLUDING the const tables (N = 131072's [256, 256] grid
+    carries ~9 MB of tables alone; the bulk tier's N = 262144+
+    super-blocks are further out — both must fall back to the native
+    FFT instead of failing Mosaic's VMEM budget)."""
     if n & (n - 1) or n < 2048:
         return False
     n1, n2 = factor_m(n)
@@ -86,7 +99,7 @@ def supported(n: int) -> bool:
         return False
     # mirror _call's per-channel working-set estimate at c_t = 1
     per_c = 4 * (2 * n1 + 3 * n1) * n2 * 4
-    return 2 * per_c <= (11 << 20)
+    return _tables_bytes(n, 1) + 2 * per_c <= (11 << 20)
 
 
 @functools.lru_cache(maxsize=8)
@@ -534,9 +547,11 @@ def _call(kernel, n: int, a_re: Array, a_im: Array,
     per_c = 4 * (n1_in + n1_out + 3 * n1) * n2 * 4
     c_t = 1
     for cand in (8, 4, 2):
-        tables_b = sum(4 * int(np.prod(v.shape))
-                       for v in _all_consts(n, cand))
-        if c % cand == 0 and tables_b + 2 * cand * per_c <= (11 << 20):
+        # closed-form table sizes: materializing _all_consts for a
+        # candidate that is then rejected would build (and lru-cache)
+        # multi-MB kron tables for nothing
+        if (c % cand == 0 and
+                _tables_bytes(n, cand) + 2 * cand * per_c <= (11 << 20)):
             c_t = cand
             break
     if c % c_t:
@@ -633,13 +648,6 @@ def irfft_packed(spec: Tuple[Array, Array], n: int,
     # materialize the interleave before returning: consumers fusing
     # into it (overlap-add slicing) measured ~3x slower (NUMERICS r5)
     return jax.lax.optimization_barrier(out.reshape(c, 2 * m_out))
-
-
-@functools.lru_cache(maxsize=8)
-def _pack_perm(n: int) -> np.ndarray:
-    n1, n2 = factor_m(n)
-    s = np.arange(n // 2)
-    return ((s // n2) + n1 * (s % n2)).astype(np.int32)
 
 
 def pack_spectra(re: Array, im: Array, n: int) -> Tuple[Array, Array]:

@@ -90,6 +90,13 @@ def batched_slice(bank: Array, starts: Array, size: int,
     assert size % _LANE == 0
     n = bank.shape[0]
     assert n % _LANE == 0
+    assert n >= size + _ALIGN, (
+        f"bank must carry at least size + {_ALIGN} tail slack "
+        f"(n={n}, size={size}); pad it (device_mix.build_bank_padded)")
+    # clamp so a bad start can at worst read in-bank garbage, never
+    # DMA out of bounds (the aligned window spans size + 1024 samples)
+    starts = jnp.clip(jnp.asarray(starts, jnp.int32), 0,
+                      n - size - _ALIGN)
     v0 = starts.shape[0]
     # pad the batch to the voice tile (a v_t = V fallback would give
     # one grid step with a [V, tr + 8, 128] scratch — VMEM blowup for
