@@ -67,9 +67,27 @@ def test_supported_gate():
     assert pf.supported(16384) and pf.supported(4096)
     assert not pf.supported(1024)        # below the gate
     assert not pf.supported(12000)       # not a power of two
+    # VMEM feasibility: tables + working set at c_t=1 must fit; the
+    # [256, 256]-grid N=131072 carries ~9 MB of tables alone and the
+    # bulk tier's super-block sizes are further out — both fall back
+    # to the native FFT instead of failing Mosaic compilation
+    assert pf.supported(65536)
+    assert not pf.supported(131072)
+    assert not pf.supported(262144)
     assert pf.factor_m(16384) == (64, 128)
     assert pf.factor_m(4096) == (16, 128)    # rebalanced to full lanes
     assert pf.factor_m(32768) == (128, 128)
+
+
+def test_tables_bytes_closed_form():
+    """_tables_bytes must track the REAL const-table sizes exactly —
+    supported()'s VMEM gate and _call's tile choice both rely on it
+    (a drift would re-admit shapes that fail Mosaic's budget)."""
+    for n in (2048, 4096, 16384, 65536):
+        for c_t in (1, 2, 4, 8):
+            actual = sum(4 * int(np.prod(v.shape))
+                         for v in pf._all_consts(n, c_t))
+            assert pf._tables_bytes(n, c_t) == actual, (n, c_t)
 
 
 def test_mul_packed_first_half_linear_conv():
