@@ -176,3 +176,27 @@ def test_fft_crossover_passband_ripple():
     for b, f0 in ((0, 500.0), (1, 500.0), (1, 4000.0), (2, 4000.0)):
         i = int(np.argmin(np.abs(f - f0)))
         assert abs(mag_db[b][i] + 6.02) < 0.3, (b, f0, mag_db[b][i])
+
+
+def test_split_complex_hook_matches_complex_hook():
+    """The fn_sc split-complex hook path (the TPU-tunnel form — complex
+    arithmetic is unimplemented there) produces identical output to the
+    complex-hook path for the same spectral transform."""
+    from lsp_dsp_units_tpu.models.util.spectral import SpectralProcessor
+
+    rng = np.random.default_rng(4)
+    sp = SpectralProcessor(rank=9)
+    x = jnp.asarray(rng.standard_normal((3, sp.hop * 4))
+                    .astype(np.float32) * 0.3)
+
+    gains = jnp.asarray(np.linspace(1.0, 0.2, sp.frame // 2 + 1)
+                        .astype(np.float32))
+    st_a = sp.init_state((3,))
+    st_b = sp.init_state((3,))
+    st_a, ya = sp.process(st_a, x, fn=lambda s: s * gains)
+    st_b, yb = sp.process(st_b, x,
+                          fn_sc=lambda sc: (sc[0] * gains,
+                                            sc[1] * gains))
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    np.testing.assert_array_equal(np.asarray(st_a.tail),
+                                  np.asarray(st_b.tail))
