@@ -56,8 +56,11 @@ _C_TILE = 8
 _PREC = jax.lax.Precision.HIGHEST
 # default matmul mode: bf16x3 emulation (see _dot3) — measured ~105 dB
 # vs HIGHEST's 138 dB at roughly half the MXU time; flip per call via
-# the x3= parameter
-X3 = True
+# the x3= parameter, or globally with LSP_TPU_FFT_X3=0 (read ONCE at
+# import — jitted callers cache compiled branches; the chain reads the
+# same variable per trace, so both paths agree)
+import os as _os
+X3 = _os.environ.get("LSP_TPU_FFT_X3", "1") != "0"
 
 
 def factor_m(n: int) -> Tuple[int, int]:
