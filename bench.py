@@ -172,8 +172,11 @@ def run_once(rank: int, blocks_per_step: int, iters: int,
         "blocks_per_step": blocks_per_step,
         # which FFT matmul precision produced this number (the bf16x3
         # emulation is the default; a silent default flip or emulation
-        # regression must be visible on the driver record)
-        "fft_x3": os.environ.get("LSP_TPU_FFT_X3", "1") != "0",
+        # regression must be visible on the driver record) — the single
+        # source of truth every kernel consults
+        "fft_x3": __import__(
+            "lsp_dsp_units_tpu.ops.pallas_fft",
+            fromlist=["X3"]).X3,
     }
     # emit the delivered number NOW so a hang inside the device probes
     # cannot lose it (the parent parses the LAST json line)

@@ -283,13 +283,11 @@ def fdl_ring_step(h_spectra: Spectra, state: RingFDLState,
         hre_p, him_p = pfft.pack_spectra(h_spectra.re, h_spectra.im,
                                          nfft)
         rot_full = (w - jnp.arange(p)) % p
-        import os
-        x3 = os.environ.get("LSP_TPU_FFT_X3", "1") != "0"
         y, buf_re, buf_im = fdl_fused_pallas(
             state.spec_re, state.spec_im,
             jnp.take(hre_p, rot_full, axis=-2),
             jnp.take(him_p, rot_full, axis=-2),
-            frame, w, nfft, interpret=interp, x3=x3)
+            frame, w, nfft, interpret=interp, x3=pfft.X3)
         return RingFDLState(spec_re=buf_re, spec_im=buf_im,
                             history=x_block, pos=w), y.astype(x_block.dtype)
     # (A natural-order [P, C, 8193] Pallas MAC was built and measured

@@ -127,4 +127,7 @@ def batched_slice(bank: Array, starts: Array, size: int,
         out_shape=jax.ShapeDtypeStruct((v, tr, _LANE), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(starts, jnp.int32), bank2)
+    # materialize before consumers: XLA fusing across the pallas_call
+    # boundary degenerates (CLAUDE.md producer-fusion rule)
+    out = jax.lax.optimization_barrier(out)
     return out.reshape(v, size)[:v0]

@@ -225,14 +225,12 @@ class FilterConvChain:
             rot = (w - jnp.arange(p_n)) % p_n
             hre_p, him_p = _pack_cached(params.h_spectra.re,
                                         params.h_spectra.im, nfft)
-            import os
-            x3 = os.environ.get("LSP_TPU_FFT_X3", "1") != "0"
             y, u, buf_re, buf_im = eqfdl_fused_pallas(
                 state.fdl.spec_re, state.fdl.spec_im,
                 jnp.take(hre_p, rot, axis=-2),
                 jnp.take(him_p, rot, axis=-2),
                 heq_r, heq_i, x, corr, state.fdl.history, w, nfft,
-                x3=x3)
+                x3=pfft.X3)
             sv2 = (jnp.einsum("kj,...j->...k", eqp.m_mat, sv,
                               precision=jax.lax.Precision.HIGH)
                    + jnp.einsum("kb,...b->...k", eqp.w_mat, x,

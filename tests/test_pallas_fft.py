@@ -113,3 +113,49 @@ def test_mul_packed_first_half_linear_conv():
                         interpret=True, half="first")
     assert y.shape == (c, b)
     assert _snr(ref, y) > 95.0
+
+
+def test_tile_transforms_match_per_channel_reference():
+    """_fwd_tile/_inv_tile (the lane-packed production forms) must
+    match _fwd_one/_inv_one (the per-channel reference implementation
+    the tile math was derived from) — keeps the reference forms honest
+    as documentation while the packed kernels evolve."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    c_t = 4
+    n1, n2 = pf.factor_m(n)
+    t = pf._tables(n)
+    tj = (None, None,
+          (jnp.asarray(t[2][0]), jnp.asarray(t[2][1])),
+          (jnp.asarray(t[3][0]), jnp.asarray(t[3][1])),
+          (jnp.asarray(t[4][0]), jnp.asarray(t[4][1])),
+          (jnp.asarray(t[5][0]), jnp.asarray(t[5][1])),
+          jnp.asarray(t[6]), jnp.asarray(t[7]), jnp.asarray(t[8]),
+          jnp.asarray(t[9]), jnp.asarray(t[10]))
+    tt = tuple(jnp.asarray(v) for v in pf._tile_tables(n, c_t))
+    rng = np.random.default_rng(5)
+    zr = jnp.asarray(rng.standard_normal((c_t, n1, n2))
+                     .astype(np.float32))
+    zi = jnp.asarray(rng.standard_normal((c_t, n1, n2))
+                     .astype(np.float32))
+
+    # exact-precision dots so the only difference is structure
+    xr_t, xi_t = pf._fwd_tile(zr, zi, tj, tt, pf._dot, x3=False)
+    for c in range(c_t):
+        xr_1, xi_1 = pf._fwd_one(zr[c], zi[c], tj, pf._dot, x3=False)
+        np.testing.assert_allclose(np.asarray(xr_t[c]),
+                                   np.asarray(xr_1), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(xi_t[c]),
+                                   np.asarray(xi_1), atol=2e-3)
+
+    gr_t, gi_t = pf._inv_tile(xr_t, xi_t, tj, tt, 2.0 / n, "last",
+                              pf._dot, x3=False)
+    for c in range(c_t):
+        gr_1, gi_1 = pf._inv_one(xr_t[c], xi_t[c], tj, 2.0 / n,
+                                 "last", pf._dot, x3=False)
+        np.testing.assert_allclose(np.asarray(gr_t[c]),
+                                   np.asarray(gr_1), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gi_t[c]),
+                                   np.asarray(gi_1), atol=2e-5)

@@ -43,8 +43,8 @@ pytestmark = pytest.mark.skipif(
 STATUS_OK = 0
 STATUS_EOF = 11
 STATUS_NOT_FOUND = 8
-STATUS_OPENED = 23
-STATUS_ALREADY_EXISTS = 24
+STATUS_OPENED = 24
+STATUS_ALREADY_EXISTS = 25
 
 _f32p = ctypes.POINTER(ctypes.c_float)
 
