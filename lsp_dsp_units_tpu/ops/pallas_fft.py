@@ -426,19 +426,28 @@ def _fwd_tile(zr3, zi3, t, tt, dot, halfin=False, x3=True):
     f = dot(tcat, tt[2])                           # [fr | fi]
     fr = f[:, :n2]
     fi = f[:, n2:]
-    # untangle
+    # untangle, with the E/O algebra FOLDED into three combined
+    # twiddle tables: X = E + W*O with E = (Z + Zf)/2,
+    # O = -i (Z - Zf)/2 expands to
+    #   xr = A*fr + B*zfr + Cw*(fi - zfi)
+    #   xi = A*fi + B*zfi - Cw*(fr - zfr)
+    # with A = (1+wni)/2, B = (1-wni)/2, Cw = wnr/2 — 12 VPU ops per
+    # element pair instead of 16 (the tables are 3 cheap elementwise
+    # ops per kernel call, CSE'd)
     zfr, zfi = _conj_pair_rows(fr, fi, tt, t, c_t, dot, x3)
-    er = 0.5 * (fr + zfr)
-    ei = 0.5 * (fi + zfi)
-    orr = 0.5 * (fi - zfi)
-    oi = -0.5 * (fr - zfr)
-    er3 = er.reshape(c_t, n1, n2)
-    ei3 = ei.reshape(c_t, n1, n2)
-    orr3 = orr.reshape(c_t, n1, n2)
-    oi3 = oi.reshape(c_t, n1, n2)
-    xr3 = er3 + wnr * orr3 - wni * oi3
-    xi3 = ei3 + wnr * oi3 + wni * orr3
-    xi3 = xi3 * (1.0 - m00) + (er3 - orr3) * m00
+    aw = 0.5 * (1.0 + wni)
+    bw = 0.5 * (1.0 - wni)
+    cw = 0.5 * wnr
+    fr3 = fr.reshape(c_t, n1, n2)
+    fi3 = fi.reshape(c_t, n1, n2)
+    zfr3 = zfr.reshape(c_t, n1, n2)
+    zfi3 = zfi.reshape(c_t, n1, n2)
+    xr3 = aw * fr3 + bw * zfr3 + cw * (fi3 - zfi3)
+    xi3 = aw * fi3 + bw * zfi3 - cw * (fr3 - zfr3)
+    # pack Nyquist X[M] = E[0,0] - O[0,0] into im of the DC bin:
+    # E - O at the DC bin = (fr + zfr)/2 - (fi - zfi)/2
+    xi3 = (xi3 * (1.0 - m00)
+           + (0.5 * (fr3 + zfr3) - 0.5 * (fi3 - zfi3)) * m00)
     return xr3, xi3
 
 
@@ -456,14 +465,16 @@ def _inv_tile(xr3, xi3, t, tt, inv_m, half, dot, x3=True):
     xfr, xfi = _conj_pair_rows(xr0, xi0, tt, t, c_t, dot, x3)
     xfr3 = xfr.reshape(c_t, n1, n2) * k1 + xi3 * m00
     xfi3 = xfi.reshape(c_t, n1, n2) * k1
-    er3 = 0.5 * (xr03 + xfr3)
-    ei3 = 0.5 * (xi03 + xfi3)
-    dr3 = 0.5 * (xr03 - xfr3)
-    di3 = 0.5 * (xi03 - xfi3)
-    orr3 = dr3 * wnr + di3 * wni
-    oi3 = di3 * wnr - dr3 * wni
-    zr = (er3 - oi3).reshape(c_t * n1, n2)
-    zi = (ei3 + orr3).reshape(c_t * n1, n2)
+    # folded E/O algebra (see _fwd_tile): Z = E + i O with
+    # O = D * conj(W) expands to
+    #   zr = A*x + B*xf - Cw*(xi - xfi),  zi = A*xi + B*xfi + Cw*(x - xf)
+    aw = 0.5 * (1.0 + wni)
+    bw = 0.5 * (1.0 - wni)
+    cw = 0.5 * wnr
+    zr = (aw * xr03 + bw * xfr3
+          - cw * (xi03 - xfi3)).reshape(c_t * n1, n2)
+    zi = (aw * xi03 + bw * xfi3
+          + cw * (xr03 - xfr3)).reshape(c_t * n1, n2)
     # inverse stage C': rows-stacked K-doubled right-multiply
     u = dot(jnp.concatenate([zr, zi], axis=-1), tt[3])  # [ur | ui]
     ur3 = u[:, :n2].reshape(c_t, n1, n2)
